@@ -1,0 +1,75 @@
+"""Benchmark runner (BASELINE.md target; driver records BENCH_r{N}.json).
+
+Runs every declared roster query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], timing plan-build +
+execution to completion (count(), or collect() for top-k results), and
+prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q_...": sec, ...}, "sf": 0.1}
+
+Usage: python bench.py [--sf-dir DIR] [--repeat N] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from review_engine_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    if args.queries:
+        qs = {k: v for k, v in qs.items() if k in set(args.queries)}
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session bring-up
+    spark.read.parquet(f"{args.sf_dir}/part.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        best = None
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, args.sf_dir)
+                n = df.count()
+            except Exception as e:  # noqa: BLE001
+                print(f"# {name} FAILED: {e}", file=sys.stderr)
+                n = -1
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    m = re.search(r"sf([0-9.]+)", args.sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    out = {
+        "metric": "declared_query_wall_clock_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,262 @@
+"""Deduplication operators (SURVEY §2.K; BASELINE.json north star).
+
+Four tiers, all pure DataFrame ops (no Python in the hot path):
+
+- exact:        hash-groupBy on a 64-bit digest of normalized text
+- MinHash+LSH:  shingle → minhash signature → banded bucket join
+- SimHash:      per-token hash bit votes → 64-bit signature → hamming
+- n-gram Jaccard: shingle-set intersection/union on candidate pairs
+
+Scale design: every candidate-generation step shuffles 8-byte keys (never
+document bodies); verification joins happen only on LSH-bucket candidate
+pairs, so the O(N²) all-pairs comparison is avoided. Skewed buckets
+(boilerplate text) are handled by AQE skew-join splitting plus the
+``max_bucket_size`` guard that drops degenerate buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "exact_dedup",
+    "shingles",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "simhash_near_dups",
+    "hamming_distance",
+    "ngram_jaccard_pairs",
+]
+
+
+def normalize_text(col: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup keyed on xxhash64(normalized text): the shuffle carries
+    8-byte keys instead of document bodies; survivor = min id (deterministic,
+    unlike dropDuplicates). Output: one row per distinct content with
+    ``n_dups``."""
+    h = F.xxhash64(normalize_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles of a whitespace-tokenized text column."""
+    toks = F.split(normalize_text(col), " ")
+    n_sh = F.size(toks) - (n - 1)
+    # guard: sequence(1, n) with n < 1 would produce a DESCENDING range
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature as array<bigint>: for seed s, min over shingles of
+    xxhash64(shingle, s). Pure expression — evaluated JVM-side per row; no
+    UDF, no shuffle."""
+    seeds = F.sequence(F.lit(1), F.lit(num_hashes))
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(shingle_col, lambda sh: F.xxhash64(sh, s))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    min_jaccard: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs.
+
+    shingle → signature → split into ``bands`` bands of r rows → hash each
+    band → self-join on (band_idx, band_hash) → verify estimated Jaccard
+    (signature agreement fraction). With b=16, r=4 the S-curve threshold is
+    (1/b)^(1/r) ≈ 0.5. Buckets larger than ``max_bucket_size`` are dropped
+    (boilerplate guard): a single 10^5-doc bucket would reintroduce O(N²).
+    """
+    rows_per_band = num_hashes // bands
+    sig = (
+        df.select(
+            F.col(id_col),
+            minhash_signature(shingles(F.col(text_col)), num_hashes).alias("sig"),
+        )
+        .filter(F.size("sig") > 0)
+    )
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sig.select(F.col(id_col), F.col("sig"), band_idx).select(
+        F.col(id_col),
+        F.col("sig"),
+        F.col("band"),
+        F.xxhash64(
+            F.col("band"), F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band)
+        ).alias("band_hash"),
+    )
+    bucket_sizes = banded.groupBy("band", "band_hash").agg(
+        F.count("*").alias("bucket_n")
+    )
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bucket_n") <= max_bucket_size),
+        ["band", "band_hash"],
+    )
+    left = banded.select(
+        "band",
+        "band_hash",
+        F.col(id_col).alias("left_id"),
+        F.col("sig").alias("left_sig"),
+    )
+    right = banded.select(
+        "band",
+        "band_hash",
+        F.col(id_col).alias("right_id"),
+        F.col("sig").alias("right_sig"),
+    )
+    cand = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "left_sig", "right_sig")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("left_sig", "right_sig", lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        / F.size("left_sig")
+    ).alias("est_jaccard")
+    return (
+        cand.select("left_id", "right_id", est)
+        .filter(F.col("est_jaccard") >= min_jaccard)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_bits: int = 64
+) -> DataFrame:
+    """SimHash signatures as one bigint per document.
+
+    Per token t, h = xxhash64(t); bit b votes +1 if set else -1; signature
+    bit b = 1 iff the vote sum is positive. Implemented relationally —
+    explode tokens, then ``num_bits`` conditional-sum aggregates in ONE
+    hash aggregation (partial map-side combine keeps the shuffle at
+    num_bits ints per doc regardless of document length).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
+        ).alias("tok"),
+    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(num_bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(num_bits):
+        bit_value = (1 << b) if b < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.lit(bit_value).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select(F.col(id_col), sig.alias("sig"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count — one JVM intrinsic."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into
+    ``max_hamming + 1`` blocks (pigeonhole: hamming ≤ h ⇒ at least one of
+    h+1 blocks equal), join on (block_idx, block), verify exact hamming.
+    Candidate shuffle is 8-byte keys."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    n_blocks = min(max_hamming + 1, 32)
+    base, rem = divmod(64, n_blocks)
+    # shift amounts must be Python ints — build the banded rows as an
+    # exploded literal-struct array; first `rem` blocks get base+1 bits
+    widths = [base + 1 if b < rem else base for b in range(n_blocks)]
+    offsets = [sum(widths[:b]) for b in range(n_blocks)]
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftright(F.col("sig"), offsets[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                .alias("blk_val"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), "sig", F.explode(blocks).alias("bb")
+    ).select(F.col(id_col), "sig", F.col("bb.blk").alias("blk"), F.col("bb.blk_val").alias("blk_val"))
+    left = banded.select(
+        "blk", "blk_val", F.col(id_col).alias("left_id"), F.col("sig").alias("lsig")
+    )
+    right = banded.select(
+        "blk", "blk_val", F.col(id_col).alias("right_id"), F.col("sig").alias("rsig")
+    )
+    return (
+        left.join(right, ["blk", "blk_val"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .dropDuplicates(["left_id", "right_id"])
+        .select(
+            "left_id",
+            "right_id",
+            hamming_distance(F.col("lsig"), F.col("rsig")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (all-pairs form — cap the
+    input or feed LSH candidates at scale)."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    left = sh.select(F.col(id_col).alias("left_id"), F.col("sh").alias("lsh"))
+    right = sh.select(F.col(id_col).alias("right_id"), F.col("sh").alias("rsh"))
+    pairs = left.join(right, F.col("left_id") < F.col("right_id"))
+    jac = (
+        F.size(F.array_intersect("lsh", "rsh"))
+        / F.size(F.array_union("lsh", "rsh"))
+    ).alias("jaccard")
+    return pairs.select("left_id", "right_id", F.round(jac, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= min_jaccard
+    )

@@ -1,0 +1,104 @@
+"""Ranking operators: top-k cut, feature blend, MMR diversification
+(SURVEY §2.E-2.F, M3; reference rank.py:208-337).
+
+Plan-ordering invariants enforced by construction (SURVEY §4.3.3):
+the expensive rerank UDF is applied AFTER the top-k cut, and any
+image/caption UDF AFTER the final limit — regression here is a 1000×
+cost bug at scale. Tests assert stub call counts.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from review_engine_spark.functions.scoring import MMR_LAMBDA
+
+__all__ = ["top_k_by", "mmr_diversify", "priced_first"]
+
+
+def top_k_by(df: DataFrame, score_col: str, id_col: str, k: int) -> DataFrame:
+    """E1/F1: global top-k (rank.py:213) as orderBy+limit —
+    TakeOrderedAndProject: per-partition bounded heaps, k-row driver
+    merge, never a full sort shuffle. Ties broken by id for determinism."""
+    return df.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+
+
+def priced_first(df: DataFrame, price_col: str, order_col: str) -> DataFrame:
+    """F2: stable two-tier ordering — priced rows first, unpriced
+    appended, each tier keeping the given order (rank.py:327-337)."""
+    return df.orderBy(F.col(price_col).isNull().asc(), F.col(order_col).asc())
+
+
+def mmr_diversify(
+    spark: SparkSession,
+    candidates: DataFrame,
+    id_col: str,
+    score_col: str,
+    vec_col: str,
+    k: int = 10,
+    mmr_lambda: float = MMR_LAMBDA,
+    epsilon: float = 1e-9,
+) -> DataFrame:
+    """F3/C4: Maximal Marginal Relevance greedy selection (rank.py:282-325).
+
+    Inherently sequential over k: each pick depends on all previous picks,
+    so it is NOT expressible as relational algebra. The reference runs it
+    over its top-200 cut; this operator likewise requires a pre-cut
+    candidate set and collects it to the driver (≤ a few hundred rows —
+    the ONLY driver collect in the engine, SURVEY §7 M6 note).
+
+    Semantics faithful to the reference: vectors are L2-re-normalized
+    defensively (rank.py:286-289); similarity to the selected set is a
+    plain dot product of the normalized vectors (rank.py:195-202);
+    first pick is pure relevance; ties keep the first-seen candidate
+    (strict ``>`` comparison, rank.py:316), with candidate order =
+    relevance-descending (rank.py:297).
+    """
+    rows = candidates.select(id_col, score_col, vec_col).collect()
+
+    id2score: dict = {}
+    id2vec: dict = {}
+    for r in rows:
+        cid = r[id_col]
+        id2score[cid] = float(r[score_col])
+        vec = r[vec_col]
+        if vec is None:
+            id2vec[cid] = None
+            continue
+        norm = math.sqrt(sum(float(x) * float(x) for x in vec))
+        id2vec[cid] = [float(x) / (norm + epsilon) for x in vec]
+
+    def dot(a, b) -> float:
+        if a is None or b is None:
+            return 0.0  # rank.py:195-197 None tolerance
+        return sum(x * y for x, y in zip(a, b))
+
+    ordered = sorted(id2score, key=lambda cid: (-id2score[cid], cid))
+    selected: list = []
+    remaining = list(ordered)
+    while len(selected) < min(k, len(ordered)):
+        best_id, best_val = None, -1e9
+        for cid in remaining:
+            relevance = id2score[cid]
+            if not selected:
+                mmr_val = relevance
+            else:
+                max_sim = max(dot(id2vec[cid], id2vec[s]) for s in selected)
+                mmr_val = mmr_lambda * relevance - (1.0 - mmr_lambda) * max_sim
+            if mmr_val > best_val:
+                best_id, best_val = cid, mmr_val
+        if best_id is None:
+            break
+        selected.append(best_id)
+        remaining.remove(best_id)
+
+    out = [
+        (rank + 1, cid, round(id2score[cid], 6))
+        for rank, cid in enumerate(selected)
+    ]
+    return spark.createDataFrame(
+        out, f"mmr_rank long, {id_col} long, {score_col} double"
+    )

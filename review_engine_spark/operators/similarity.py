@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (SURVEY §2.C3, §2.K, §4.3.1).
+
+Three tiers by corpus size:
+
+1. ``brute_force_topk`` — exact; broadcast query batch + per-row cosine +
+   per-query top-k window. Fine to ~10^8 corpus rows.
+2. ``lsh_topk`` — BucketedRandomProjectionLSH approxNearestNeighbors /
+   approxSimilarityJoin (MLlib); probabilistic recall, corpus-shuffle-free
+   candidate generation.
+3. ``ivf_topk`` — inverted-file ANN: k-means-ish coarse centroids (sampled
+   deterministic seeds), corpus partitioned by nearest centroid, queries
+   probe ``n_probe`` nearest centroids only; the scan prunes to
+   |corpus| * n_probe / n_centroids rows via a centroid equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from review_engine_spark.functions.vector import cosine_similarity, dot_product, l2_normalize
+
+__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk"]
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    The query side is broadcast (queries ≪ corpus); the corpus is scanned
+    once with a row-local cosine expression — no shuffle until the
+    per-query top-k window, which moves only candidate rows keyed by
+    query_id. Rounding before ranking keeps the cut engine-stable.
+    """
+    pairs = F.broadcast(queries).join(
+        corpus, F.col(corpus_id) != F.col(query_id)
+    )
+    scored = pairs.select(
+        query_id,
+        F.col(corpus_id).alias("neighbor_id"),
+        F.round(cosine_similarity(F.col(query_vec), F.col(corpus_vec)), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= k
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    query_vecs: list[list[float]],
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+) -> DataFrame:
+    """Approximate k-NN via BucketedRandomProjectionLSH (MLlib).
+
+    Vectors are L2-normalized first so euclidean-LSH distance is a
+    monotone proxy for cosine (||a-b||² = 2 - 2·cos on the unit sphere).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.linalg import Vectors
+
+    unit = corpus.select(
+        F.col(corpus_id),
+        array_to_vector(l2_normalize(F.col(corpus_vec))).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(unit)
+    out = None
+    for i, q in enumerate(query_vecs):
+        norm = sum(x * x for x in q) ** 0.5 or 1.0
+        qv = Vectors.dense([x / norm for x in q])
+        nn = model.approxNearestNeighbors(unit, qv, k).select(
+            F.lit(i).alias("query_idx"),
+            F.col(corpus_id).alias("neighbor_id"),
+            F.round(1.0 - F.col("distCol") * F.col("distCol") / 2.0, 6).alias(
+                "cos_sim"
+            ),
+        )
+        out = nn if out is None else out.unionByName(nn)
+    return out
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Inverted-file ANN as a two-join plan.
+
+    Coarse centroids = deterministic corpus sample (every (N/n)-th row by
+    id hash — at scale, replace with MLlib KMeans fit on a sample).
+    Corpus rows are assigned to their nearest centroid once (narrow pass +
+    small broadcast); queries probe their n_probe nearest centroids, and
+    the candidate join is an equi-join on centroid_id — pruning the scan
+    to n_probe/n_centroids of the corpus.
+    """
+    cents = (
+        corpus.withColumn("_h", F.abs(F.xxhash64(F.col(corpus_id))) % n_centroids)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_h").orderBy(F.col(corpus_id))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_h").alias("centroid_id"), F.col(corpus_vec).alias("centroid_vec")
+        )
+    )
+    cents = F.broadcast(cents)
+
+    # assign each corpus row to its nearest centroid (1 narrow pass)
+    assign_w = Window.partitionBy(corpus_id).orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    assigned = (
+        corpus.join(cents)
+        .select(
+            F.col(corpus_id),
+            F.col(corpus_vec),
+            "centroid_id",
+            cosine_similarity(F.col(corpus_vec), F.col("centroid_vec")).alias("c_sim"),
+        )
+        .withColumn("_r", F.row_number().over(assign_w))
+        .filter(F.col("_r") == 1)
+        .drop("_r", "c_sim")
+    )
+
+    # queries probe their n_probe nearest centroids
+    probe_w = Window.partitionBy(query_id).orderBy(F.desc("q_sim"), F.asc("centroid_id"))
+    probes = (
+        F.broadcast(queries)
+        .join(cents)
+        .select(
+            query_id,
+            F.col(query_vec),
+            "centroid_id",
+            cosine_similarity(F.col(query_vec), F.col("centroid_vec")).alias("q_sim"),
+        )
+        .withColumn("_r", F.row_number().over(probe_w))
+        .filter(F.col("_r") <= n_probe)
+        .drop("_r", "q_sim")
+    )
+
+    # candidate equi-join on centroid_id, then exact rerank + top-k
+    cand = probes.join(assigned, "centroid_id").filter(
+        F.col(corpus_id) != F.col(query_id)
+    )
+    scored = cand.select(
+        query_id,
+        F.col(corpus_id).alias("neighbor_id"),
+        F.round(cosine_similarity(F.col(query_vec), F.col(corpus_vec)), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= k
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators (SURVEY §2.K: language-ID, quality scoring,
+token counting, fingerprinting). All pure Column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from review_engine_spark.functions.text import STOPWORDS
+
+__all__ = [
+    "ws_tokens",
+    "lang_scores",
+    "lang_id",
+    "quality_score",
+    "bpe_ish_token_count",
+    "winnow_fingerprints",
+    "LANG_MARKERS",
+]
+
+#: Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+#: Deterministic and dialect-portable; real language ID would plug a model
+#: into the inference surface instead.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "with", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "es": ["el", "la", "los", "las", "es", "y", "en", "que", "por", "una"],
+    "fr": ["le", "la", "les", "est", "et", "en", "que", "pour", "dans", "une"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "人", "这"],
+}
+
+
+def ws_tokens(col: Column) -> Column:
+    """Non-empty whitespace tokens of the lowercased text."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    # NB: the lambda must be unary — F.filter treats a second lambda
+    # parameter as the element INDEX, so a `m=markers` default would be
+    # silently replaced by an int column.
+    return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Marker-hit count per language."""
+    toks = ws_tokens(col)
+    return {
+        lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by marker hits; ties resolve in LANG_MARKERS order;
+    zero hits everywhere → 'und' (undetermined)."""
+    scores = lang_scores(col)
+    langs = list(scores)
+    # first-wins CASE chain: lang L wins if its score > 0, >= every
+    # later-priority language, and > every earlier-priority language
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang:
+                ge = scores[lang] >= scores[other] if langs.index(lang) < langs.index(other) else scores[lang] > scores[other]
+                cond = cond & ge
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column, n_chars: Column | None = None) -> Column:
+    """Heuristic document-quality score in [0, 1]:
+    length term (log tokens) + penalties for stopword saturation and
+    punctuation density — the length/punct/stopword-ratio family the
+    north star asks for. Deterministic, SQL-mirrorable.
+    """
+    toks = ws_tokens(text)
+    n_tok = F.size(toks).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    length = F.coalesce(n_chars, F.length(text)).cast("double")
+    punct = (length - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))).cast("double")
+    punct_ratio = F.when(length > 0, punct / length).otherwise(F.lit(0.0))
+    raw = (
+        F.lit(0.2)
+        + F.lit(0.1) * F.log1p(n_tok)
+        - F.lit(0.5) * stop_ratio
+        - F.lit(0.8) * punct_ratio
+    )
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), raw))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Approximate subword token count without a tokenizer model: count
+    word pieces produced by a BPE-ish regex (letter runs, digit runs,
+    single punctuation marks), plus a 1.3× inflation for long words —
+    the standard cheap estimator for LLM budget accounting."""
+    pieces = F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"))
+    long_words = F.regexp_count(col, F.lit(r"[A-Za-z]{8,}"))
+    return (pieces + long_words).cast("long")
+
+
+def winnow_fingerprints(col: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing fingerprints (rolling-hash document fingerprinting):
+    hash every k-token shingle, then keep the min hash of each sliding
+    window of ``window`` consecutive shingle hashes (array_distinct'd).
+    Returns array<bigint> — compact, order-robust local fingerprints."""
+    toks = ws_tokens(col)
+    n_sh = F.size(toks) - (k - 1)
+    # guard: sequence(1, n) with n < 1 would produce a DESCENDING range
+    sh_idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh_hash = F.transform(
+        sh_idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+    n_win = F.size(sh_hash) - (window - 1)
+    win_idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(win_idx, lambda i: F.array_min(F.slice(sh_hash, i, window)))
+    )

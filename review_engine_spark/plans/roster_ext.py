@@ -1,0 +1,345 @@
+"""Extension + inference + streaming roster queries (SURVEY §2.I, §2.J,
+§2.K, §2.G remainder).
+
+Oracle-checked where deterministic SQL exists; rows-only for operators
+whose output is model-stub-dependent, approximate, iterative, or
+streaming (the driver records the weaker rows-only check for these —
+SURVEY §2.L).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from review_engine_spark.functions.text import STOPWORDS
+from review_engine_spark.plans import declared
+from review_engine_spark.sources.io import read_parquet_table, write_jsonl_gz
+
+_STOPS_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+# ---------------------------------------------------------------------------
+# §2.K text analysis (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, n_chars,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter(toks, x -> list_contains([{_STOPS_SQL}], x))) AS DOUBLE) AS stop_hits,
+               CAST(n_chars AS DOUBLE) AS length,
+               CAST(n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct
+        FROM t
+    )
+    SELECT doc_id,
+           round(least(1.0, greatest(0.0,
+               0.2 + 0.1 * ln(1.0 + n_tok)
+               - 0.5 * (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END)
+               - 0.8 * (CASE WHEN length > 0 THEN punct / length ELSE 0.0 END)
+           )), 6) AS quality
+    FROM m
+    """
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K quality scoring: length/stopword/punctuation heuristic."""
+    from review_engine_spark.operators.textstats import quality_score
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text"), F.col("n_chars")), 6).alias("quality"),
+    )
+
+
+def _lang_sql() -> str:
+    from review_engine_spark.operators.textstats import LANG_MARKERS
+
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    hits = {
+        lang: f"len(list_filter({toks}, x -> list_contains([{', '.join(repr(m) for m in markers)}], x)))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(hits)
+    case = "'und'"
+    for lang in reversed(langs):
+        conds = [f"{hits[lang]} > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if langs.index(lang) < langs.index(other) else ">"
+            conds.append(f"{hits[lang]} {op} {hits[other]}")
+        case = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {case} END"
+    return f"SELECT doc_id, {case} AS pred_lang FROM documents"
+
+
+@declared(oracle=_lang_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K language ID: stopword-marker heuristic, first-wins argmax."""
+    from review_engine_spark.operators.textstats import lang_id
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+@declared(
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]'))
+                + len(regexp_extract_all(text, '[A-Za-z]{8,}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K token counting: BPE-ish regex estimator for LLM budgeting."""
+    from review_engine_spark.operators.textstats import bpe_ish_token_count
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+@declared(
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 0)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               )) AS sh
+        FROM (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents WHERE doc_id < 30
+        )
+        WHERE len(toks) >= 3
+    )
+    SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+           round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE), 6) AS jaccard
+    FROM t l JOIN t r ON l.doc_id < r.doc_id
+    """
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K n-gram Jaccard similarity, all pairs over a capped subset
+    (LSH feeds candidates instead at scale — operators.dedup)."""
+    from review_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 30
+    )
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3)
+
+
+# ---------------------------------------------------------------------------
+# §2.K dedup (rows-only: xxhash64 has no DuckDB equivalent)
+# ---------------------------------------------------------------------------
+
+
+@declared()
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs (rows-only; the exact
+    Jaccard path q_ngram_jaccard is the oracle-checked counterpart)."""
+    from review_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", min_jaccard=0.3)
+
+
+@declared()
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs within hamming distance 3 (rows-only)."""
+    from review_engine_spark.operators.dedup import simhash_near_dups
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
+
+
+@declared()
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints (rows-only; the md5 content
+    fingerprint q_fingerprint is the oracle-checked counterpart)."""
+    from review_engine_spark.operators.textstats import winnow_fingerprints
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", winnow_fingerprints(F.col("text")).alias("fingerprints")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.D approx + §2.A sink (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@declared()
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) per return flag — rows-only: sketch
+    estimates differ engine-to-engine by design."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@declared()
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: gzip-JSONL sink + re-scan round trip (embed.py:84-86). Writes
+    to a temp dir; returns the re-read rows (driver checks row count)."""
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="sink_roundtrip_")
+    write_jsonl_gz(docs, tmp)
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(tmp)
+    return back.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.I streaming (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@declared()
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregate driven to completion
+    over the finite events source (memory sink). Batch-equivalent to
+    q_ts_window's grouping — the oracle-checked twin."""
+    from review_engine_spark.streaming.jobs import run_tumbling_count_batchlike
+
+    return run_tumbling_count_batchlike(spark, sf_dir)
+
+
+@declared()
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via session_window (batch mode)."""
+    from review_engine_spark.streaming.jobs import sessionize
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return sessionize(ev, gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# §2.J inference surface (rows-only, deterministic stubs)
+# ---------------------------------------------------------------------------
+
+
+@declared()
+def q_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 pipeline shape: clean → filter → per-doc embed via Arrow-batched
+    UDF (embed.py:73-78 analog; stub model)."""
+    from review_engine_spark.functions.text import clean_text, token_count
+    from review_engine_spark.inference.stubs import stub_embed_udf
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    cleaned = docs.select("doc_id", clean_text(F.col("text")).alias("clean"))
+    kept = cleaned.filter(token_count(F.col("clean")) > 5)
+    embed = stub_embed_udf()
+    return kept.select("doc_id", embed(F.col("clean")).alias("embedding"))
+
+
+@declared()
+def q_rerank_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 pipeline shape: top-200 cut FIRST, then the rerank UDF over
+    (query, title+' '+summary) pairs (rank.py:15-41, 213-219; the
+    cut-before-rerank ordering is the 1000× invariant, SURVEY §4.3.3)."""
+    from review_engine_spark.inference.stubs import stub_score_udf
+
+    part = read_parquet_table(spark, sf_dir, "part")
+    top = part.orderBy(F.desc("p_retailprice"), F.asc("p_partkey")).limit(200)
+    doc = F.concat_ws(" ", F.col("p_name"), F.col("p_type"))
+    score = stub_score_udf()
+    return top.select(
+        "p_partkey",
+        F.round(score(F.lit("best appliance under 950"), doc), 6).alias(
+            "rerank_score"
+        ),
+    )
+
+
+@declared()
+def q_rag_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5+J6 chain shape: retrieve top-k chunks (cosine), assemble prompt
+    via format_string, stub chat completion, H11 answer extraction
+    (rag.py:42-57 analog)."""
+    from review_engine_spark.inference.stubs import stub_embed_udf
+    from review_engine_spark.operators.rag import rag_answer
+
+    docs = read_parquet_table(spark, sf_dir, "documents").limit(100)
+    embed = stub_embed_udf()
+    chunks = docs.select("doc_id", F.col("text"), embed(F.col("text")).alias("embedding"))
+    return rag_answer(chunks, "what makes a table scan fast?")
+
+
+@declared()
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/§2.K multimodal plumbing: cap → fetch(binary) → mapInPandas
+    decode to typed metadata (summarize.py:28-35 analog; stub decode)."""
+    from review_engine_spark.operators.multimodal import (
+        attach_media_binary,
+        decode_image_meta,
+    )
+
+    part = read_parquet_table(spark, sf_dir, "part").limit(200)
+    media = part.select(
+        F.col("p_partkey").cast("string").alias("media_id"),
+        F.concat(F.lit("img://part/"), F.col("p_partkey")).alias("url"),
+    )
+    fetched = attach_media_binary(media, "url")
+    return decode_image_meta(fetched)
+
+
+@declared()
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K video frame sampling shape: 1 media row → N frame rows via
+    mapInPandas (stubbed decoder)."""
+    from review_engine_spark.operators.multimodal import (
+        attach_media_binary,
+        sample_video_frames,
+    )
+
+    part = read_parquet_table(spark, sf_dir, "part").limit(50)
+    media = part.select(
+        F.col("p_partkey").cast("string").alias("media_id"),
+        F.concat(F.lit("vid://part/"), F.col("p_partkey")).alias("url"),
+    )
+    fetched = attach_media_binary(media, "url")
+    return sample_video_frames(fetched)
+
+
+# ---------------------------------------------------------------------------
+# §2.K ANN scale path (rows-only: probabilistic recall)
+# ---------------------------------------------------------------------------
+
+
+@declared()
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style pruned ANN: centroid assignment join + n_probe probing
+    (exact rerank inside probed cells)."""
+    from review_engine_spark.operators.similarity import ivf_topk
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_topk(emb, queries, k=5)
+
+
+@declared()
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approximate k-NN."""
+    from review_engine_spark.operators.similarity import lsh_topk
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    qs = [r["embedding"] for r in emb.filter(F.col("vec_id") < 2).collect()]
+    return lsh_topk(emb, qs, k=5)

@@ -1,0 +1,268 @@
+"""Ranking-surface roster queries (SURVEY §2.H15-H20, §3.1, M3).
+
+Recreates the reference's multi-factor ranking pipeline (rank.py:208-337)
+on the fixture star schema, with the FIXTURES.md analog mapping:
+``price`` → part.p_retailprice, ``review_count`` → per-part lineitem
+count, ``rating`` → bounded score derived from avg(l_discount). Nullable
+variants are derived with deterministic modular predicates so every None
+branch of the reference (SURVEY §1.1.2) is exercised and oracle-checked.
+
+The similarity and rerank inputs are deterministic pseudo-scores (modular
+hashes of the key) — the real model path is the inference surface (§2.J),
+stubbed identically on both engines here so the *pipeline math* is what
+the oracle verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from review_engine_spark.functions.scoring import (
+    bayesian_rating,
+    blend_score,
+    log_popularity,
+    minmax_normalize,
+    price_fit,
+)
+from review_engine_spark.plans import declared
+from review_engine_spark.plans._oracle import (
+    sql_bayes_scaled,
+    sql_log_popularity,
+    sql_minmax,
+    sql_price_fit,
+)
+from review_engine_spark.sources.io import read_parquet_table
+
+# Shared feature derivation (Spark side) -----------------------------------
+
+
+def _part_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part ⟕ lineitem aggregates with deterministic nullable analogs.
+
+    price NULL every 13th key (rank.py:169-171 branch), rating NULL every
+    7th (rank.py:183-184), count NULL every 11th (rank.py:186-187).
+    """
+    part = read_parquet_table(spark, sf_dir, "part")
+    li = (
+        read_parquet_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_li"),
+            (F.avg("l_discount") * 50.0).alias("rating_raw"),
+        )
+    )
+    pk = F.col("p_partkey")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left")
+        .select(
+            "p_partkey",
+            F.when(pk % 13 == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("p_retailprice"))
+            .alias("price"),
+            F.when(pk % 7 == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("rating_raw"))
+            .alias("rating"),
+            F.when(pk % 11 == 0, F.lit(None).cast("long"))
+            .otherwise(F.col("n_li"))
+            .alias("cnt"),
+            ((pk * 2654435761) % 1000 / 1000.0).alias("sim"),
+            (((pk * 37) + 11) % 100 / 100.0).alias("rerank_raw"),
+        )
+    )
+
+
+_SQL_FEATURES = """
+    li AS (
+        SELECT l_partkey, count(*) AS n_li, avg(l_discount) * 50.0 AS rating_raw
+        FROM lineitem GROUP BY l_partkey
+    ),
+    feat AS (
+        SELECT p.p_partkey,
+               CASE WHEN p.p_partkey % 13 = 0 THEN NULL ELSE p.p_retailprice END AS price,
+               CASE WHEN p.p_partkey % 7 = 0 THEN NULL ELSE li.rating_raw END AS rating,
+               CASE WHEN p.p_partkey % 11 = 0 THEN NULL ELSE li.n_li END AS cnt,
+               (p.p_partkey * 2654435761) % 1000 / 1000.0 AS sim,
+               ((p.p_partkey * 37) + 11) % 100 / 100.0 AS rerank_raw
+        FROM part p LEFT JOIN li ON p.p_partkey = li.l_partkey
+    )
+"""
+
+
+@declared(
+    oracle=f"""
+    WITH {_SQL_FEATURES},
+    s AS (SELECT median(price) AS anchor, stddev_pop(price) AS sd FROM feat)
+    SELECT f.p_partkey,
+           round({sql_price_fit('f.price', 's.anchor', 's.sd')}, 6) AS fit
+    FROM feat f, s
+    """
+)
+def q_price_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16+B4+D3-D4: asymmetric Gaussian price fit with the median-price
+    anchor fallback and population std (rank.py:163-179, 225-232)."""
+    feat = _part_features(spark, sf_dir)
+    stats = feat.agg(
+        F.median("price").alias("anchor"), F.stddev_pop("price").alias("sd")
+    )
+    return feat.crossJoin(F.broadcast(stats)).select(
+        "p_partkey",
+        F.round(
+            price_fit(F.col("price"), F.col("anchor"), F.col("sd")), 6
+        ).alias("fit"),
+    )
+
+
+@declared(
+    oracle=f"""
+    WITH {_SQL_FEATURES}
+    SELECT p_partkey, round({sql_bayes_scaled('rating', 'cnt')}, 6) AS bayes
+    FROM feat
+    """
+)
+def q_bayes_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H17: Bayesian rating, /5 scaled (rank.py:182-192, 246)."""
+    feat = _part_features(spark, sf_dir)
+    return feat.select(
+        "p_partkey",
+        F.round(bayesian_rating(F.col("rating"), F.col("cnt")) / 5.0, 6).alias(
+            "bayes"
+        ),
+    )
+
+
+@declared(
+    oracle=f"""
+    WITH {_SQL_FEATURES}
+    SELECT p_partkey, round({sql_log_popularity('cnt')}, 6) AS pop
+    FROM feat
+    """
+)
+def q_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H18+B5: guarded log1p popularity (rank.py:248)."""
+    feat = _part_features(spark, sf_dir)
+    return feat.select(
+        "p_partkey", F.round(log_popularity(F.col("cnt")), 6).alias("pop")
+    )
+
+
+@declared(
+    oracle=f"""
+    WITH {_SQL_FEATURES},
+    pops AS (SELECT f.*, {sql_log_popularity('cnt')} AS pop FROM feat f),
+    s AS (
+        SELECT median(price) AS anchor, stddev_pop(price) AS sd,
+               quantile_cont(pop, 0.01) AS pop_p1, quantile_cont(pop, 0.99) AS pop_p99,
+               quantile_cont(rerank_raw, 0.01) AS rr_p1, quantile_cont(rerank_raw, 0.99) AS rr_p99
+        FROM pops
+    ),
+    scored AS (
+        SELECT f.p_partkey,
+               f.price IS NULL AS price_missing,
+               round(
+                   0.4 * f.sim
+                   + 0.2 * ({sql_bayes_scaled('f.rating', 'f.cnt')})
+                   + 0.1 * ({sql_minmax('f.pop', 's.pop_p1', 's.pop_p99')})
+                   + 0.15 * ({sql_price_fit('f.price', 's.anchor', 's.sd')})
+                   + 0.15 * ({sql_minmax('f.rerank_raw', 's.rr_p1', 's.rr_p99')}),
+               6) AS score
+        FROM pops f, s
+    ),
+    ranked AS (
+        SELECT p_partkey, price_missing, score,
+               CAST(row_number() OVER (
+                   ORDER BY price_missing ASC, score DESC, p_partkey
+               ) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT rank, p_partkey, score, price_missing FROM ranked WHERE rank <= 10
+    """
+)
+def q_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H19+E2+F2+F4: the full weighted blend with priced-first final
+    ordering (rank.py:259-279, 327-337; semantic.py:58).
+
+    Physical shape: the candidate set is scored with row-local arithmetic
+    (no shuffle), the global top-10 goes through orderBy+limit →
+    TakeOrderedAndProject (per-partition heaps, k-row driver merge), and
+    the display rank is attached by a window over the already-limited
+    10-row result — a global row_number window over the full set would
+    funnel every row into one partition at scale.
+    """
+    feat = _part_features(spark, sf_dir).withColumn(
+        "pop", log_popularity(F.col("cnt"))
+    )
+    stats = feat.agg(
+        F.median("price").alias("anchor"),
+        F.stddev_pop("price").alias("sd"),
+        F.percentile("pop", F.lit(0.01)).alias("pop_p1"),
+        F.percentile("pop", F.lit(0.99)).alias("pop_p99"),
+        F.percentile("rerank_raw", F.lit(0.01)).alias("rr_p1"),
+        F.percentile("rerank_raw", F.lit(0.99)).alias("rr_p99"),
+    )
+    scored = feat.crossJoin(F.broadcast(stats)).select(
+        "p_partkey",
+        F.col("price").isNull().alias("price_missing"),
+        F.round(
+            blend_score(
+                sim=F.col("sim"),
+                bayes_rating_scaled=bayesian_rating(F.col("rating"), F.col("cnt"))
+                / 5.0,
+                pop_norm=minmax_normalize(
+                    F.col("pop"), F.col("pop_p1"), F.col("pop_p99")
+                ),
+                price_fit_score=price_fit(
+                    F.col("price"), F.col("anchor"), F.col("sd")
+                ),
+                rerank_norm=minmax_normalize(
+                    F.col("rerank_raw"), F.col("rr_p1"), F.col("rr_p99")
+                ),
+            ),
+            6,
+        ).alias("score"),
+    )
+    top10 = scored.orderBy(
+        F.asc("price_missing"), F.desc("score"), F.asc("p_partkey")
+    ).limit(10)
+    w = Window.orderBy(F.asc("price_missing"), F.desc("score"), F.asc("p_partkey"))
+    return top10.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "p_partkey",
+        "score",
+        "price_missing",
+    )
+
+
+@declared()  # rows-only: inherently sequential greedy selection (SURVEY §4.3.2)
+def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: MMR diversification (rank.py:282-325), λ=0.66, k=10 over the
+    top-50 cosine candidates vs the vec_id=0 query vector. The candidate
+    set is collected (≤200 rows — the reference's own cut) and the greedy
+    loop runs driver-side; deterministic, golden-tested in pytest."""
+    from review_engine_spark.operators.ranking import mmr_diversify
+    from review_engine_spark.functions.vector import cosine_similarity
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    candidates = (
+        emb.crossJoin(qv)
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias(
+                "relevance"
+            ),
+        )
+        .orderBy(F.desc("relevance"), F.asc("vec_id"))
+        .limit(50)
+    )
+    return mmr_diversify(
+        spark,
+        candidates,
+        id_col="vec_id",
+        score_col="relevance",
+        vec_col="embedding",
+        k=10,
+    )

@@ -1,0 +1,461 @@
+"""Relational-surface roster queries (SURVEY §2.C joins, §2.D aggregations,
+§2.E windows, §2.F sorts, §2.G set ops, §2.H json/date).
+
+The reference performs all of these as dict probes / numpy reductions /
+Python sorts (file:line cited per query); here each is a declarative plan
+so Catalyst picks broadcast vs shuffle joins, does partial aggregation,
+and prunes scans. Scale annotations note the 100 TB behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from review_engine_spark.plans import declared
+from review_engine_spark.sources.io import read_parquet_table
+
+# ---------------------------------------------------------------------------
+# C1: metadata enrichment join (rank.py:21,239-244; semantic.py:58-66).
+# part ⟕ per-part lineitem aggregates: the dict probe `products.get(pid, {})`
+# becomes a left-outer equi-join. At 100 TB both sides are large → the
+# aggregate side is pre-shuffled on the join key, so Catalyst plans a
+# sort-merge join with no extra exchange; at fixture scale AQE broadcasts.
+# Money sums are rounded to 4dp in-query (fp summation order differs
+# between engines; SURVEY §2.L determinism rules).
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    oracle="""
+    WITH li AS (
+        SELECT l_partkey,
+               count(*) AS n_li,
+               round(sum(l_extendedprice), 4) AS revenue
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_name, p.p_retailprice,
+           coalesce(li.n_li, 0) AS n_li,
+           coalesce(li.revenue, 0.0) AS revenue
+    FROM part p LEFT JOIN li ON p.p_partkey = li.l_partkey
+    """
+)
+def q_join_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_parquet_table(spark, sf_dir, "part")
+    li = (
+        read_parquet_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_li"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+    )
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left")
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_retailprice",
+            F.coalesce("n_li", F.lit(0)).alias("n_li"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+@declared(
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (engine surface; the dedup path of SURVEY §2.K needs it):
+    customers with no urgent order. left_anti keeps the probe side
+    streaming — no row materialization of the match."""
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    urgent = read_parquet_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# D1: group-by collect (embed.py:62 — reviews.setdefault(pid, []).append).
+# sort_array makes the list deterministic (collect_list order is not).
+# Scale note: collect_list is the one agg that cannot partial-combine to
+# constant size; it spills via Spark's ObjectHashAggregate. The reference
+# would OOM here at 100 TB (SURVEY §4.2).
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    oracle="""
+    SELECT lang, list(doc_id ORDER BY doc_id) AS doc_ids
+    FROM documents GROUP BY lang
+    """
+)
+def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids")
+    )
+
+
+@declared(
+    oracle="""
+    SELECT l_partkey, count(*) AS n_li, round(sum(l_quantity), 4) AS total_qty
+    FROM lineitem GROUP BY l_partkey
+    """
+)
+def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: per-key counts — the review_count input (rank.py:243)."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.count("*").alias("n_li"),
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2: mean-pool vectors (embed.py:73-80). posexplode → avg per (key, pos)
+# → reassemble ordered by pos. Two shuffles on (label) and (label,pos);
+# at scale the explode multiplies rows ×dim but each row is 12 bytes —
+# this beats any per-group Python UDAF by an order of magnitude.
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    oracle="""
+    WITH exploded AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding)::DOUBLE AS val
+        FROM embeddings
+    ),
+    pooled AS (
+        SELECT label, pos, round(avg(val), 6) AS v
+        FROM exploded GROUP BY label, pos
+    )
+    SELECT label, list(v ORDER BY pos) AS mean_vec
+    FROM pooled GROUP BY label
+    """
+)
+def q_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    pooled = exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 6).alias("v")
+    )
+    return pooled.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s.v
+        ).alias("mean_vec")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3-D5, D7: exact stats over prices (rank.py:225-232, 44-47). Exact
+# interpolated percentiles — NOT percentile_approx — to match numpy and
+# the oracle (SURVEY §2.D5).
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    oracle="""
+    SELECT count(*) AS n,
+           round(avg(p_retailprice), 4) AS mean_price,
+           round(median(p_retailprice), 6) AS median_price,
+           round(stddev_pop(p_retailprice), 6) AS std_price,
+           round(quantile_cont(p_retailprice, 0.01), 6) AS p1,
+           round(quantile_cont(p_retailprice, 0.99), 6) AS p99,
+           min(p_retailprice) AS min_price,
+           max(p_retailprice) AS max_price
+    FROM part
+    """
+)
+def q_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_parquet_table(spark, sf_dir, "part")
+    p = F.col("p_retailprice")
+    return part.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(p), 4).alias("mean_price"),
+        F.round(F.median(p), 6).alias("median_price"),
+        F.round(F.stddev_pop(p), 6).alias("std_price"),
+        F.round(F.percentile(p, F.lit(0.01)), 6).alias("p1"),
+        F.round(F.percentile(p, F.lit(0.99)), 6).alias("p99"),
+        F.min(p).alias("min_price"),
+        F.max(p).alias("max_price"),
+    )
+
+
+@declared(
+    oracle="""
+    WITH s AS (
+        SELECT quantile_cont(p_retailprice, 0.01) AS p1,
+               quantile_cont(p_retailprice, 0.99) AS p99
+        FROM part
+    )
+    SELECT p_partkey,
+           round(
+               CASE WHEN abs(p99 - p1) <= 1e-8 + 1e-5 * abs(p1) THEN 0.5
+               ELSE (least(greatest(p_retailprice, p1), p99) - p1)
+                    / (p99 - p1 + 1e-9) END, 6) AS norm_price
+    FROM part, s
+    """
+)
+def q_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5+D7+H15: robust min-max normalization (rank.py:44-54).
+
+    The whole-population bounds are a 1-row aggregate broadcast back over
+    the rows (D7) — a crossJoin Catalyst turns into BroadcastNestedLoopJoin
+    of a single row, not a window over an unbounded frame (which would
+    funnel everything into one partition).
+    """
+    from review_engine_spark.functions.scoring import minmax_normalize
+
+    part = read_parquet_table(spark, sf_dir, "part")
+    bounds = part.agg(
+        F.percentile(F.col("p_retailprice"), F.lit(0.01)).alias("p1"),
+        F.percentile(F.col("p_retailprice"), F.lit(0.99)).alias("p99"),
+    )
+    return part.crossJoin(F.broadcast(bounds)).select(
+        "p_partkey",
+        F.round(
+            minmax_normalize(F.col("p_retailprice"), F.col("p1"), F.col("p99")), 6
+        ).alias("norm_price"),
+    )
+
+
+@declared(
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """
+)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@declared(
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 4) AS total_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1/E2/F1: top-k (rank.py:213 top-200 cut; semantic.py:58 display rank).
+# Per-group variant via row_number window; global variant (q_cosine_topk in
+# roster_vector) goes through orderBy+limit → TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               row_number() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey
+               ) AS rn
+        FROM part
+    ) WHERE rn <= 3
+    """
+)
+def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_parquet_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@declared(
+    oracle="""
+    SELECT event_id, user_id, round(value, 6) AS v,
+           round(lag(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id), 6) AS prev_v
+    FROM events
+    """
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("v"),
+        F.round(F.lag("value").over(w), 6).alias("prev_v"),
+    )
+
+
+@declared(
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4
+           ) AS running_v
+    FROM events
+    """
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.G set operations (engine surface; the reference's multi-category
+# composition, README.md:7).
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    supp = read_parquet_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return cust.unionByName(supp)
+
+
+@declared(
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(low)
+
+
+@declared(
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return open_.subtract(urgent)
+
+
+# ---------------------------------------------------------------------------
+# H25 json + H-date surface on events.
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    oracle=r"""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+    FROM events
+    """
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H25: per-row JSON field extraction (embed.py:58-style parsing).
+
+    Spark side uses the real JSON path operator; the oracle matches it
+    with a regex on this fixture's flat ``{"k": int}`` payloads.
+    """
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+@declared(
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hr,
+           count(*) AS n,
+           round(sum(value), 4) AS total_v
+    FROM events GROUP BY 1
+    """
+)
+def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_v"),
+    )
+
+
+@declared(
+    oracle="""
+    SELECT date_trunc('hour', ts) AS ws,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_v
+    FROM events GROUP BY 1, 2
+    """
+)
+def q_ts_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window in batch mode — same grouping the
+    streaming surface uses (SURVEY §2.I), validated against date_trunc."""
+    ev = read_parquet_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return ev.groupBy(win).agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_v")
+    ).select(
+        F.col("window.start").alias("ws"),
+        F.col("window.end").alias("we"),
+        "n",
+        "avg_v",
+    )

@@ -1,0 +1,195 @@
+"""Vector-surface roster queries (SURVEY §2.H21-H24, §2.C3, §2.K).
+
+The retrieval core: dot/norm/cosine kernels, the 1×N query-vs-corpus
+similarity (semantic.py:37-41), brute-force k-NN, and embedding-cosine
+near-duplicate detection. The fixture query vector is row vec_id=0 of the
+``embeddings`` table so both engines read the identical float32 payload.
+
+Scale path: the brute-force plans here are exact and hold to ~10^8 rows
+(broadcast query side + TakeOrderedAndProject); beyond that the ANN
+operators in operators.similarity (LSH / IVF) take over (SURVEY §4.3.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from review_engine_spark.functions.vector import cosine_similarity, dot_product, l2_normalize
+from review_engine_spark.plans import declared
+from review_engine_spark.plans._oracle import sql_unit_vector
+from review_engine_spark.sources.io import read_parquet_table
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast 1-row query-vector side (SURVEY §1.1.4 — a scalar
+    parameter, not a table; here pinned to vec_id=0 for determinism)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+
+
+@declared(
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    x AS (
+        SELECT e.vec_id,
+               unnest(e.embedding)::DOUBLE AS a,
+               unnest(q.qv)::DOUBLE AS b
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT vec_id, round(sum(a * b), 6) AS dot
+    FROM x GROUP BY vec_id
+    """
+)
+def q_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H21: dense dot product vs the broadcast query vector (rank.py:195-202)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return emb.crossJoin(_query_vec(spark, sf_dir)).select(
+        "vec_id",
+        F.round(dot_product(F.col("embedding"), F.col("qv")), 6).alias("dot"),
+    )
+
+
+@declared(
+    oracle=f"""
+    SELECT vec_id, {sql_unit_vector('embedding')} AS unit
+    FROM embeddings
+    """
+)
+def q_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H22: v / (||v|| + 1e-9) (rank.py:286-289, embed.py:77)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    unit = F.transform(
+        l2_normalize(F.col("embedding")), lambda x: F.round(x, 6)
+    )
+    return emb.select("vec_id", unit.alias("unit"))
+
+
+@declared(
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    x AS (
+        SELECT e.vec_id,
+               unnest(e.embedding)::DOUBLE AS a,
+               unnest(q.qv)::DOUBLE AS b
+        FROM embeddings e CROSS JOIN q
+    ),
+    s AS (
+        SELECT vec_id,
+               round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b)) + 1e-9), 6) AS cos_sim
+        FROM x GROUP BY vec_id
+    )
+    SELECT vec_id, cos_sim FROM s
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3+F1: 1×N cosine retrieval, top-k (semantic.py:41, rank.py:213).
+
+    orderBy(desc).limit(k) compiles to TakeOrderedAndProject — per-partition
+    top-k heaps then a k-row merge on the driver, no global sort shuffle.
+    Rounded before ordering so the rank cut is engine-stable; ties broken
+    by vec_id (SURVEY §2.L determinism rules).
+    """
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    scored = emb.crossJoin(_query_vec(spark, sf_dir)).select(
+        "vec_id",
+        F.round(
+            cosine_similarity(F.col("embedding"), F.col("qv")), 6
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+
+
+@declared(
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ),
+    x AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               unnest(q.qv)::DOUBLE AS a,
+               unnest(e.embedding)::DOUBLE AS b
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id
+    ),
+    s AS (
+        SELECT query_id, neighbor_id,
+               round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b)) + 1e-9), 6) AS cos_sim
+        FROM x GROUP BY query_id, neighbor_id
+    ),
+    r AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS BIGINT) AS rn
+        FROM s
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= 5
+    """
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K similarity search baseline: exact k-NN for a query batch.
+
+    Query side (3 vectors) is broadcast; the corpus side never shuffles
+    until the per-query top-k window, which partitions by query_id — at
+    1000 executors that is a k·|queries| shuffle, not a corpus shuffle.
+    """
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    pairs = queries.join(emb, F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_similarity(F.col("qv"), F.col("embedding")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@declared(
+    oracle="""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+    x AS (
+        SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+               unnest(l.embedding)::DOUBLE AS a,
+               unnest(r.embedding)::DOUBLE AS b
+        FROM sub l JOIN sub r ON l.vec_id < r.vec_id
+    )
+    SELECT left_id, right_id,
+           round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b)) + 1e-9), 6) AS cos_sim
+    FROM x GROUP BY left_id, right_id
+    HAVING round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b)) + 1e-9), 6) > 0.25
+    """
+)
+def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K embedding-cosine near-duplicate pairs (exact, on a capped
+    subset — the all-pairs O(N²) form; the LSH-bucketed scale path is
+    operators.dedup.embedding_near_dups)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 100
+    )
+    left = emb.select(F.col("vec_id").alias("left_id"), F.col("embedding").alias("lv"))
+    right = emb.select(
+        F.col("vec_id").alias("right_id"), F.col("embedding").alias("rv")
+    )
+    pairs = left.join(right, F.col("left_id") < F.col("right_id"))
+    return (
+        pairs.select(
+            "left_id",
+            "right_id",
+            F.round(cosine_similarity(F.col("lv"), F.col("rv")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") > 0.25)
+    )

@@ -1,0 +1,74 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference system is single-process and memory-resident
+(``semantic.py:17-31``); this engine instead assumes a multi-executor
+cluster and encodes the session-level knobs that matter at 100 TB:
+
+- **AQE on** — runtime coalescing of shuffle partitions, skew-join
+  splitting, and broadcast-join demotion/promotion. The fixture data's
+  per-key group sizes are Zipf-ish (review counts per product in the
+  reference), so skew handling is load-bearing.
+- **Arrow on** — every pandas-UDF / toPandas boundary is Arrow-batched.
+- **UTC session timezone** — parquet timestamps compare bit-exact against
+  the DuckDB oracle (DuckDB timestamps are TZ-naive UTC).
+- **shuffle.partitions** — sized to cores locally; on a real cluster this
+  is superseded by AQE's coalescing from the 2048 initial partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "DEFAULT_CONF"]
+
+DEFAULT_CONF: dict[str, str] = {
+    # --- correctness-critical ---
+    "spark.sql.session.timeZone": "UTC",
+    # fixture events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects; read as long and convert (sources.io.read_parquet_table)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # --- adaptive execution: the scale story ---
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # --- Arrow everywhere Python touches data ---
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # --- broadcast threshold: dims (region/nation/supplier/part at small
+    # SF) broadcast; AQE re-checks at runtime with actual sizes ---
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # quiet progress bars in test logs
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(
+    app_name: str = "review-engine-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    for local runs; on a cluster, leave unset and submit normally.
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster pass ~2-3× total executor cores and let AQE coalesce.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark

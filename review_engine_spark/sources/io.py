@@ -1,0 +1,78 @@
+"""Readers and writers (SURVEY §2.A, A1-A4).
+
+The reference streams gzipped JSONL line-by-line in a Python loop
+(``embed.py:55-58``, ``semantic.py:17-31``) and writes one gzip member
+per file (``embed.py:84-86``). Spark's text-based JSON source handles
+the gzip codec transparently and splits work across executors per file;
+at 100 TB the operational guidance is many ~128 MB-1 GB .jsonl.gz parts
+(gzip is not splittable, so file count = read parallelism) or, better,
+Parquet with column pruning + predicate pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from review_engine_spark.schemas import FIXTURE_SCHEMAS
+
+__all__ = [
+    "read_jsonl",
+    "read_parquet_table",
+    "read_tables",
+    "write_jsonl_gz",
+    "write_parquet",
+]
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """gzip/plain JSONL scan with an explicit schema (A1-A3).
+
+    An explicit schema avoids the full inference pass the reference's
+    dynamic dicts imply, and keeps nullable numerics (price/rating/
+    review_count) typed instead of string-widened.
+    """
+    return spark.read.schema(schema).json(path)
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver fixture table; columnar scan with pushdown.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark's parquet
+    reader has no timestamp type for — it arrives as nanosecond longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and is converted here with
+    integer division (``div`` — double division would lose precision on
+    ~1.7e18 ns values), truncating toward microseconds exactly like
+    DuckDB's ns → µs read of the same file.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    names = names or list(FIXTURE_SCHEMAS)
+    return {n: read_parquet_table(spark, sf_dir, n) for n in names}
+
+
+def write_jsonl_gz(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """gzip-JSONL sink (A4): one JSON object per line, gzip-compressed.
+
+    Mirrors ``embed.py:84-86``; field order follows the DataFrame schema,
+    so ``select`` the desired order first.
+    """
+    df.write.mode(mode).option("compression", "gzip").json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,262 @@
+"""Unit tests for the scalar kernels (SURVEY §5.2.2): the reference's
+documented edge cases, pinned as pure column expressions over literal rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from review_engine_spark.functions.scoring import (
+    bayesian_rating,
+    log_popularity,
+    minmax_normalize,
+    price_fit,
+)
+from review_engine_spark.functions.text import (
+    clean_text,
+    extract_summary,
+    parse_budget,
+    token_count,
+)
+from review_engine_spark.functions.vector import cosine_similarity, dot_product, l2_normalize
+
+
+def one(df):
+    return df.collect()[0][0]
+
+
+# --- clean_text (embed.py:13-51) ------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("Hello &amp; <b>World</b>!", "hello world!"),
+        ("visit http://x.co/a now", "visit now"),
+        ("@user #tag stays out", "stays out"),
+        ("UPPER  case\t\ttext", "upper case text"),
+        # single-pass semantics: &amp;lt; → &lt; (not <); the charset
+        # whitelist then drops '&' and keeps ';'
+        ("&amp;lt; stays entity-escaped once", "lt; stays entity-escaped once"),
+        ("keep .,!?;:'\"- drop ~%$", "keep .,!?;:'\"- drop"),
+    ],
+)
+def test_clean_text(spark, raw, expected):
+    df = spark.createDataFrame([(raw,)], "t string")
+    assert one(df.select(clean_text(F.col("t")))) == expected
+
+
+def test_token_count_single_space_semantics(spark):
+    # len("a b".split(" ")) == 2; len("".split(" ")) == 1 — reference
+    # counts the empty string as one token (embed.py:61)
+    df = spark.createDataFrame([("a b",), ("",)], "t string")
+    assert [r[0] for r in df.select(token_count(F.col("t"))).collect()] == [2, 1]
+
+
+# --- parse_budget (rank.py:57-129) ----------------------------------------
+
+
+@pytest.mark.parametrize(
+    "q,expected",
+    [
+        ("between 100 and 200", 150.0),
+        ("100-200", 150.0),
+        ("100~200", 150.0),
+        ("under 1.5k", 1500.0),
+        ("below $2,000", 2000.0),
+        ("at most 1kk", 1000.0),  # kk multiplies once (rank.py:80-81)
+        ("around $300", 300.0),
+        ("$500 budget", 500.0),
+        ("budget 800", 800.0),
+        ("no numbers", None),
+        ("under 1.5 k", None),  # inner space fails strict parse_money
+        ("between 100. and 200", None),  # bad bound falls all the way through
+    ],
+)
+def test_parse_budget(spark, q, expected):
+    df = spark.createDataFrame([(q,)], "q string")
+    got = one(df.select(parse_budget(F.col("q"))))
+    if expected is None:
+        assert got is None
+    else:
+        assert got == pytest.approx(expected)
+
+
+def test_parse_budget_matches_reference_python(spark):
+    """Property-style cross-check against a pure-Python port of the
+    reference cascade (rank.py:66-129)."""
+    import re
+
+    def ref_parse(query):
+        lower_query = query.lower()
+
+        def parse_money(text):
+            text = text.replace(",", "").strip()
+            m = re.match(r"^(\d+(\.\d+)?)(k|kk|k\+)?$", text)
+            if not m:
+                return None
+            val = float(m.group(1))
+            if m.group(3):
+                val *= 1000.0
+            return val
+
+        pats = [
+            (r"(?:between\s+)?\$?(\d[\d,\.]*\s*(?:k|kk)?)\s*(?:-+|~|to|and)\s*\$?(\d[\d,\.]*\s*(?:k|kk)?)", 2),
+            (r"(?:under|below|less than|at most|≤|&lt;=)\s*\$?(\d[\d,\.]*\s*(?:k|kk)?)", 1),
+            (r"(?:around|about|approx(?:imately)?|near|nearly)\s*\$?(\d[\d,\.]*\s*(?:k|kk)?)", 1),
+            (r"\$?(\d[\d,\.]*\s*(?:k|kk)?)\s*(?:budget|budgets?)", 1),
+            (r"(?:budget|budgets?)\s*\$?(\d[\d,\.]*\s*(?:k|kk)?)", 1),
+        ]
+        for pat, ngroups in pats:
+            m = re.search(pat, lower_query)
+            if m:
+                if ngroups == 2:
+                    a, b = parse_money(m.group(1)), parse_money(m.group(2))
+                    if a is not None and b is not None:
+                        return (a + b) / 2.0
+                else:
+                    v = parse_money(m.group(1))
+                    if v is not None:
+                        return v
+        return None
+
+    cases = [
+        "between 12 and 48", "washer 1k-2k", "3~9", "under 55", "below 1,1",
+        "less than 7.5k", "around 9", "approx 4kk", "nearly 0", "12 budget",
+        "budget $14", "budgets 2", "between a and b", "under k", "at most 3.",
+        "between 5 and six", "100 to 200 and 300", "~5", "5~", "$ 100 budget",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "q string")
+    got = [r[0] for r in df.select(parse_budget(F.col("q"))).collect()]
+    want = [ref_parse(c) for c in cases]
+    assert got == want, list(zip(cases, got, want))
+
+
+# --- extract_summary (summarize.py:13-25) ---------------------------------
+
+
+def test_extract_summary_matches_reference_python(spark):
+    import re
+
+    def ref_extract(raw):
+        raw = raw.strip().strip('"').strip("'")
+        m = re.search(r"ASSISTANT:\s*(.*)\s*$", raw, flags=re.S)
+        summary = m.group(1).strip() if m else raw.strip()
+        return re.sub(r"(</s>|\[END\]|\[/ASSISTANT\])\s*$", "", summary).strip()
+
+    cases = [
+        'USER: x ASSISTANT: the answer',
+        '"ASSISTANT: quoted"',
+        "'single'",
+        "ASSISTANT: a ASSISTANT: b</s>",
+        "no label [END]",
+        "ASSISTANT:",
+        '""deep""',
+        "multi\nline ASSISTANT: first\nsecond</s>",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "raw string")
+    got = [r[0] for r in df.select(extract_summary(F.col("raw"))).collect()]
+    assert got == [ref_extract(c) for c in cases], list(zip(cases, got))
+
+
+# --- scoring kernels (rank.py:44-54, 163-192, 248) ------------------------
+
+
+def test_price_fit_none_branches(spark):
+    df = spark.createDataFrame(
+        [(None, 100.0), (0.0, 100.0), (50.0, None), (100.0, 100.0)],
+        "price double, anchor double",
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            price_fit(F.col("price"), F.col("anchor"))
+        ).collect()
+    ]
+    assert got[0] == 0.2  # None price → risky (rank.py:169-171)
+    assert got[1] == 0.2  # price <= 0 → risky
+    assert got[2] == 0.5  # no anchor → neutral (rank.py:166-167)
+    assert got[3] == pytest.approx(1.0)  # exact match → exp(0)
+
+
+def test_price_fit_asymmetry(spark):
+    # over-anchor sigma (0.6×) is tighter than under (1.2×) (rank.py:177)
+    df = spark.createDataFrame([(150.0, 100.0), (50.0, 100.0)], "p double, a double")
+    over, under = [
+        r[0] for r in df.select(price_fit(F.col("p"), F.col("a"))).collect()
+    ]
+    anchor, diff = 100.0, 50.0
+    sigma_over, sigma_under = 0.6 * 30.0, 1.2 * 30.0
+    assert over == pytest.approx(math.exp(-(diff**2) / (2 * sigma_over**2)))
+    assert under == pytest.approx(math.exp(-(diff**2) / (2 * sigma_under**2)))
+    assert over < under
+
+
+def test_bayesian_rating_null_paths(spark):
+    df = spark.createDataFrame(
+        [(None, None), (5.0, None), (None, 10), (5.0, 100)],
+        "r double, n long",
+    )
+    got = [
+        r[0]
+        for r in df.select(bayesian_rating(F.col("r"), F.col("n"))).collect()
+    ]
+    assert got[0] == pytest.approx(4.3)  # both None → prior
+    assert got[1] == pytest.approx(4.3)  # count None → 0 weight
+    assert got[2] == pytest.approx(4.3)  # rating None → prior value
+    assert got[3] == pytest.approx((4.3 * 100 + 5.0 * 100) / 200)
+
+
+def test_log_popularity_guard(spark):
+    df = spark.createDataFrame([(None,), (-5,), (0,), (99,)], "n long")
+    got = [r[0] for r in df.select(log_popularity(F.col("n"))).collect()]
+    assert got[0] == 0.0 and got[1] == 0.0 and got[2] == 0.0
+    assert got[3] == pytest.approx(math.log1p(99))
+
+
+def test_minmax_degenerate_band(spark):
+    # np.isclose(high, low) → constant 0.5 (rank.py:51-52)
+    df = spark.createDataFrame([(3.0, 2.0, 2.0)], "x double, lo double, hi double")
+    assert one(df.select(minmax_normalize(F.col("x"), F.col("lo"), F.col("hi")))) == 0.5
+
+
+def test_minmax_clips_into_unit_interval(spark):
+    rows = [(x, 0.0, 10.0) for x in (-5.0, 0.0, 5.0, 10.0, 20.0)]
+    df = spark.createDataFrame(rows, "x double, lo double, hi double")
+    got = [
+        r[0]
+        for r in df.select(
+            minmax_normalize(F.col("x"), F.col("lo"), F.col("hi"))
+        ).collect()
+    ]
+    assert got[0] == pytest.approx(0.0)
+    assert got[-1] == pytest.approx(1.0, rel=1e-6)
+    assert all(0.0 <= v <= 1.0 for v in got)
+
+
+# --- vector kernels (rank.py:195-202, 286-289) ----------------------------
+
+
+def test_dot_and_cosine(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])],
+        "a array<double>, b array<double>",
+    )
+    assert one(df.select(dot_product(F.col("a"), F.col("b")))) == pytest.approx(32.0)
+    expected = 32.0 / (math.sqrt(14) * math.sqrt(77) + 1e-9)
+    assert one(df.select(cosine_similarity(F.col("a"), F.col("b")))) == pytest.approx(
+        expected
+    )
+
+
+def test_dot_null_operand_is_zero(spark):
+    df = spark.createDataFrame([([1.0], None)], "a array<double>, b array<double>")
+    assert one(df.select(dot_product(F.col("a"), F.col("b")))) == 0.0
+
+
+def test_l2_normalize_zero_vector_stays_zero(spark):
+    df = spark.createDataFrame([([0.0, 0.0],)], "v array<double>")
+    assert one(df.select(l2_normalize(F.col("v")))) == [0.0, 0.0]
