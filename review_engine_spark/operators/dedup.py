@@ -16,14 +16,15 @@ pairs, so the O(N²) all-pairs comparison is avoided. Skewed buckets
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "normalize_text",
     "exact_dedup",
     "shingles",
-    "minhash_signature",
+    "shingle_hash_rows",
+    "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_signatures",
     "simhash_near_dups",
@@ -63,16 +64,57 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature as array<bigint>: for seed s, min over shingles of
-    xxhash64(shingle, s). Pure expression — evaluated JVM-side per row; no
-    UDF, no shuffle."""
-    seeds = F.sequence(F.lit(1), F.lit(num_hashes))
-    return F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(shingle_col, lambda sh: F.xxhash64(sh, s))
-        ),
+def shingle_hash_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """One row per k-token shingle: ``(id, pos, h)`` with h =
+    xxhash64(shingle string).
+
+    Built with posexplode + a ``rowsBetween(0, k-1)`` collect_list window so
+    the token pipeline runs ONCE per document and each shingle string is
+    hashed ONCE. The tempting pure-expression form — ``transform(indices,
+    i -> hash(concat(slice(tokens, i, k))))`` — re-evaluates the whole token
+    subexpression per array element inside the lambda (O(n²) per document;
+    measured 100×+ slower on real documents), so the exploded form is the
+    scale path: the only shuffle is the per-document window sort, and rows
+    carry 8-byte hashes, not text.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.currentRow, k - 1)
+    gram = toks.select(
+        F.col(id_col), F.col("pos"), F.collect_list("tok").over(w).alias("gram")
+    )
+    return gram.filter(F.size("gram") == k).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.xxhash64(F.concat_ws(" ", F.col("gram"))).alias("h"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, k: int = 3
+) -> DataFrame:
+    """MinHash signatures as ``(id, sig: array<bigint>)``.
+
+    Hash family: h_s(shingle) = xxhash64(shingle_hash, s) for seed s — each
+    shingle string is hashed once, then the ``num_hashes`` family members are
+    8-byte mixes computed inside ONE hash aggregation (map-side partial
+    combine ⇒ the shuffle carries num_hashes longs per document regardless
+    of document length; duplicate shingles are harmless under min)."""
+    sh = shingle_hash_rows(df, text_col, id_col, k)
+    mins = [
+        F.min(F.xxhash64(F.col("h"), F.lit(s))).alias(f"_m{s}")
+        for s in range(num_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{s}") for s in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -94,13 +136,7 @@ def minhash_lsh_pairs(
     (boilerplate guard): a single 10^5-doc bucket would reintroduce O(N²).
     """
     rows_per_band = num_hashes // bands
-    sig = (
-        df.select(
-            F.col(id_col),
-            minhash_signature(shingles(F.col(text_col)), num_hashes).alias("sig"),
-        )
-        .filter(F.size("sig") > 0)
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_hashes)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sig.select(F.col(id_col), F.col("sig"), band_idx).select(
         F.col(id_col),

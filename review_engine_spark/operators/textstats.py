@@ -101,24 +101,45 @@ def bpe_ish_token_count(col: Column) -> Column:
     return (pieces + long_words).cast("long")
 
 
-def winnow_fingerprints(col: Column, k: int = 5, window: int = 4) -> Column:
+def winnow_fingerprints(
+    df, text_col: str, id_col: str, k: int = 5, window: int = 4
+):
     """Winnowing fingerprints (rolling-hash document fingerprinting):
-    hash every k-token shingle, then keep the min hash of each sliding
-    window of ``window`` consecutive shingle hashes (array_distinct'd).
-    Returns array<bigint> — compact, order-robust local fingerprints."""
-    toks = ws_tokens(col)
-    n_sh = F.size(toks) - (k - 1)
-    # guard: sequence(1, n) with n < 1 would produce a DESCENDING range
-    sh_idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
-        F.array().cast("array<int>")
+    hash every k-token shingle, keep the min hash of each sliding window of
+    ``window`` consecutive shingle hashes, distinct per document.
+
+    Returns ``(id, fingerprints: array<bigint>)``, one row per input row
+    (documents too short for one full window get an empty array).
+
+    Implemented over exploded shingle-hash rows with a per-document sliding
+    window (`rowsBetween(0, window-1)` min) — both window passes share one
+    partition-by-id sort, and the shuffle carries 8-byte hashes, never text.
+    The pure-expression form (nested transform over slice) re-evaluates the
+    shingle-hash array per window position — O(n²) per document — and is
+    deliberately avoided (SURVEY §2.K fingerprinting).
+    """
+    from pyspark.sql import Window
+    from review_engine_spark.operators.dedup import shingle_hash_rows
+
+    sh = shingle_hash_rows(df, text_col, id_col, k)
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    wins = sh.select(
+        F.col(id_col),
+        F.min("h").over(w).alias("wmin"),
+        F.count("h").over(w).alias("wn"),
     )
-    sh_hash = F.transform(
-        sh_idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k)))
+    fps = (
+        wins.filter(F.col("wn") == window)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("wmin")).alias("fingerprints"))
     )
-    n_win = F.size(sh_hash) - (window - 1)
-    win_idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(win_idx, lambda i: F.array_min(F.slice(sh_hash, i, window)))
+    return (
+        df.select(F.col(id_col))
+        .join(fps, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                "fingerprints", F.array().cast("array<bigint>")
+            ).alias("fingerprints"),
+        )
     )

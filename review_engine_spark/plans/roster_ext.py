@@ -171,9 +171,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from review_engine_spark.operators.textstats import winnow_fingerprints
 
     docs = read_parquet_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", winnow_fingerprints(F.col("text")).alias("fingerprints")
-    )
+    return winnow_fingerprints(docs, "text", "doc_id")
 
 
 # ---------------------------------------------------------------------------
