@@ -30,6 +30,8 @@ __all__ = [
     "simhash_near_dups",
     "hamming_distance",
     "ngram_jaccard_pairs",
+    "rh_signatures",
+    "embedding_near_dups",
 ]
 
 
@@ -271,6 +273,108 @@ def simhash_near_dups(
             hamming_distance(F.col("lsig"), F.col("rsig")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def rh_signatures(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_bits: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane (cosine) LSH signatures as one long per vector.
+
+    Bit b = sign of the projection of the vector onto pseudo-random
+    hyperplane b, whose components are ±1 derived from xxhash64(dim_index,
+    b, seed) — deterministic, no stored planes, no shuffle. Collision
+    probability of bit b for two vectors is 1 − θ/π (Charikar's SimHash
+    for cosine), so banding the signature gives a cosine-near-dup
+    candidate generator.
+
+    Each bit is one fold over the array (top-level expression, evaluated
+    once per row); total work is num_bits·dim cheap long-hash + adds.
+    """
+    def _projection(b: int) -> Column:
+        signed = F.transform(
+            F.col(vec_col),
+            lambda x, i: F.when(
+                F.xxhash64(i, F.lit(b), F.lit(seed)).bitwiseAND(F.lit(1)) == 1,
+                x.cast("double"),
+            ).otherwise(-x.cast("double")),
+        )
+        return F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+
+    bits = [
+        F.when(_projection(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(num_bits)
+    ]
+    sig = bits[0]
+    for x in bits[1:]:
+        sig = sig.bitwiseOR(x)
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    min_cosine: float = 0.8,
+    num_bits: int = 16,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
+
+    signature → band into ``n_blocks`` blocks (pigeonhole: two signatures
+    within hamming ≤ n_blocks−1 share a block) → equi-join on
+    (block, value) → exact cosine verification on the candidate pairs.
+
+    The banding join shuffles (id, 8-byte block) rows only; vectors are
+    joined back by id for verification, so the wide rows move just for
+    the (few) candidates — the all-pairs O(N²) crossJoin of
+    q_near_dup_embedding never happens.
+    """
+    from review_engine_spark.functions.vector import cosine_similarity
+
+    sigs = rh_signatures(df, vec_col, id_col, num_bits)
+    base, rem = divmod(num_bits, n_blocks)
+    widths = [base + 1 if b < rem else base for b in range(n_blocks)]
+    offsets = [sum(widths[:b]) for b in range(n_blocks)]
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftright(F.col("sig"), offsets[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                .alias("blk_val"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(blocks).alias("bb")).select(
+        F.col(id_col), F.col("bb.blk").alias("blk"), F.col("bb.blk_val").alias("blk_val")
+    )
+    left = banded.select("blk", "blk_val", F.col(id_col).alias("left_id"))
+    right = banded.select("blk", "blk_val", F.col(id_col).alias("right_id"))
+    cand = (
+        left.join(right, ["blk", "blk_val"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    lv = df.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("lv"))
+    rv = df.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("rv"))
+    return (
+        cand.join(lv, "left_id")
+        .join(rv, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(cosine_similarity(F.col("lv"), F.col("rv")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_cosine)
     )
 
 

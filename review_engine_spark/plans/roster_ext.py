@@ -165,6 +165,18 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared()
+def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K embedding-cosine near-dup, LSH-bucketed scale path (rows-only:
+    the hyperplane signatures are hash-derived): random-hyperplane
+    banding generates candidates without the O(N²) crossJoin, exact
+    cosine verifies. Recall counterpart of q_near_dup_embedding."""
+    from review_engine_spark.operators.dedup import embedding_near_dups
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, "embedding", "vec_id", min_cosine=0.25)
+
+
+@declared()
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints (rows-only; the md5 content
     fingerprint q_fingerprint is the oracle-checked counterpart)."""

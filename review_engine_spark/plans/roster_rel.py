@@ -397,6 +397,270 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return open_.subtract(urgent)
 
 
+@declared(
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (engine surface, §2.C remainder): customers WITH at least
+    one urgent order. left_semi returns each probe row at most once with
+    no columns from the build side — no post-join dedup needed."""
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    urgent = read_parquet_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@declared(
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(sum(l_extendedprice), 4) AS revenue
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube aggregate (engine surface, §2.D remainder). Spark plans one
+    Expand (4 grouping sets) feeding a single partial+final hash agg."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+    )
+
+
+@declared(
+    oracle="""
+    SELECT n.n_name, count(*) AS n_li, round(sum(l.l_extendedprice), 4) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem against two broadcast dimensions
+    (supplier, nation). At 100 TB the fact side never shuffles for the
+    joins — both dims fit comfortably under the broadcast threshold, so
+    the only exchange is the final n_name aggregation (map-side combined
+    to ≤25 rows per task)."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(
+        read_parquet_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    nat = F.broadcast(
+        read_parquet_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_li"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+    )
+
+
+@declared(
+    oracle="""
+    SELECT e1.event_id, count(e2.event_id) AS n_follow
+    FROM events e1
+    LEFT JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+    GROUP BY e1.event_id
+    """
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (engine surface the reference lacks; SURVEY §2.C notes):
+    per event, how many same-user events follow within 5 minutes.
+
+    A naive theta-join on the interval predicate is a per-user cross
+    product; instead the left side probes two 5-minute buckets and the
+    join is an equi-join on (user_id, bucket) with the interval check as
+    a cheap post-filter — each true pair matches in exactly one bucket
+    (the right event's own), so no dedup pass is needed. Scale: the
+    shuffle is keyed by (user, bucket), bounding skew to per-user
+    5-minute activity.
+    """
+    ev = read_parquet_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("ts").cast("long") / 300)
+    left = ev.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("l_ts"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
+    right = ev.select(
+        F.col("user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        bucket.alias("bucket"),
+    )
+    joined = left.join(right, ["user_id", "bucket"], "left").withColumn(
+        "hit",
+        (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    return joined.groupBy("event_id").agg(
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_follow")
+    )
+
+
+@declared(
+    oracle="""
+    WITH u AS (
+        SELECT user_id AS key, ts AS t, 1 AS is_event, event_id,
+               NULL::BIGINT AS o_orderkey
+        FROM events
+        UNION ALL
+        SELECT o_custkey, o_orderdate, 0, NULL, o_orderkey FROM orders
+    ),
+    win AS (
+        SELECT event_id, is_event,
+               last_value(o_orderkey IGNORE NULLS) OVER (
+                   PARTITION BY key ORDER BY t, is_event, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS asof_orderkey
+        FROM u
+    )
+    SELECT event_id, asof_orderkey FROM win WHERE is_event = 1
+    """
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine surface the reference lacks; the standard
+    feature-at-event-time op of training pipelines): per event, the most
+    recent order of the same key at-or-before the event timestamp, ties
+    on order date broken by max orderkey.
+
+    Implemented as the union-window plan: tag both streams, union, and
+    take ``last(order_row, ignorenulls=True)`` over a per-key window
+    ordered by (time, side, orderkey) — ONE shuffle on the key, linear in
+    |events| + |orders|, versus the per-key cross product a naive theta
+    join plans. This is how an as-of join should look on Spark.
+    """
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+    )
+    both = ev.unionByName(orders)
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.asc("t"), F.asc("is_event"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = both.withColumn(
+        "asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+    )
+    return out.filter(F.col("is_event") == 1).select("event_id", "asof_orderkey")
+
+
+@declared(
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4
+           ) AS hour_sum
+    FROM events
+    """
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (engine surface, §2.E remainder): per-user
+    rolling 1-hour sum. The frame is value-based (epoch seconds), so ties
+    in ts are peers on both engines — no explicit tie-break needed."""
+    ev = read_parquet_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("hour_sum"),
+    )
+
+
+@declared(
+    oracle="""
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 4) AS qty_A,
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 4) AS qty_N,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 4) AS qty_R
+    FROM lineitem GROUP BY l_linestatus
+    """
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (engine surface, §2.D remainder). The pivot values are
+    declared explicitly — with them, Spark plans ONE pass (conditional
+    aggregates, exactly the oracle's CASE form); without them it needs an
+    extra distinct-values job first."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+        .select(
+            "l_linestatus",
+            F.col("A").alias("qty_A"),
+            F.col("N").alias("qty_N"),
+            F.col("R").alias("qty_R"),
+        )
+    )
+
+
+@declared(
+    oracle="""
+    WITH x AS (
+        SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) AS ws, value FROM events
+        UNION ALL
+        SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS ws, value FROM events
+    )
+    SELECT ws, ws + INTERVAL 1 HOUR AS we,
+           count(*) AS n, round(sum(value), 4) AS total_v
+    FROM x GROUP BY ws
+    """
+)
+def q_hop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time window, batch mode: 1-hour windows
+    every 30 minutes — each event lands in exactly 2 windows (Spark
+    expands them inline; the oracle mirrors that with a 2-way UNION ALL).
+    Same grouping the streaming surface uses with a watermark."""
+    ev = read_parquet_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win)
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_v"))
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col("window.end").alias("we"),
+            "n",
+            "total_v",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # H25 json + H-date surface on events.
 # ---------------------------------------------------------------------------

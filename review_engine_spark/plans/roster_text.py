@@ -149,6 +149,61 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokenize('text')}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    s AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(n.n AS DOUBLE) / idf.df), 6) AS tfidf
+        FROM tf JOIN idf USING (term) CROSS JOIN n
+    ),
+    r AS (
+        SELECT doc_id, term, tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS BIGINT) AS rn
+        FROM s
+    )
+    SELECT doc_id, term, tfidf, rn FROM r WHERE rn <= 3
+    """
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K text analysis: top-3 TF-IDF terms per document.
+
+    Plan shape at scale: one (doc, term) hash agg for TF, one term hash agg
+    for DF (both map-side combined), an equi-join on term (the term
+    dictionary is small after aggregation — AQE broadcasts it), the corpus
+    size as a 1-row broadcast, and a per-doc top-k window partitioned by
+    doc_id (no global sort)."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    idf = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(idf, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= 3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixtures: budget strings + raw LLM outputs (FIXTURES.md
 # "Non-table fixtures"). The same rows appear as VALUES in the oracle.

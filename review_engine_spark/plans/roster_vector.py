@@ -176,7 +176,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.K embedding-cosine near-duplicate pairs (exact, on a capped
     subset — the all-pairs O(N²) form; the LSH-bucketed scale path is
-    operators.dedup.embedding_near_dups)."""
+    operators.dedup.embedding_near_dups, declared as q_near_dup_lsh)."""
     emb = read_parquet_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < 100
     )

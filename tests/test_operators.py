@@ -157,3 +157,108 @@ def test_rerank_stub_called_after_topk_cut(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the limit must appear below (after, in printed order) the Python eval
     assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_near_dup_lsh_recall(spark, sf_dir):
+    """LSH-bucketed embedding near-dup must recover most of the exact
+    all-pairs result at the same threshold (probabilistic recall, but the
+    fixture's label clusters are well-separated)."""
+    from review_engine_spark.operators.dedup import embedding_near_dups
+    from review_engine_spark.functions.vector import cosine_similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 80
+    )
+    left = emb.select(F.col("vec_id").alias("left_id"), F.col("embedding").alias("lv"))
+    right = emb.select(F.col("vec_id").alias("right_id"), F.col("embedding").alias("rv"))
+    exact = {
+        (r["left_id"], r["right_id"])
+        for r in left.join(right, F.col("left_id") < F.col("right_id"))
+        .select(
+            "left_id",
+            "right_id",
+            cosine_similarity(F.col("lv"), F.col("rv")).alias("cs"),
+        )
+        .filter(F.col("cs") >= 0.5)
+        .collect()
+    }
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_near_dups(emb, "embedding", "vec_id", min_cosine=0.5).collect()
+    }
+    # no false positives (candidates are exact-verified) …
+    assert got <= exact
+    # … and decent recall from 4-block banding of a 16-bit signature
+    if exact:
+        assert len(got) >= len(exact) * 0.5
+
+
+def test_asof_join_semantics(spark):
+    """As-of: latest order at-or-before each event; date ties -> max
+    orderkey; no prior order -> NULL."""
+    from review_engine_spark.plans import roster_rel
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime.fromisoformat(s)
+
+    ev = spark.createDataFrame(
+        [(1, 10, t("2024-01-05T00:00:00")), (2, 10, t("2024-01-01T00:00:00")),
+         (3, 20, t("2024-01-05T00:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    orders = spark.createDataFrame(
+        [(100, 10, t("2024-01-02T00:00:00")), (101, 10, t("2024-01-02T00:00:00")),
+         (102, 10, t("2024-01-04T00:00:00")), (200, 30, t("2024-01-01T00:00:00"))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="asof_")
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    orders.selectExpr(
+        "o_orderkey", "o_custkey", "'O' AS o_orderstatus", "1.0 AS o_totalprice",
+        "o_orderdate", "'x' AS o_orderpriority"
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    out = {r["event_id"]: r["asof_orderkey"] for r in roster_rel.q_asof_join(spark, d).collect()}
+    assert out == {1: 102, 2: None, 3: None}
+
+
+def test_range_join_counts(spark):
+    """Bucketed range join: only same-user events in (t, t+5min] count,
+    bucket-boundary crossings included, self excluded."""
+    from review_engine_spark.plans import roster_rel
+    import datetime as dt
+    import tempfile, os
+
+    def t(s):
+        return dt.datetime.fromisoformat(s)
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, t("2024-01-01T00:04:50"), 1.0),   # followed by 2 (10s later, crosses bucket); 3 is 5m09s away
+            (2, 10, t("2024-01-01T00:05:00"), 1.0),   # followed by 3 (4m59s later)
+            (3, 10, t("2024-01-01T00:09:59"), 1.0),
+            (4, 20, t("2024-01-01T00:05:30"), 1.0),   # other user
+            (5, 10, t("2024-01-01T01:00:00"), 1.0),   # far away
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    d = tempfile.mkdtemp(prefix="rj_")
+    ev.selectExpr("event_id", "ts", "user_id", "'c' AS event_type", "value", "'{}' AS props") \
+        .write.parquet(os.path.join(d, "events.parquet"))
+    out = {r["event_id"]: r["n_follow"] for r in roster_rel.q_range_join(spark, d).collect()}
+    assert out == {1: 1, 2: 1, 3: 0, 4: 0, 5: 0}
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """Physical invariant: both dimension joins are broadcast-hash — the
+    fact side never shuffles for the joins."""
+    from review_engine_spark.plans.roster_rel import q_star_join
+
+    plan = (
+        q_star_join(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
