@@ -137,15 +137,29 @@ def minhash_lsh_pairs(
     (1/b)^(1/r) ≈ 0.5. Buckets larger than ``max_bucket_size`` are dropped
     (boilerplate guard): a single 10^5-doc bucket would reintroduce O(N²).
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    # The signature table is consumed three times (banding + both sides of
+    # the candidate verification join); persist materializes the shingle →
+    # minhash pipeline ONCE instead of re-running it per consumer. Size is
+    # bounded: num_hashes longs + key per document (~0.5 KB/doc), spilling
+    # to disk if the corpus is huge.
+    sig = minhash_signatures(df, text_col, id_col, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    # banded rows carry (id, band, band_hash) ONLY — 24 bytes each. The
+    # signature is projected away before any shuffle (the explode and the
+    # band-hash slice happen inside one codegen stage); it is joined back
+    # per candidate pair below instead of riding the ×bands self-join
+    # (candidates ≪ banded rows for any non-degenerate corpus).
     banded = sig.select(F.col(id_col), F.col("sig"), band_idx).select(
         F.col(id_col),
-        F.col("sig"),
         F.col("band"),
         F.xxhash64(
-            F.col("band"), F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band)
+            F.col("band"),
+            F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band),
         ).alias("band_hash"),
     )
     bucket_sizes = banded.groupBy("band", "band_hash").agg(
@@ -154,25 +168,17 @@ def minhash_lsh_pairs(
     banded = banded.join(
         bucket_sizes.filter(F.col("bucket_n") <= max_bucket_size),
         ["band", "band_hash"],
-    )
-    left = banded.select(
-        "band",
-        "band_hash",
-        F.col(id_col).alias("left_id"),
-        F.col("sig").alias("left_sig"),
-    )
-    right = banded.select(
-        "band",
-        "band_hash",
-        F.col(id_col).alias("right_id"),
-        F.col("sig").alias("right_sig"),
-    )
+    ).select("band", "band_hash", id_col)
+    left = banded.select("band", "band_hash", F.col(id_col).alias("left_id"))
+    right = banded.select("band", "band_hash", F.col(id_col).alias("right_id"))
     cand = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", "left_sig", "right_sig")
+        .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
     )
+    lsig = sig.select(F.col(id_col).alias("left_id"), F.col("sig").alias("left_sig"))
+    rsig = sig.select(F.col(id_col).alias("right_id"), F.col("sig").alias("right_sig"))
     est = (
         F.size(
             F.filter(
@@ -183,7 +189,9 @@ def minhash_lsh_pairs(
         / F.size("left_sig")
     ).alias("est_jaccard")
     return (
-        cand.select("left_id", "right_id", est)
+        cand.join(lsig, "left_id")
+        .join(rsig, "right_id")
+        .select("left_id", "right_id", est)
         .filter(F.col("est_jaccard") >= min_jaccard)
     )
 
