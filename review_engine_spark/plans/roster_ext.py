@@ -246,6 +246,16 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap="30 minutes")
 
 
+@declared()
+def q_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming sessionization via applyInPandasWithState
+    (SURVEY §2.I stretch goal) — asserted equal to q_sessionize's
+    session_window result in tests."""
+    from review_engine_spark.streaming.jobs import run_sessionize_stateful
+
+    return run_sessionize_stateful(spark, sf_dir, gap_minutes=30)
+
+
 # ---------------------------------------------------------------------------
 # §2.J inference surface (rows-only, deterministic stubs)
 # ---------------------------------------------------------------------------

@@ -16,12 +16,18 @@ from __future__ import annotations
 
 import tempfile
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from review_engine_spark.schemas import fixture_schema
 
-__all__ = ["tumbling_counts", "run_tumbling_count_batchlike", "sessionize"]
+__all__ = [
+    "tumbling_counts",
+    "run_tumbling_count_batchlike",
+    "sessionize",
+    "run_sessionize_stateful",
+]
 
 
 def tumbling_counts(events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
@@ -73,6 +79,98 @@ def run_tumbling_count_batchlike(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination(30)
     # materialize before the memory sink table goes away
+    out = spark.table(name)
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def run_sessionize_stateful(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom stateful streaming operator (SURVEY §2.I stretch goal):
+    gap-based sessionization via ``applyInPandasWithState``, driven to
+    completion over the finite events source.
+
+    Semantics match ``session_window`` exactly: a session is a maximal
+    run of same-user events with inter-event gaps < ``gap_minutes``;
+    ``session_end`` = last event + gap (asserted equal to the
+    session_window result in tests). Per group, state is the open
+    session; with the finite source each user's history arrives in one
+    micro-batch, so every session is emitted from that batch. On a live
+    stream the same function carries the open session in ``state`` and
+    emits on watermark timeout — the per-group pandas logic is unchanged,
+    which is the point of the operator: custom sequential session logic
+    that neither window() nor session_window() could express (e.g.
+    value-dependent gap rules) runs JVM-adjacent over Arrow batches.
+
+    Scale: the only shuffle keys events by user_id; state per key is one
+    open session struct, bounded by the watermark horizon.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_v double"
+    )
+    state_schema = "open_start long, open_end long, n long, v double"
+
+    def fn(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        sessions = []
+        cur = None
+        for ts, v in zip(rows["ts"], rows["value"]):
+            # new session when the gap is reached (session_window's
+            # half-open [start, last+gap) boundary: an event at exactly
+            # last+gap starts a new session)
+            if cur is not None and ts - cur[1] >= gap:
+                sessions.append(cur)
+                cur = None
+            if cur is None:
+                cur = [ts, ts, 0, 0.0]
+            cur[1] = ts
+            cur[2] += 1
+            cur[3] += float(v)
+        if cur is not None:
+            sessions.append(cur)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sessions),
+                "session_start": [s[0] for s in sessions],
+                "session_end": [s[1] + gap for s in sessions],
+                "n_events": [s[2] for s in sessions],
+                "total_v": [round(s[3], 4) for s in sessions],
+            }
+        )
+
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "ts", "value")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    name = "sessionize_stateful_out"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            sessions.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
     out = spark.table(name)
     rows = out.collect()
     return spark.createDataFrame(rows, out.schema)

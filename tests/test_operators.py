@@ -262,3 +262,21 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
     )
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_stateful_sessionize_matches_session_window(spark, sf_dir):
+    """applyInPandasWithState sessionization must reproduce session_window
+    exactly (same gap semantics, same end = last event + gap)."""
+    from review_engine_spark.plans.roster_ext import q_sessionize, q_sessionize_state
+
+    via_window = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_v"], 4))
+        for r in q_sessionize(spark, sf_dir).collect()
+    }
+    via_state = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_v"], 4))
+        for r in q_sessionize_state(spark, sf_dir).collect()
+    }
+    assert via_state == via_window
