@@ -260,3 +260,120 @@ def test_dot_null_operand_is_zero(spark):
 def test_l2_normalize_zero_vector_stays_zero(spark):
     df = spark.createDataFrame([([0.0, 0.0],)], "v array<double>")
     assert one(df.select(l2_normalize(F.col("v")))) == [0.0, 0.0]
+
+
+# --- hypothesis property tests (SURVEY §5.2.3) -----------------------------
+
+
+def _ref_parse_budget(query):
+    """Pure-Python port of the reference cascade (rank.py:66-129)."""
+    import re
+
+    lower_query = query.lower()
+
+    def parse_money(text):
+        text = text.replace(",", "").strip()
+        m = re.match(r"^(\d+(\.\d+)?)(k|kk|k\+)?$", text)
+        if not m:
+            return None
+        val = float(m.group(1))
+        if m.group(3):
+            val *= 1000.0
+        return val
+
+    pats = [
+        (r"(?:between\s+)?\$?(\d[\d,\.]*\s*(?:k|kk)?)\s*(?:-+|~|to|and)\s*\$?(\d[\d,\.]*\s*(?:k|kk)?)", 2),
+        (r"(?:under|below|less than|at most|≤|&lt;=)\s*\$?(\d[\d,\.]*\s*(?:k|kk)?)", 1),
+        (r"(?:around|about|approx(?:imately)?|near|nearly)\s*\$?(\d[\d,\.]*\s*(?:k|kk)?)", 1),
+        (r"\$?(\d[\d,\.]*\s*(?:k|kk)?)\s*(?:budget|budgets?)", 1),
+        (r"(?:budget|budgets?)\s*\$?(\d[\d,\.]*\s*(?:k|kk)?)", 1),
+    ]
+    for pat, ngroups in pats:
+        m = re.search(pat, lower_query)
+        if m:
+            if ngroups == 2:
+                a, b = parse_money(m.group(1)), parse_money(m.group(2))
+                if a is not None and b is not None:
+                    return (a + b) / 2.0
+            else:
+                v = parse_money(m.group(1))
+                if v is not None:
+                    return v
+    return None
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _money = st.builds(
+        lambda n, dec, suf: f"{n}{dec}{suf}",
+        st.integers(0, 99999).map(str),
+        st.sampled_from(["", ".5", ".25", ".", ",000", ",00"]),
+        st.sampled_from(["", "k", "kk", " k"]),
+    )
+    _budget_phrase = st.one_of(
+        st.builds(lambda a, c, b: f"between {a} {c} {b}", _money,
+                  st.sampled_from(["and", "to", "-", "--", "~"]), _money),
+        st.builds(lambda w, m: f"{w} ${m}", st.sampled_from(
+            ["under", "below", "less than", "at most", "around", "about",
+             "approximately", "nearly"]), _money),
+        st.builds(lambda m: f"{m} budget", _money),
+        st.builds(lambda m: f"budget {m}", _money),
+        st.builds(lambda w: w, st.sampled_from(
+            ["no budget mentioned", "cheap one", "model x200", "", "k", "$"])),
+        st.builds(lambda a, b: f"{a} {b}", _money, _money),
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(_budget_phrase, min_size=8, max_size=8))
+    def test_parse_budget_property(spark, phrases):
+        from review_engine_spark.functions.text import parse_budget
+
+        df = spark.createDataFrame([(p,) for p in phrases], "q string")
+        got = [r[0] for r in df.select(parse_budget(F.col("q"))).collect()]
+        want = [_ref_parse_budget(p) for p in phrases]
+        for p, g, w in zip(phrases, got, want):
+            if w is None:
+                assert g is None, (p, g, w)
+            else:
+                assert g == pytest.approx(w), (p, g, w)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(st.floats(-1e6, 1e6), min_size=6, max_size=6),
+        st.floats(-1e5, 1e5),
+        st.floats(-1e5, 1e5),
+    )
+    def test_minmax_range_property(spark, xs, lo, hi):
+        """minmax output is always in [0,1] or exactly 0.5 (degenerate band)."""
+        from review_engine_spark.functions.scoring import minmax_normalize
+
+        low, high = min(lo, hi), max(lo, hi)
+        df = spark.createDataFrame([(x,) for x in xs], "x double")
+        out = [
+            r[0]
+            for r in df.select(
+                minmax_normalize(F.col("x"), F.lit(low), F.lit(high))
+            ).collect()
+        ]
+        for v in out:
+            assert v == pytest.approx(0.5) or (0.0 <= v <= 1.0 + 1e-9), (v, low, high)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.one_of(st.none(), st.floats(0.0, 5.0)),
+        st.one_of(st.none(), st.integers(0, 10**6)),
+    )
+    def test_bayes_between_prior_and_raw_property(spark, rating, count):
+        """Bayesian rating always lies between the prior (4.3) and the raw
+        rating (inclusive), whatever the evidence count."""
+        from review_engine_spark.functions.scoring import bayesian_rating
+
+        df = spark.createDataFrame([(rating, count)], "r double, n long")
+        got = df.select(bayesian_rating(F.col("r"), F.col("n"))).collect()[0][0]
+        raw = 4.3 if rating is None else rating
+        lo, hi = min(4.3, raw), max(4.3, raw)
+        assert lo - 1e-9 <= got <= hi + 1e-9
+
+except ImportError:  # pragma: no cover — hypothesis is baked in, but be safe
+    pass
