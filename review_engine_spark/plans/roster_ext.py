@@ -193,6 +193,46 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, "text", "doc_id")
 
 
+@declared(
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= ceil(0.1 * n)
+    """
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K training-pipeline op: deterministic 10% stratified sample per
+    language. Hash-ordering (md5 of the id — same function both engines)
+    instead of an RNG makes the sample reproducible across runs, engines,
+    and partitionings — the property a training-data split actually needs.
+    One shuffle, keyed by the stratum."""
+    from pyspark.sql import Window
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    cnt = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count("*").over(cnt).alias("n"),
+        )
+        .filter(F.col("rn") <= F.ceil(0.1 * F.col("n")))
+        .drop("n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.D approx + §2.A sink (rows-only)
 # ---------------------------------------------------------------------------
