@@ -349,6 +349,67 @@ def q_rag_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared()
+def q_summarize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 pipeline shape (§3.1 tail, semantic.py:58-64): final top-3 cut
+    FIRST, then blurb prompt assembly (format_string over name/category/
+    rating with null tolerance) → chat stub → H10/H11 extraction. The
+    inference UDF sees exactly 3 rows."""
+    from review_engine_spark.operators.summarize import summarize_products
+
+    part = read_parquet_table(spark, sf_dir, "part")
+    top3 = (
+        part.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(3)
+        .select(
+            "p_partkey",
+            F.col("p_name").alias("name"),
+            F.col("p_type").alias("category"),
+            # deterministic pseudo-rating in [0,5); every 7th key NULL to
+            # exercise the n/a branch
+            F.when(F.col("p_partkey") % 7 == 0, F.lit(None).cast("double"))
+            .otherwise((F.col("p_partkey") % 50) / 10.0)
+            .alias("rating"),
+        )
+    )
+    return summarize_products(top3, "name", "category", "rating")
+
+
+@declared()
+def q_embed_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship offline-embedding ETL, end-to-end (SURVEY §3.3,
+    embed.py:55-86 analog): scan → clean_text (H1-H7) → token filter (B3)
+    → per-doc embed via Arrow-batched stub UDF (J1) → group by lang →
+    relational mean-pool (D2: posexplode → avg per (lang, pos) →
+    reassemble). The per-product Python loop that is the reference's
+    scalability wall (embed.py:68-82) is exactly what this plan
+    distributes: the only shuffles are the two mean-pool aggregations on
+    (lang, pos) and (lang)."""
+    from review_engine_spark.functions.text import clean_text, token_count
+    from review_engine_spark.inference.stubs import stub_embed_udf
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "doc_id", "lang", clean_text(F.col("text")).alias("clean")
+    ).filter(token_count(F.col("clean")) > 5)
+    embed = stub_embed_udf()
+    embedded = cleaned.select(
+        "lang", embed(F.col("clean")).alias("embedding")
+    )
+    exploded = embedded.select(
+        "lang", F.posexplode("embedding").alias("pos", "val")
+    )
+    pooled = exploded.groupBy("lang", "pos").agg(
+        F.round(F.avg("val"), 6).alias("v"), F.count("*").alias("n")
+    )
+    return pooled.groupBy("lang").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s.v
+        ).alias("mean_embedding"),
+        F.max("n").alias("n_docs"),
+    )
+
+
+@declared()
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/§2.K multimodal plumbing: cap → fetch(binary) → mapInPandas
     decode to typed metadata (summarize.py:28-35 analog; stub decode)."""

@@ -280,3 +280,25 @@ def test_stateful_sessionize_matches_session_window(spark, sf_dir):
         for r in q_sessionize_state(spark, sf_dir).collect()
     }
     assert via_state == via_window
+
+
+def test_blurb_prompt_null_tolerance(spark):
+    """J4 prompt assembly: missing name/category/rating render fallbacks,
+    never null (the reference tolerates absent meta, rank.py:21-27)."""
+    from review_engine_spark.operators.summarize import build_blurb_prompt
+
+    df = spark.createDataFrame(
+        [("Washer X", "appliance", 4.25), (None, None, None)],
+        "name string, category string, rating double",
+    )
+    out = [
+        r[0]
+        for r in df.select(
+            build_blurb_prompt(
+                F.col("name"), F.col("category"), F.col("rating"), F.lit("friendly")
+            )
+        ).collect()
+    ]
+    assert "Washer X" in out[0] and "4.2/5" in out[0] and "friendly" in out[0]
+    assert "this product" in out[1] and "n/a/5" in out[1]
+    assert all(o is not None for o in out)
