@@ -99,6 +99,7 @@ def mmr_diversify(
         (rank + 1, cid, round(id2score[cid], 6))
         for rank, cid in enumerate(selected)
     ]
+    id_type = dict(candidates.dtypes)[id_col]
     return spark.createDataFrame(
-        out, f"mmr_rank long, {id_col} long, {score_col} double"
+        out, f"mmr_rank long, {id_col} {id_type}, {score_col} double"
     )
