@@ -63,16 +63,25 @@ def lsh_topk(
     k: int = 10,
     bucket_length: float = 2.0,
     num_hash_tables: int = 3,
+    max_distance: float = 1.3,
 ) -> DataFrame:
     """Approximate k-NN via BucketedRandomProjectionLSH (MLlib).
 
     Vectors are L2-normalized first so euclidean-LSH distance is a
-    monotone proxy for cosine (||a-b||² = 2 - 2·cos on the unit sphere).
+    monotone proxy for cosine (||a-b||² = 2 - 2·cos on the unit sphere);
+    ``max_distance`` 1.3 ≈ cosine 0.15 — candidates below that are noise.
+
+    The query batch goes through ONE ``approxSimilarityJoin`` (a
+    distributed bucket join) + a per-query top-k window — not the
+    per-query ``approxNearestNeighbors`` loop, which launches a full
+    corpus job per query vector and cannot scale past a handful of
+    queries.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-    from pyspark.ml.linalg import Vectors
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import SparkSession
 
+    spark = corpus.sparkSession
     unit = corpus.select(
         F.col(corpus_id),
         array_to_vector(l2_normalize(F.col(corpus_vec))).alias("features"),
@@ -85,19 +94,29 @@ def lsh_topk(
         seed=42,
     )
     model = lsh.fit(unit)
-    out = None
-    for i, q in enumerate(query_vecs):
-        norm = sum(x * x for x in q) ** 0.5 or 1.0
-        qv = Vectors.dense([x / norm for x in q])
-        nn = model.approxNearestNeighbors(unit, qv, k).select(
-            F.lit(i).alias("query_idx"),
-            F.col(corpus_id).alias("neighbor_id"),
-            F.round(1.0 - F.col("distCol") * F.col("distCol") / 2.0, 6).alias(
-                "cos_sim"
-            ),
-        )
-        out = nn if out is None else out.unionByName(nn)
-    return out
+
+    def _norm(q: list[float]) -> list[float]:
+        n = sum(x * x for x in q) ** 0.5 or 1.0
+        return [float(x) / n for x in q]
+
+    queries = spark.createDataFrame(
+        [(i, _norm(q)) for i, q in enumerate(query_vecs)],
+        "query_idx int, qv array<double>",
+    ).select("query_idx", array_to_vector(F.col("qv")).alias("features"))
+
+    joined = model.approxSimilarityJoin(
+        queries, unit, max_distance, distCol="dist"
+    ).select(
+        F.col("datasetA.query_idx").alias("query_idx"),
+        F.col(f"datasetB.{corpus_id}").alias("neighbor_id"),
+        F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_idx").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
 
 
 def ivf_topk(

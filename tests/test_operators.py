@@ -302,3 +302,26 @@ def test_blurb_prompt_null_tolerance(spark):
     assert "Washer X" in out[0] and "4.2/5" in out[0] and "friendly" in out[0]
     assert "this product" in out[1] and "n/a/5" in out[1]
     assert all(o is not None for o in out)
+
+
+def test_predict_batch_udf_path(spark):
+    """J1/J3 production machinery (predict_batch_udf: worker-cached model,
+    numpy batch marshalling) runs end-to-end with the stub loaders and is
+    deterministic across invocations."""
+    from review_engine_spark.inference.batch import embedder_batch_udf, scorer_batch_udf
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(7)], "id long, text string"
+    )
+    embed = embedder_batch_udf(dim=8, batch_size=3)
+    out1 = {r["id"]: r["v"] for r in df.select("id", embed(F.col("text")).alias("v")).collect()}
+    out2 = {r["id"]: r["v"] for r in df.select("id", embed(F.col("text")).alias("v")).collect()}
+    assert out1 == out2 and all(len(v) == 8 for v in out1.values())
+    # unit-normalized like the reference encoder (embed.py:77)
+    assert sum(x * x for x in out1[0]) == pytest.approx(1.0, abs=1e-9)
+
+    score = scorer_batch_udf(batch_size=4)
+    scored = df.select(
+        score(F.lit("a query"), F.col("text")).alias("s")
+    ).collect()
+    assert all(0.0 <= r["s"] < 1.0 for r in scored)
