@@ -1,0 +1,67 @@
+"""Skew mitigation (SURVEY §7 M6 100 TB notes; session.py turns AQE's
+skew-join splitting on, which covers sort-merge joins at runtime).
+
+Manual salting remains necessary where AQE cannot help: shuffle-hash
+joins it declines to split, aggregations whose partials do not shrink
+(collect_list/collect_set over a hot key), and any co-partitioned
+pipeline that must keep one partitioning across stages. The operators
+here implement the standard construction — deterministic salt on the
+big/skewed side, salt-explosion on the small side — with semantics
+identical to the unsalted op (oracle-checked in the roster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_equi_join", "two_stage_collect"]
+
+
+def salted_equi_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    salt_expr: Column,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where the ``skewed`` side's hot keys overwhelm single
+    reducers: each skewed row gets a deterministic salt in [0, n_salts)
+    (pass a hash of the row's natural id as ``salt_expr`` — NOT rand(),
+    which breaks retry/recompute determinism), the ``other`` side is
+    replicated ×n_salts, and the join key becomes (key, salt) — a hot
+    key's rows now spread over n_salts reducers.
+
+    Cost model: other side shuffles ×n_salts; use only when the skewed
+    key histogram warrants it and ``other`` is too big to broadcast
+    (broadcast makes salting moot).
+    """
+    left = skewed.withColumn("_salt", F.pmod(salt_expr, F.lit(n_salts)).cast("int"))
+    right = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return left.join(right, [key, "_salt"], how).drop("_salt")
+
+
+def two_stage_collect(
+    df: DataFrame,
+    key: str,
+    value: str,
+    salt_expr: Column,
+    n_salts: int = 8,
+) -> DataFrame:
+    """collect_list over a skewed key without a single-reducer hot spot:
+    stage 1 collects per (key, salt) — n_salts bounded partials per hot
+    key — stage 2 flattens the partial lists. The result is sorted for
+    determinism (collect order is partitioning-dependent by contract).
+    """
+    staged = (
+        df.withColumn("_salt", F.pmod(salt_expr, F.lit(n_salts)).cast("int"))
+        .groupBy(key, "_salt")
+        .agg(F.collect_list(value).alias("_part"))
+    )
+    return (
+        staged.groupBy(key)
+        .agg(F.array_sort(F.flatten(F.collect_list("_part"))).alias(f"{value}s"))
+    )

@@ -472,6 +472,57 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     oracle="""
+    SELECT p.p_brand, count(*) AS n_li, round(sum(l.l_extendedprice), 4) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (engine surface; SURVEY §7 M6): revenue per brand
+    through a join whose fact side is salted on a deterministic row hash
+    and whose build side is replicated ×8. Semantics identical to the
+    plain join — that equivalence IS the oracle check. For when AQE's
+    skew split can't apply and the build side is too big to broadcast."""
+    from review_engine_spark.operators.skew import salted_equi_join
+
+    li = read_parquet_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = read_parquet_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_equi_join(
+        li,
+        part,
+        "p_partkey",
+        salt_expr=F.xxhash64("l_orderkey", "l_linenumber"),
+        n_salts=8,
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_li"),
+        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+    )
+
+
+@declared(
+    oracle="""
+    SELECT lang, list(doc_id ORDER BY doc_id) AS doc_ids
+    FROM documents GROUP BY lang
+    """
+)
+def q_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted collect_list (engine surface): same result as
+    q_group_collect, but no single reducer ever materializes a hot key's
+    full list — the partial lists are bounded to 1/8th before the final
+    flatten."""
+    from review_engine_spark.operators.skew import two_stage_collect
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return two_stage_collect(
+        docs, "lang", "doc_id", salt_expr=F.xxhash64("doc_id"), n_salts=8
+    )
+
+
+@declared(
+    oracle="""
     SELECT e1.event_id, count(e2.event_id) AS n_follow
     FROM events e1
     LEFT JOIN events e2
