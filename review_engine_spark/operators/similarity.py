@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from review_engine_spark.functions.vector import cosine_similarity, dot_product, l2_normalize
+from review_engine_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_normalize_rows,
+)
 
 __all__ = ["brute_force_topk", "lsh_topk", "ivf_topk"]
 
@@ -82,9 +86,9 @@ def lsh_topk(
     from pyspark.sql import SparkSession
 
     spark = corpus.sparkSession
-    unit = corpus.select(
+    unit = l2_normalize_rows(corpus, corpus_vec, "_unit").select(
         F.col(corpus_id),
-        array_to_vector(l2_normalize(F.col(corpus_vec))).alias("features"),
+        array_to_vector(F.col("_unit")).alias("features"),
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from review_engine_spark.functions.vector import cosine_similarity, dot_product, l2_normalize
+from review_engine_spark.functions.vector import cosine_similarity, dot_product
 from review_engine_spark.plans import declared
 from review_engine_spark.plans._oracle import sql_unit_vector
 from review_engine_spark.sources.io import read_parquet_table
@@ -59,12 +59,16 @@ def q_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H22: v / (||v|| + 1e-9) (rank.py:286-289, embed.py:77)."""
+    """H22: v / (||v|| + 1e-9) (rank.py:286-289, embed.py:77). Uses the
+    staged DataFrame form — O(dim) per row regardless of vector width."""
+    from review_engine_spark.functions.vector import l2_normalize_rows
+
     emb = read_parquet_table(spark, sf_dir, "embeddings")
-    unit = F.transform(
-        l2_normalize(F.col("embedding")), lambda x: F.round(x, 6)
+    staged = l2_normalize_rows(emb, "embedding", "_unit")
+    return staged.select(
+        "vec_id",
+        F.transform(F.col("_unit"), lambda x: F.round(x, 6)).alias("unit"),
     )
-    return emb.select("vec_id", unit.alias("unit"))
 
 
 @declared(
