@@ -377,3 +377,26 @@ try:
 
 except ImportError:  # pragma: no cover — hypothesis is baked in, but be safe
     pass
+
+
+def test_l2_normalize_rows_matches_expression(spark):
+    """Staged DataFrame form ≡ Column form (including null and zero
+    vectors), just O(dim) instead of O(dim²) per row."""
+    from review_engine_spark.functions.vector import l2_normalize, l2_normalize_rows
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, None)],
+        "id long, v array<double>",
+    )
+    via_expr = {
+        r["id"]: r["u"]
+        for r in df.select("id", l2_normalize(F.col("v")).alias("u")).collect()
+    }
+    via_rows = {
+        r["id"]: r["u"]
+        for r in l2_normalize_rows(df, "v", "u").select("id", "u").collect()
+    }
+    assert via_rows == via_expr
+    assert via_rows[1] == pytest.approx([0.6, 0.8])
+    assert via_rows[2] == pytest.approx([0.0, 0.0])
+    assert via_rows[3] is None
