@@ -638,13 +638,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window (engine surface, §2.E remainder): per-user
-    rolling 1-hour sum. The frame is value-based (epoch seconds), so ties
-    in ts are peers on both engines — no explicit tie-break needed."""
+    rolling 1-hour sum. The frame is value-based, so ties in ts are peers
+    on both engines — no explicit tie-break needed. Ordered on
+    ``unix_micros``, NOT a seconds cast: truncating to seconds silently
+    shifts the frame boundary for events with sub-second timestamps
+    (caught by the sf0.1 oracle sweep — sf0.01 data never collided)."""
     ev = read_parquet_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",

@@ -33,6 +33,14 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # post-shuffle partitions coalesce toward ~64 MB — small enough to fit
+    # executor memory with headroom at 100 TB inputs, large enough to
+    # amortize task overhead
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+    # input-split sizing: 128 MB splits keep scan tasks ~seconds-long on
+    # parquet; explicit (not default-reliant) because spill behavior at
+    # the target scale depends on it (SURVEY §7 M6)
+    "spark.sql.files.maxPartitionBytes": "128MB",
     # --- Arrow everywhere Python touches data ---
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
