@@ -195,6 +195,48 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     oracle="""
+    WITH parts AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, '.'), 1) - 1 AS sent_idx,
+               unnest(string_split(text, '.')) AS raw
+        FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx,
+           trim(raw, ' \t\n\r') AS sentence
+    FROM parts WHERE trim(raw, ' \t\n\r') <> ''
+    """
+)
+def q_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 user-defined table function): 1 doc →
+    N sentence rows via LATERAL. Deliberately the SLOW path — the same
+    semantics compile to explode(split(...)) JVM-side (which is what the
+    oracle mirrors); the UDTF exists as the imperative 1→N extension
+    point (real sentence segmentation, parsers) and is capped here
+    because per-row Python is never the bulk path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, sent_idx: int, sentence: string")
+    class SentenceSplit:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            if text is None:
+                return
+            for i, part in enumerate(text.split(".")):
+                s = part.strip(" \t\n\r")
+                if s:
+                    yield doc_id, i, s
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    )
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT s.* FROM _udtf_docs, LATERAL sentence_split(doc_id, text) s"
+    )
+
+
+@declared(
+    oracle="""
     WITH r AS (
         SELECT doc_id, lang,
                row_number() OVER (
