@@ -390,6 +390,48 @@ def q_rag_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rag_answer(chunks, "what makes a table scan fast?")
 
 
+@declared(
+    oracle="""
+    WITH u AS (
+        SELECT user_id AS key, ts AS t, 1 AS is_event, event_id,
+               NULL::BIGINT AS o_orderkey
+        FROM events WHERE user_id < 60
+        UNION ALL
+        SELECT o_custkey, o_orderdate, 0, NULL, o_orderkey
+        FROM orders WHERE o_custkey < 60
+    ),
+    win AS (
+        SELECT event_id, is_event,
+               last_value(o_orderkey IGNORE NULLS) OVER (
+                   PARTITION BY key ORDER BY t, is_event, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS asof_o_orderkey
+        FROM u
+    )
+    SELECT event_id, asof_o_orderkey FROM win WHERE is_event = 1
+    """
+)
+def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-pandas as-of join (groupBy.cogroup.applyInPandas with a
+    per-key merge_asof) — SAME oracle as the relational q_asof_join, so
+    the two implementations are CI-checked equivalent. The pandas form is
+    the extension point for merge logic beyond relational algebra
+    (tolerance windows, nearest-direction, interpolation). Input capped:
+    one pandas invocation per key makes this the slow path by
+    construction — q_asof_join is the scale form."""
+    from review_engine_spark.operators.asof import asof_join_cogrouped
+
+    ev = read_parquet_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < 60
+    ).select(F.col("user_id").alias("key"), "ts", "event_id")
+    orders = read_parquet_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 60
+    ).select(F.col("o_custkey").alias("key"), "o_orderdate", "o_orderkey")
+    return asof_join_cogrouped(
+        ev, orders, "key", "ts", "o_orderdate", "event_id", "o_orderkey"
+    )
+
+
 @declared()
 def q_summarize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 pipeline shape (§3.1 tail, semantic.py:58-64): final top-3 cut
