@@ -1,0 +1,168 @@
+"""Collaborative-filtering recommenders (north-star surface).
+
+The reference ranks purely by content: cosine retrieval over pooled
+review embeddings plus metadata features (`semantic.py:37-41`,
+`rank.py:208-337`) — no user-history signal exists in its 5 modules.
+The north star adds the classic collaborative path on top of that
+content pipeline: MLlib ALS latent factors plus a relational item-item
+co-occurrence model. Both consume the same implicit-feedback table.
+
+Scale notes (100 TB):
+
+- ``implicit_ratings`` joins two fact tables on the order key; at scale
+  both sides are bucketed by ``l_orderkey``/``o_orderkey`` (see
+  ``sources.bucketing``) so the join is shuffle-free, and the group-by
+  on (user, item) is the only wide stage.
+- ``cooccurrence_topk`` collapses each order to a basket array with one
+  order-key shuffle, then explodes i<j pairs in place — no self-join,
+  so the fact table is scanned once and never shuffled twice. Pair
+  volume is O(rows x basket_size) because baskets are small (TPC-H-ish
+  <=13 lines/order); a pathological mega-basket would blow up
+  quadratically — production caps basket size before pairing
+  (``max_basket``), which also bounds per-task memory for the basket
+  rows.
+- ``als_recommend`` is iterative (driver-coordinated MLlib); its
+  shuffles are block-to-block and scale with the rating count, and the
+  final ``recommendForAllUsers`` is a blocked cross-product — the k cut
+  happens inside each block pair, never materializing |U| x |I|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["implicit_ratings", "cooccurrence_topk", "als_recommend"]
+
+
+def implicit_ratings(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    rating_col: str = "rating",
+) -> DataFrame:
+    """(user, item, rating) implicit-feedback table from the order facts.
+
+    Rating = total quantity the customer ever ordered of the part — the
+    standard implicit-preference strength signal (Hu/Koren/Volinsky 2008).
+    Only the three needed columns survive to the shuffle.
+    """
+    joined = lineitem.select("l_orderkey", "l_partkey", "l_quantity").join(
+        orders.select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return joined.groupBy(
+        F.col("o_custkey").alias(user_col), F.col("l_partkey").alias(item_col)
+    ).agg(F.round(F.sum("l_quantity"), 4).alias(rating_col))
+
+
+def cooccurrence_topk(
+    lineitem: DataFrame,
+    k: int = 5,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Item-item collaborative filtering via within-basket co-occurrence.
+
+    For each item, the top-k partner items ranked by cosine-normalized
+    lift ``c_ij / sqrt(c_i * c_j)`` (ties broken by partner id). Pairs
+    are generated one direction (i < j) by exploding basket arrays and
+    symmetrized by union — half the pair volume, no self-join. Lift is
+    rounded *before* ranking so the top-k cut is engine-stable (SURVEY
+    §2.L determinism rules).
+    """
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+    )
+    if max_basket is not None:
+        baskets = baskets.select(F.slice("items", 1, max_basket).alias("items"))
+    item_cnt = baskets.select(F.explode("items").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count("*").alias("n"))
+
+    # All i<j pairs per basket via nested explode — no self-join, no
+    # second pass over the fact table. `items` is a materialized column,
+    # so the inner filter lambda does not re-evaluate upstream work
+    # (cf. the O(n^2) HOF pitfall in NOTES.md).
+    pairs = (
+        baskets.select(F.col("items"), F.explode("items").alias("i"))
+        .select(
+            "i", F.explode(F.filter("items", lambda x: x > F.col("i"))).alias("j")
+        )
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "c")
+    )
+
+    ci = item_cnt.select(F.col("l_partkey").alias("i"), F.col("n").alias("ni"))
+    cj = item_cnt.select(F.col("l_partkey").alias("j"), F.col("n").alias("nj"))
+    scored = (
+        sym.join(F.broadcast(ci), "i")
+        .join(F.broadcast(cj), "j")
+        .select(
+            F.col("i").alias("item_id"),
+            F.col("j").alias("rec_item_id"),
+            F.round(F.col("c") / F.sqrt(F.col("ni") * F.col("nj")), 6).alias("lift"),
+            F.col("c").alias("together"),
+        )
+    )
+    w = Window.partitionBy("item_id").orderBy(F.desc("lift"), F.asc("rec_item_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= k
+    )
+
+
+def als_recommend(
+    ratings: DataFrame,
+    k: int = 5,
+    rank: int = 8,
+    max_iter: int = 5,
+    reg_param: float = 0.1,
+    alpha: float = 1.0,
+    seed: int = 42,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    rating_col: str = "rating",
+) -> DataFrame:
+    """MLlib ALS on implicit feedback → flat (user, item, rank, score).
+
+    ``implicitPrefs=True`` matches the quantity-as-confidence input from
+    ``implicit_ratings``; the seed pins initialization so a fixed input
+    gives a fixed model (rows-only check — iterative, not SQL).
+    """
+    from pyspark.ml.recommendation import ALS
+
+    als = ALS(
+        rank=rank,
+        maxIter=max_iter,
+        regParam=reg_param,
+        alpha=alpha,
+        implicitPrefs=True,
+        seed=seed,
+        userCol=user_col,
+        itemCol=item_col,
+        ratingCol=rating_col,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(
+        ratings.select(
+            F.col(user_col).cast("int").alias(user_col),
+            F.col(item_col).cast("int").alias(item_col),
+            F.col(rating_col).cast("float").alias(rating_col),
+        )
+    )
+    recs = model.recommendForAllUsers(k)
+    flat = recs.select(
+        F.col(user_col).cast("long").alias(user_col),
+        F.posexplode("recommendations").alias("pos", "rec"),
+    )
+    return flat.select(
+        user_col,
+        F.col(f"rec.{item_col}").cast("long").alias(item_col),
+        (F.col("pos") + 1).cast("long").alias("rec_rank"),
+        F.round(F.col("rec.rating").cast("double"), 6).alias("score"),
+    )

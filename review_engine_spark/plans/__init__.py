@@ -34,5 +34,6 @@ from review_engine_spark.plans import roster_rel  # noqa: E402,F401
 from review_engine_spark.plans import roster_vector  # noqa: E402,F401
 from review_engine_spark.plans import roster_rank  # noqa: E402,F401
 from review_engine_spark.plans import roster_ext  # noqa: E402,F401
+from review_engine_spark.plans import roster_recsys  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "declared"]

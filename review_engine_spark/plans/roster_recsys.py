@@ -1,0 +1,90 @@
+"""Collaborative-filtering roster queries (north-star: "MLlib ALS /
+collaborative filtering + DataFrame ops", BASELINE.json).
+
+The reference has no user-history signal (content ranking only,
+rank.py:208-337); these queries add the collaborative path over the
+fixture star schema: orders ⋈ lineitem as the implicit-feedback matrix.
+The relational half (ratings build, item-item co-occurrence) is
+oracle-checked; ALS itself is iterative MLlib → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from review_engine_spark.operators.recommend import (
+    als_recommend,
+    cooccurrence_topk,
+    implicit_ratings,
+)
+from review_engine_spark.plans import declared
+from review_engine_spark.sources.io import read_parquet_table
+
+
+@declared(
+    oracle="""
+    SELECT o.o_custkey AS user_id,
+           l.l_partkey AS item_id,
+           round(sum(l.l_quantity), 4) AS rating
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """
+)
+def q_implicit_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback (user, item, rating) matrix from order facts."""
+    return implicit_ratings(
+        read_parquet_table(spark, sf_dir, "orders"),
+        read_parquet_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@declared(
+    oracle="""
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cnt AS (SELECT l_partkey, count(*) AS n FROM basket GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS c
+        FROM basket a
+        JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT i, j, c FROM pairs
+        UNION ALL
+        SELECT j AS i, i AS j, c FROM pairs
+    ),
+    scored AS (
+        SELECT s.i AS item_id,
+               s.j AS rec_item_id,
+               round(s.c / sqrt(ci.n * cj.n), 6) AS lift,
+               s.c AS together
+        FROM sym s
+        JOIN cnt ci ON s.i = ci.l_partkey
+        JOIN cnt cj ON s.j = cj.l_partkey
+    )
+    SELECT item_id, rec_item_id, lift, together, rn
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY item_id ORDER BY lift DESC, rec_item_id
+               ) AS rn
+        FROM scored
+    )
+    WHERE rn <= 5
+    """
+)
+def q_cooccur_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item CF: top-5 co-purchased partners by normalized lift."""
+    return cooccurrence_topk(read_parquet_table(spark, sf_dir, "lineitem"), k=5)
+
+
+@declared()
+def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib ALS implicit-feedback top-5 per user (rows-only: iterative)."""
+    ratings = implicit_ratings(
+        read_parquet_table(spark, sf_dir, "orders"),
+        read_parquet_table(spark, sf_dir, "lineitem"),
+    )
+    return als_recommend(ratings, k=5)

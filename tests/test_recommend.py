@@ -1,0 +1,89 @@
+"""Collaborative-filtering operator tests (north-star: MLlib ALS +
+relational item-item CF; the reference has no user-history signal).
+"""
+
+from __future__ import annotations
+
+import math
+
+from review_engine_spark.operators.recommend import (
+    als_recommend,
+    cooccurrence_topk,
+    implicit_ratings,
+)
+
+LI_SCHEMA = "l_orderkey long, l_partkey long, l_quantity double"
+
+
+def test_implicit_ratings_sums_quantity(spark):
+    orders = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [(1, 7, 2.0), (1, 8, 1.0), (2, 7, 3.5), (3, 7, 1.0)], LI_SCHEMA
+    )
+    out = {
+        (r["user_id"], r["item_id"]): r["rating"]
+        for r in implicit_ratings(orders, li).collect()
+    }
+    assert out == {(100, 7): 5.5, (100, 8): 1.0, (200, 7): 1.0}
+
+
+def test_cooccurrence_lift_values(spark):
+    # parts 1,2 together twice; 1,3 once; 3 appears alone once more.
+    li = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 1.0), (2, 1, 1.0), (2, 2, 1.0), (3, 1, 1.0),
+         (3, 3, 1.0), (4, 3, 1.0)],
+        LI_SCHEMA,
+    )
+    rows = cooccurrence_topk(li, k=5).collect()
+    by_pair = {(r["item_id"], r["rec_item_id"]): r for r in rows}
+    # c(1)=3, c(2)=2, c(3)=2; lift(1,2) = 2/sqrt(3*2)
+    assert math.isclose(by_pair[(1, 2)]["lift"], round(2 / math.sqrt(6), 6))
+    assert by_pair[(1, 2)]["together"] == 2
+    # symmetric entry exists with the same lift
+    assert by_pair[(2, 1)]["lift"] == by_pair[(1, 2)]["lift"]
+    # item 1's best partner is 2 (lift 0.816) over 3 (1/sqrt(6)=0.408)
+    item1 = sorted(
+        (r for r in rows if r["item_id"] == 1), key=lambda r: r["rn"]
+    )
+    assert [r["rec_item_id"] for r in item1] == [2, 3]
+
+
+def test_cooccurrence_dedupes_repeated_lines(spark):
+    # same part twice in one order must count the pair once
+    li = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 1, 2.0), (1, 2, 1.0)], LI_SCHEMA
+    )
+    rows = cooccurrence_topk(li, k=5).collect()
+    by_pair = {(r["item_id"], r["rec_item_id"]): r["together"] for r in rows}
+    assert by_pair == {(1, 2): 1, (2, 1): 1}
+
+
+def test_cooccurrence_max_basket_caps_pairs(spark):
+    li = spark.createDataFrame(
+        [(1, p, 1.0) for p in range(1, 6)], LI_SCHEMA
+    )
+    # cap at 2 → only parts {1,2} survive → a single symmetric pair
+    rows = cooccurrence_topk(li, k=5, max_basket=2).collect()
+    assert {(r["item_id"], r["rec_item_id"]) for r in rows} == {(1, 2), (2, 1)}
+
+
+def test_als_recommend_shape_and_order(spark, sf_dir):
+    from review_engine_spark.sources.io import read_parquet_table
+
+    ratings = implicit_ratings(
+        read_parquet_table(spark, sf_dir, "orders"),
+        read_parquet_table(spark, sf_dir, "lineitem"),
+    )
+    recs = als_recommend(ratings, k=3, max_iter=2, rank=4)
+    assert recs.columns == ["user_id", "item_id", "rec_rank", "score"]
+    sample_user = recs.limit(1).collect()[0]["user_id"]
+    rows = sorted(
+        recs.filter(recs.user_id == sample_user).collect(),
+        key=lambda r: r["rec_rank"],
+    )
+    assert [r["rec_rank"] for r in rows] == [1, 2, 3]
+    # recommendForAllUsers orders by predicted score descending
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
