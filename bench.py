@@ -2,8 +2,9 @@
 
 Runs every declared roster query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], timing plan-build +
-execution to completion (count(), or collect() for top-k results), and
-prints ONE JSON line:
+execution to completion (count(), or collect() for top-k results) and
+reporting best-of-N (default 2: first run pays one-time codegen JIT,
+the warm run is steady state). Prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q_...": sec, ...}, "sf": 0.1}
@@ -26,7 +27,10 @@ def main() -> int:
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
-    ap.add_argument("--repeat", type=int, default=1)
+    # best-of-2 by default: the first run pays one-time whole-stage-codegen
+    # JIT compile (~1.5s on the regex-heavy plans — measured, NOTES.md);
+    # the warm run is the steady-state per-query cost that scales with data
+    ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
