@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from review_engine_spark.functions.text import STOPWORDS
@@ -555,3 +555,129 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     qs = [r["embedding"] for r in emb.filter(F.col("vec_id") < 2).collect()]
     return lsh_topk(emb, qs, k=5)
+
+
+@declared(
+    oracle="""
+    SELECT a.p_partkey AS left_id, b.p_partkey AS right_id,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 8
+    """
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K fuzzy near-dup: Levenshtein within (brand, size) blocks.
+    Blocking bounds the pair count to O(sum block²) ≪ N², the classic
+    record-linkage shape; the edit-distance UDF-free builtin keeps it
+    JVM-side on both engines."""
+    part = read_parquet_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("left_id"), F.col("p_name").alias("lname"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("right_id"), F.col("p_name").alias("rname"),
+    )
+    return (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select(
+            "left_id",
+            "right_id",
+            F.levenshtein("lname", "rname").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 8)
+    )
+
+
+_PMI_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+@declared(
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_PMI_TOKS_SQL} AS toks FROM documents),
+    uni AS (
+        SELECT u.tok, count(*) AS c FROM d, unnest(d.toks) AS u(tok) GROUP BY 1
+    ),
+    bi AS (
+        SELECT b.bigram, count(*) AS c
+        FROM d, unnest(
+            list_transform(range(1, len(d.toks)), i -> d.toks[i] || ' ' || d.toks[i + 1])
+        ) AS b(bigram)
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT (SELECT sum(c) FROM uni) AS n_tok, (SELECT sum(c) FROM bi) AS n_bi
+    )
+    SELECT bigram, c AS n_pair, pmi, rn FROM (
+        SELECT bi.bigram, bi.c,
+               round(ln((bi.c / tot.n_bi) /
+                     ((ux.c / tot.n_tok) * (uy.c / tot.n_tok))), 6) AS pmi,
+               row_number() OVER (
+                   ORDER BY round(ln((bi.c / tot.n_bi) /
+                       ((ux.c / tot.n_tok) * (uy.c / tot.n_tok))), 6) DESC,
+                   bi.bigram
+               ) AS rn
+        FROM bi, tot
+        JOIN uni ux ON ux.tok = string_split(bi.bigram, ' ')[1]
+        JOIN uni uy ON uy.tok = string_split(bi.bigram, ' ')[2]
+        WHERE bi.c >= 5
+    )
+    WHERE rn <= 20
+    """
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K collocation mining: top-20 adjacent-token bigrams by PMI
+    (min support 5) — the phrase-extraction pass of a training-data
+    pipeline. Unigram and bigram counts are two hash aggregations over
+    exploded tokens; totals come back as a broadcast 1-row join (D7)."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    d = docs.select(toks.alias("toks"))
+    uni = d.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("c")
+    )
+    grams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat_ws(' ', toks[i - 1], toks[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = d.select(F.explode(grams).alias("bigram")).groupBy("bigram").agg(
+        F.count("*").alias("c")
+    )
+    tot = uni.agg(F.sum("c").alias("n_tok")).crossJoin(
+        bi.agg(F.sum("c").alias("n_bi"))
+    )
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
+    scored = (
+        bi.filter(F.col("c") >= 5)
+        .withColumn("x", F.split("bigram", " ").getItem(0))
+        .withColumn("y", F.split("bigram", " ").getItem(1))
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            F.col("c").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c") / F.col("n_bi"))
+                    / ((F.col("cx") / F.col("n_tok")) * (F.col("cy") / F.col("n_tok")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("bigram"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= 20
+    )

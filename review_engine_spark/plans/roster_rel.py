@@ -777,3 +777,95 @@ def q_ts_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "avg_v",
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.D engine surface: explicit GROUPING SETS, analytic window functions,
+# and a key-skew profiler (the diagnostic behind §4.2's AQE-skew notes).
+# ---------------------------------------------------------------------------
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(sum(l_extendedprice), 4) AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@declared(oracle=_GROUPING_SETS_SQL)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond q_rollup/q_cube's fixed lattices).
+    Same SQL text runs on both engines — Spark parses it natively."""
+    read_parquet_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@declared(
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(dense_rank() OVER (
+               PARTITION BY user_id ORDER BY round(value, 6) DESC
+           ) AS BIGINT) AS dr,
+           round(percent_rank() OVER (
+               PARTITION BY user_id ORDER BY round(value, 6) DESC
+           ), 6) AS pr,
+           CAST(ntile(4) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS BIGINT) AS quartile,
+           round(lead(value, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ), 6) AS next_v
+    FROM events
+    """
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function surface: dense_rank / percent_rank (deterministic
+    under ties), ntile / lead (total order via event_id tie-break)."""
+    ev = read_parquet_table(spark, sf_dir, "events")
+    by_value = Window.partitionBy("user_id").orderBy(F.round("value", 6).desc())
+    by_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.dense_rank().over(by_value).cast("long").alias("dr"),
+        F.round(F.percent_rank().over(by_value), 6).alias("pr"),
+        F.ntile(4).over(by_time).cast("long").alias("quartile"),
+        F.round(F.lead("value", 1).over(by_time), 6).alias("next_v"),
+    )
+
+
+@declared(
+    oracle="""
+    WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT l_partkey, n, round(n / total, 6) AS share, rn
+    FROM (
+        SELECT c.l_partkey, c.n, t.total,
+               row_number() OVER (ORDER BY c.n DESC, c.l_partkey) AS rn
+        FROM c, t
+    )
+    WHERE rn <= 20
+    """
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key profiler: top-20 join keys by frequency with traffic share.
+    The operational input to salting / AQE-skew decisions (operators.skew):
+    one pre-aggregated pass, then a 1-row total broadcast back (D7)."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("l_partkey"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "l_partkey",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+    )
