@@ -681,3 +681,110 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
         F.col("rn") <= 20
     )
+
+
+@declared(
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    c AS (
+        SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM s
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS BIGINT) AS chunk_idx,
+           array_to_string(toks[start + 1:start + 64], ' ') AS chunk_text,
+           CAST(least(64, n - start) AS BIGINT) AS n_tok
+    FROM c
+    """
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-corpus prep: overlapping 64-token chunks, stride 48. Narrow
+    map + explode — no shuffle; chunk partitioning follows the scan."""
+    from review_engine_spark.operators.chunking import chunk_documents
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", chunk_size=64, stride=48)
+
+
+@declared(
+    oracle="""
+    WITH m AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN ma > 0 THEN list_transform(
+                    embedding,
+                    x -> CAST(round(round(CAST(x AS DOUBLE) / (ma / 127.0), 6), 0) AS BIGINT))
+                ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+           END AS codes,
+           round(ma / 127.0, 9) AS scale
+    FROM m
+    """
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8-style vector quantization: 4× storage cut for the
+    similarity-search corpus; scale column enables dequantization."""
+    from review_engine_spark.operators.chunking import quantize_vector
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    codes, scale = quantize_vector(F.col("embedding"))
+    return emb.select(
+        "vec_id", codes.alias("codes"), scale.alias("scale")
+    )
+
+
+@declared(
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT a.p_partkey AS a, b.p_partkey AS b
+        FROM part a
+        JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 8
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    reach(node, r) AS (
+        SELECT DISTINCT a AS node, a AS r FROM sym
+        UNION
+        SELECT s.a AS node, reach.r FROM sym s JOIN reach ON s.b = reach.node
+    ),
+    lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT node, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS csize
+    FROM lab
+    """
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the fuzzy near-dup
+    pair graph (q_fuzzy_pairs edges). Iterative min-label + pointer-jump
+    on the Spark side; the deterministic output (component = min member
+    id) is oracle-checked against a recursive-CTE transitive closure."""
+    from review_engine_spark.operators.cluster import connected_components
+
+    part = read_parquet_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("left_id"), F.col("p_name").alias("lname"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("right_id"), F.col("p_name").alias("rname"),
+    )
+    edges = (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .filter(F.levenshtein("lname", "rname") <= 8)
+        .select("left_id", "right_id")
+    )
+    labels = connected_components(edges, "left_id", "right_id")
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "node", "cluster_id", F.count("*").over(w).cast("long").alias("csize")
+    )

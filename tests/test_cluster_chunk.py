@@ -1,0 +1,84 @@
+"""Tests: connected components, document chunking, vector quantization."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from review_engine_spark.operators.chunking import (
+    chunk_documents,
+    dequantize_vector,
+    quantize_vector,
+)
+from review_engine_spark.operators.cluster import connected_components
+
+
+def _labels(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_cc_two_components(spark):
+    out = _labels(spark, [(1, 2), (2, 3), (10, 11)])
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_long_chain_converges(spark):
+    # a 40-node path: min-label alone needs 39 rounds; pointer jumping
+    # must resolve it inside the default max_iter
+    out = _labels(spark, [(i, i + 1) for i in range(1, 40)])
+    assert set(out.values()) == {1}
+    assert len(out) == 40
+
+
+def test_cc_self_loops_and_duplicates_ignored(spark):
+    out = _labels(spark, [(5, 5), (1, 2), (2, 1), (1, 2)])
+    assert out == {1: 1, 2: 1}
+
+
+def test_chunking_windows_and_tail(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_size=4, stride=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # starts 0,3,6,9 → windows of 4 tokens, last is the 1-token tail
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[1]["chunk_text"] == "t3 t4 t5 t6"
+    assert rows[3]["chunk_text"] == "t9"
+    assert [r["n_tok"] for r in rows] == [4, 4, 4, 1]
+
+
+def test_chunking_empty_doc_yields_no_chunks(spark):
+    df = spark.createDataFrame([(1, "   "), (2, "one two")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_size=4, stride=3).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    vec = [0.5, -1.0, 0.25, 0.0]
+    df = spark.createDataFrame([(1, vec)], "id long, v array<double>")
+    codes, scale = quantize_vector(F.col("v"))
+    out = df.select(
+        codes.alias("codes"), scale.alias("scale"),
+        dequantize_vector(codes, scale).alias("back"),
+    ).collect()[0]
+    assert out["codes"] == [64, -127, 32, 0]
+    # max error is half a quantization step
+    step = 1.0 / 127.0
+    for orig, back in zip(vec, out["back"]):
+        # step/2 plus slack for the 9-digit-rounded scale column
+        assert abs(orig - back) <= step / 2 + 1e-6
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "id long, v array<double>")
+    codes, scale = quantize_vector(F.col("v"))
+    out = df.select(codes.alias("c"), scale.alias("s")).collect()[0]
+    assert out["c"] == [0, 0] and out["s"] == 0.0
