@@ -788,3 +788,56 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "node", "cluster_id", F.count("*").over(w).cast("long").alias("csize")
     )
+
+
+@declared(
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents"
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 surface, CSV format: write scalar columns to CSV, re-read with
+    an explicit schema, hash-match the parquet original (ints/strings
+    round-trip exactly; arrays are excluded by construction)."""
+    from review_engine_spark.sources.io import read_csv, write_csv
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    write_csv(docs, tmp)
+    return read_csv(
+        spark, tmp, "doc_id long, lang string, source string, n_chars long"
+    )
+
+
+@declared(
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS qty,
+           round(l_extendedprice, 4) AS price, l_returnflag
+    FROM lineitem
+    """
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 surface, ORC format: columnar sink + re-scan; doubles are
+    stored bit-exact so the oracle hash-match is strict."""
+    from review_engine_spark.sources.io import read_orc, write_orc
+
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 4).alias("qty"),
+        F.round("l_extendedprice", 4).alias("price"),
+        "l_returnflag",
+    )
+    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    write_orc(li, tmp)
+    return read_orc(spark, tmp)
+
+
+@declared()
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup: dropDuplicatesWithinWatermark over the
+    finite events source (rows-only; row count = distinct keys, pinned
+    against the batch distinct in tests)."""
+    from review_engine_spark.streaming.jobs import run_stream_dedup
+
+    return run_stream_dedup(spark, sf_dir)

@@ -19,9 +19,13 @@ from review_engine_spark.schemas import FIXTURE_SCHEMAS
 
 __all__ = [
     "read_jsonl",
+    "read_csv",
+    "read_orc",
     "read_parquet_table",
     "read_tables",
     "write_jsonl_gz",
+    "write_csv",
+    "write_orc",
     "write_parquet",
 ]
 
@@ -34,6 +38,61 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     review_count) typed instead of string-widened.
     """
     return spark.read.schema(schema).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan with an explicit schema (never inferSchema — that is a
+    full extra pass and widens nullable numerics to string). CSV is
+    splittable when uncompressed, so unlike .jsonl.gz the read
+    parallelism does not depend on file count."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar with predicate pushdown + column pruning,
+    same optimizer treatment as parquet (vectorized reader, stats-based
+    stripe skipping)."""
+    return spark.read.orc(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    compression: str | None = None,
+) -> None:
+    """CSV sink. Arrays/structs are not CSV-representable — callers
+    serialize them first (``to_json``); doubles round-trip via Spark's
+    shortest-repr formatter."""
+    writer = df.write.mode(mode).option("header", str(header).lower())
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.csv(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
 
 
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

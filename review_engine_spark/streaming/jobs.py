@@ -25,6 +25,7 @@ __all__ = [
     "run_tumbling_count_batchlike",
     "sessionize",
     "run_sessionize_stateful",
+    "run_stream_dedup",
 ]
 
 
@@ -196,3 +197,46 @@ def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 h
             "total_v",
         )
     )
+
+
+def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark`` —
+    the ingest-time dedup of a training-data pipeline: keep the first
+    arrival per (user_id, event_type) key; the watermark bounds how long
+    each key's fingerprint is held in the state store (unbounded
+    dropDuplicates state is the classic streaming OOM at 100 TB/day).
+
+    Driven to completion over the finite events source; output row count
+    equals the distinct key count, which is what the rows-only check
+    pins.
+    """
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = "stream_dedup_out"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    out = spark.table(name)
+    return spark.createDataFrame(out.toPandas(), out.schema)

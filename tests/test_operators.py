@@ -325,3 +325,24 @@ def test_predict_batch_udf_path(spark):
         score(F.lit("a query"), F.col("text")).alias("s")
     ).collect()
     assert all(0.0 <= r["s"] < 1.0 for r in scored)
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over the finite source must keep
+    exactly one row per key — same cardinality and key set as the batch
+    distinct."""
+    from review_engine_spark.plans.roster_ext import q_stream_dedup
+    from review_engine_spark.sources.io import read_parquet_table
+
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in q_stream_dedup(spark, sf_dir).collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in read_parquet_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
