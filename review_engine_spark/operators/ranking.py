@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from review_engine_spark.functions.scoring import MMR_LAMBDA
 
-__all__ = ["top_k_by", "mmr_diversify", "priced_first"]
+__all__ = ["top_k_by", "mmr_diversify", "mmr_diversify_grouped", "priced_first"]
 
 
 def top_k_by(df: DataFrame, score_col: str, id_col: str, k: int) -> DataFrame:
@@ -103,3 +103,80 @@ def mmr_diversify(
     return spark.createDataFrame(
         out, f"mmr_rank long, {id_col} {id_type}, {score_col} double"
     )
+
+
+def mmr_diversify_grouped(
+    candidates: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    vec_col: str,
+    k: int = 10,
+    mmr_lambda: float = MMR_LAMBDA,
+    epsilon: float = 1e-9,
+) -> DataFrame:
+    """Distributed MMR: one greedy diversification per group, fanned out
+    with ``applyInPandas`` — the batch/scale counterpart of
+    ``mmr_diversify`` (NOTES: the driver-side loop is fine for ONE
+    query's ≤200 candidates; serving many queries at once needs the
+    per-group parallel form).
+
+    Semantics per group are identical to ``mmr_diversify`` (same
+    normalize / None-as-zero / strict-``>`` tie rules), vectorized:
+    each pick updates a running max-similarity vector with one
+    matrix-vector product, so a group costs O(k·n·d) with BLAS doing
+    the work. The only shuffle keys candidates by group; group state
+    never leaves its task.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(candidates.dtypes)[id_col]
+    group_type = dict(candidates.dtypes)[group_col]
+    out_schema = (
+        f"{group_col} {group_type}, mmr_rank long, "
+        f"{id_col} {id_type}, {score_col} double"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        n = len(pdf)
+        scores = pdf[score_col].to_numpy(dtype=np.float64)
+        dim = next(
+            (len(v) for v in pdf[vec_col] if v is not None), 1
+        )
+        V = np.zeros((n, dim))
+        for i, v in enumerate(pdf[vec_col]):
+            if v is not None:
+                a = np.asarray(v, dtype=np.float64)
+                V[i] = a / (np.linalg.norm(a) + epsilon)
+        picked: list[int] = []
+        # -inf, not 0: max similarity to the selected set can be negative,
+        # and zeros would clamp it (rank.py:301-313 takes a true max)
+        max_sim = np.full(n, -np.inf)
+        taken = np.zeros(n, dtype=bool)
+        for _ in range(min(k, n)):
+            vals = (
+                scores
+                if not picked
+                else mmr_lambda * scores - (1.0 - mmr_lambda) * max_sim
+            )
+            vals = np.where(taken, -np.inf, vals)
+            best = int(np.argmax(vals))
+            picked.append(best)
+            taken[best] = True
+            max_sim = np.maximum(max_sim, V @ V[best])
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].iloc[picked].to_numpy(),
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int64),
+                id_col: pdf[id_col].iloc[picked].to_numpy(),
+                score_col: np.round(scores[picked], 6),
+            }
+        )
+
+    return candidates.select(group_col, id_col, score_col, vec_col).groupBy(
+        group_col
+    ).applyInPandas(_mmr, out_schema)

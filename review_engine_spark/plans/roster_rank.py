@@ -266,3 +266,25 @@ def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         k=10,
     )
+
+
+@declared()
+def q_mmr_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 scale path: per-group MMR via applyInPandas — one greedy
+    diversification per label group running in parallel (the batch
+    many-queries-at-once counterpart of q_mmr; asserted equal to the
+    driver-side loop per group in tests)."""
+    from review_engine_spark.operators.ranking import mmr_diversify_grouped
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    cands = emb.select(
+        "label",
+        "vec_id",
+        # deterministic pseudo-relevance (same device as q_rank_blend's
+        # stub scores): modular hash of the id
+        (F.round((F.col("vec_id") * 37 % 97) / 97.0, 6)).alias("rel"),
+        "embedding",
+    )
+    return mmr_diversify_grouped(
+        cands, "label", "vec_id", "rel", "embedding", k=5
+    )

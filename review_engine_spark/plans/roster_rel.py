@@ -869,3 +869,80 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 20)
     )
+
+
+@declared(
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS qp_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty,
+           round(stddev_samp(l_extendedprice), 4) AS price_sd
+    FROM lineitem GROUP BY 1
+    """
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate surface: corr / covar_pop / regr_slope /
+    stddev_samp per group — one partial+final hash aggregation."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qp_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qp_covar"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+            "price_per_qty"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
+    )
+
+
+@declared(
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+           round(quantile_cont(l_quantity, 0.99), 6) AS q99
+    FROM lineitem GROUP BY 1
+    """
+)
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated per-group percentiles (never percentile_approx
+    on an oracle path — SURVEY §2.D5)."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_quantity", F.lit(p)), 6).alias(name)
+            for p, name in [(0.25, "q25"), (0.50, "q50"), (0.75, "q75"), (0.99, "q99")]
+        ]
+    )
+
+
+@declared(
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           round(bucket * 50000.0, 2) AS lo,
+           round((bucket + 1) * 50000.0, 2) AS hi,
+           count(*) AS n
+    FROM b GROUP BY 1
+    """
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (floor arithmetic — deterministic,
+    unlike sampled width_bucket bounds); one hash aggregation."""
+    o = read_parquet_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * 50000.0, 2).alias("lo"),
+            F.round((F.col("bucket") + 1) * 50000.0, 2).alias("hi"),
+            "n",
+        )
+    )

@@ -346,3 +346,78 @@ def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_grouped_mmr_matches_driver_loop(spark, sf_dir):
+    """applyInPandas grouped MMR must reproduce the driver-side greedy
+    loop group by group (same normalize/tie/None rules)."""
+    from review_engine_spark.operators.ranking import (
+        mmr_diversify,
+        mmr_diversify_grouped,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # distinct per-id relevance: with dense score ties the two
+    # implementations can differ by float-summation order on the
+    # (1-λ)·max_sim term; tie semantics are pinned exactly in
+    # test_grouped_mmr_tie_semantics below instead
+    cands = emb.select(
+        "label",
+        "vec_id",
+        F.round(F.col("vec_id") / 1000.0, 6).alias("rel"),
+        "embedding",
+    )
+    grouped = {
+        (r["label"], r["mmr_rank"]): r["vec_id"]
+        for r in mmr_diversify_grouped(
+            cands, "label", "vec_id", "rel", "embedding", k=4
+        ).collect()
+    }
+    labels = [r["label"] for r in cands.select("label").distinct().collect()]
+    for lbl in labels:
+        one = mmr_diversify(
+            spark,
+            cands.filter(F.col("label") == lbl).drop("label"),
+            "vec_id",
+            "rel",
+            "embedding",
+            k=4,
+        ).collect()
+        for r in one:
+            assert grouped[(lbl, r["mmr_rank"])] == r["vec_id"]
+
+
+def test_grouped_mmr_tie_semantics(spark):
+    """Exact-arithmetic tie case: equal scores and 0/1 orthogonal vectors
+    make every float path exact, so tie handling (first-seen in
+    relevance-then-id order) must match the driver loop bit-for-bit."""
+    from review_engine_spark.operators.ranking import (
+        mmr_diversify,
+        mmr_diversify_grouped,
+    )
+
+    rows = [
+        ("g", 1, 0.5, [1.0, 0.0, 0.0]),
+        ("g", 2, 0.5, [1.0, 0.0, 0.0]),   # duplicate of 1, same score
+        ("g", 3, 0.5, [0.0, 1.0, 0.0]),   # orthogonal, same score
+        ("g", 4, 0.25, [0.0, 0.0, 1.0]),  # lower score, orthogonal
+    ]
+    df = spark.createDataFrame(
+        rows, "label string, vec_id long, rel double, vec array<double>"
+    )
+    got = [
+        (r["mmr_rank"], r["vec_id"])
+        for r in mmr_diversify_grouped(
+            df, "label", "vec_id", "rel", "vec", k=4
+        ).orderBy("mmr_rank").collect()
+    ]
+    want = [
+        (r["mmr_rank"], r["vec_id"])
+        for r in mmr_diversify(
+            spark, df.drop("label"), "vec_id", "rel", "vec", k=4
+        ).collect()
+    ]
+    assert got == want
+    # and the picks make sense: 1 (first tie), then 3 (orthogonal beats
+    # the duplicate 2), then 4 (diversity), duplicate 2 last
+    assert [v for _, v in got] == [1, 3, 4, 2]
