@@ -946,3 +946,29 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@declared(
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(list_sum(list_transform(range(0, 16), i ->
+               ((((l_partkey % 65536) >> i) & 1) << (2 * i))
+               + ((((l_suppkey % 65536) >> i) & 1) << (2 * i + 1))
+           )) AS BIGINT) AS zkey
+    FROM lineitem
+    """
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) layout key over (partkey, suppkey): sort-by-zkey
+    turns parquet min/max footer stats into a 2-D skip index — the
+    multi-dimension answer to single-column range partitioning."""
+    from review_engine_spark.sources.bucketing import zorder_key
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(
+            F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536
+        ).alias("zkey"),
+    )

@@ -19,9 +19,16 @@ PartitionFilters present on partitioned scans).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-__all__ = ["write_bucketed_table", "read_table", "write_partitioned"]
+__all__ = [
+    "write_bucketed_table",
+    "read_table",
+    "write_partitioned",
+    "zorder_key",
+    "zorder_sort",
+]
 
 
 def write_bucketed_table(
@@ -50,3 +57,39 @@ def write_partitioned(
 ) -> None:
     """Directory-partitioned parquet for planning-time partition pruning."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` of two
+    non-negative ints — the multi-dimensional data-layout key behind
+    file skipping on two filter columns at once. Sorting by this key
+    clusters rows so min/max footer stats prune scans for predicates on
+    EITHER dimension (single-column sort only helps one).
+
+    Pure bit arithmetic (shift/and/or), evaluated JVM-side; callers mask
+    inputs into range (``x % (1 << bits)``) first if needed.
+    """
+    z: Column | None = None
+    for i in range(bits):
+        xi = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        yi = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        term = xi + yi
+        z = term if z is None else z + term
+    return z.cast("long")
+
+
+def zorder_sort(
+    df: DataFrame, x_col: str, y_col: str, bits: int = 16
+) -> DataFrame:
+    """Range-partition + sort by the Morton key — write this out and
+    parquet row-group stats become a 2-D index (each output file covers
+    a small Z-curve segment, i.e. a rectangle in (x, y) space)."""
+    keyed = df.withColumn(
+        "_zkey",
+        zorder_key(
+            F.col(x_col) % F.lit(1 << bits), F.col(y_col) % F.lit(1 << bits), bits
+        ),
+    )
+    return keyed.repartitionByRange("_zkey").sortWithinPartitions("_zkey").drop(
+        "_zkey"
+    )

@@ -55,3 +55,36 @@ def test_partitioned_scan_prunes(spark, sf_dir):
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:80]
     n_en = docs.filter(F.col("lang") == "en").count()
     assert back.count() == n_en
+
+
+def test_zorder_key_locality(spark):
+    """Nearby (x, y) points share Z-key prefixes: the max Z-key spread
+    inside a 4x4 tile is bounded, so sorted files cover rectangles."""
+    from review_engine_spark.sources.bucketing import zorder_key
+    from pyspark.sql import functions as F
+
+    pts = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    rows = pts.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    # exhaustive 16x16 grid: z is a bijection onto 0..255
+    zs = sorted(r["z"] for r in rows)
+    assert zs == list(range(256))
+    # locality: any 2x2-aligned tile occupies 4 consecutive z values
+    by_xy = {(r["x"], r["y"]): r["z"] for r in rows}
+    for tx in range(0, 16, 2):
+        for ty in range(0, 16, 2):
+            tile = [by_xy[(tx + dx, ty + dy)] for dx in (0, 1) for dy in (0, 1)]
+            assert max(tile) - min(tile) == 3
+
+
+def test_zorder_sort_clusters_files(spark):
+    from review_engine_spark.sources.bucketing import zorder_sort
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") * 7919 % 256).alias("a"), (F.col("id") * 104729 % 256).alias("b")
+    )
+    out = zorder_sort(df, "a", "b", bits=8)
+    assert out.columns == ["a", "b"]
+    assert out.count() == 1000
