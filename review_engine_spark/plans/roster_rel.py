@@ -972,3 +972,60 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536
         ).alias("zkey"),
     )
+
+
+@declared(
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS stage
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase, first-touch semantics; every
+    shuffle keyed on user_id so co-partitioning carries across steps."""
+    from review_engine_spark.operators.funnel import funnel_stages
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+@declared(
+    oracle="""
+    WITH f AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort
+        FROM events GROUP BY 1
+    ),
+    a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.d) AS BIGINT) AS offset,
+           count(DISTINCT a.user_id) AS n_active
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort × day-offset retention counts; (user, day) shuffled once,
+    output cardinality days² regardless of event volume."""
+    from review_engine_spark.operators.funnel import cohort_retention
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return cohort_retention(ev)

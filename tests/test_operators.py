@@ -421,3 +421,48 @@ def test_grouped_mmr_tie_semantics(spark):
     # and the picks make sense: 1 (first tie), then 3 (orthogonal beats
     # the duplicate 2), then 4 (diversity), duplicate 2 last
     assert [v for _, v in got] == [1, 3, 4, 2]
+
+
+def test_funnel_ordering_semantics(spark):
+    """A step only counts strictly after the previous step's first
+    completion — pre-view clicks and the abandoned tail must not count."""
+    from review_engine_spark.operators.funnel import funnel_stages
+    from datetime import datetime as dt
+
+    rows = [
+        # user 1: full funnel in order
+        (1, dt(2024, 1, 1, 0), "view"), (1, dt(2024, 1, 1, 1), "click"),
+        (1, dt(2024, 1, 1, 2), "purchase"),
+        # user 2: click BEFORE view → funnel stops at view
+        (2, dt(2024, 1, 1, 0), "click"), (2, dt(2024, 1, 1, 1), "view"),
+        # user 3: view then purchase but no click → stage 1
+        (3, dt(2024, 1, 1, 0), "view"), (3, dt(2024, 1, 1, 1), "purchase"),
+        # user 4: never viewed → absent from output
+        (4, dt(2024, 1, 1, 0), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["user_id"]: r for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["stage"] == 3 and out[1]["t3"] == dt(2024, 1, 1, 2)
+    assert out[2]["stage"] == 1 and out[2]["t2"] is None
+    assert out[3]["stage"] == 1
+
+
+def test_cohort_retention_offsets(spark):
+    from review_engine_spark.operators.funnel import cohort_retention
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 5), "x"), (1, dt(2024, 1, 3, 1), "x"),
+        (2, dt(2024, 1, 1, 9), "x"),
+        (3, dt(2024, 1, 2, 0), "x"), (3, dt(2024, 1, 3, 0), "x"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {(str(r["cohort"])[:10], r["offset"]): r["n_active"]
+           for r in cohort_retention(ev).collect()}
+    assert out == {
+        ("2024-01-01", 0): 2,   # users 1, 2 day-0
+        ("2024-01-01", 2): 1,   # user 1 returns on day 3
+        ("2024-01-02", 0): 1,   # user 3 cohort
+        ("2024-01-02", 1): 1,   # user 3 returns next day
+    }
