@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank"]
 
 
 def connected_components(
@@ -91,3 +91,62 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 10,
+) -> DataFrame:
+    """PageRank over a directed edge list → (node, rank).
+
+    Same iterative-DataFrame discipline as ``connected_components``:
+    the edge list and out-degrees are materialized once, each round is
+    join → aggregate → join (all keyed shuffles, 16-byte rows), and
+    lineage is truncated per round. Dangling mass (nodes with no
+    out-edges) is redistributed uniformly so ranks sum to 1 every
+    round. Rows-only surface: fixed-point floats are not hash-stable
+    across engines.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    e = e.distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    deg = e.groupBy("a").agg(F.count("*").alias("out_deg")).localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(max_iter):
+        contribs = (
+            e.join(deg, "a")
+            .join(ranks.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        # dangling nodes (no out-edges) leak their rank; redistribute
+        dangling = (
+            ranks.join(deg.withColumnRenamed("a", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping
+                    * (F.coalesce("in_sum", F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))

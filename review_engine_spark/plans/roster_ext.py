@@ -841,3 +841,34 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from review_engine_spark.streaming.jobs import run_stream_dedup
 
     return run_stream_dedup(spark, sf_dir)
+
+
+@declared()
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetric fuzzy near-dup part graph (rows-only:
+    iterative fixed-point floats). Returns the top-100 parts by rank —
+    the 'most central boilerplate' view of a dedup pair graph."""
+    from review_engine_spark.operators.cluster import pagerank
+
+    part = read_parquet_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("left_id"), F.col("p_name").alias("lname"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("right_id"), F.col("p_name").alias("rname"),
+    )
+    pairs = (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .filter(F.levenshtein("lname", "rname") <= 8)
+        .select("left_id", "right_id")
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("right_id").alias("left_id"), F.col("left_id").alias("right_id")
+        )
+    )
+    ranks = pagerank(edges, "left_id", "right_id", max_iter=8)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(100)

@@ -1029,3 +1029,61 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_parquet_table(spark, sf_dir, "events")
     return cohort_retention(ev)
+
+
+def _profile_oracle() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    parts = []
+    for c in cols:
+        parts.append(f"""
+        SELECT '{c}' AS col_name, count(*) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_str,
+               CAST(max({c}) AS VARCHAR) AS max_str
+        FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@declared(oracle=_profile_oracle())
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profiler (nulls / distincts / min / max per
+    column in ONE aggregation, not one job per column)."""
+    from review_engine_spark.operators.quality import profile_table
+
+    o = read_parquet_table(spark, sf_dir, "orders")
+    return profile_table(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    )
+
+
+@declared(
+    oracle="""
+    SELECT 'l_orderkey' AS fk_col,
+           CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey IS NOT NULL
+    UNION ALL
+    SELECT 'l_partkey' AS fk_col,
+           CAST(count(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+      ON l.l_partkey = p.p_partkey
+    WHERE l.l_partkey IS NOT NULL
+    """
+)
+def q_ri_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts per FK via anti-joins
+    (lineitem→orders, lineitem→part)."""
+    from review_engine_spark.operators.quality import ri_violations
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return ri_violations(
+        li,
+        [
+            ("l_orderkey", read_parquet_table(spark, sf_dir, "orders"), "o_orderkey"),
+            ("l_partkey", read_parquet_table(spark, sf_dir, "part"), "p_partkey"),
+        ],
+    )

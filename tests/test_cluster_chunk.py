@@ -82,3 +82,19 @@ def test_quantize_zero_vector(spark):
     codes, scale = quantize_vector(F.col("v"))
     out = df.select(codes.alias("c"), scale.alias("s")).collect()[0]
     assert out["c"] == [0, 0] and out["s"] == 0.0
+
+
+def test_pagerank_star_graph(spark):
+    """Star graph: the hub (all edges point to it) must out-rank leaves,
+    and ranks must sum to 1."""
+    from review_engine_spark.operators.cluster import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src long, dst long"
+    )
+    rows = {r["node"]: r["rank"] for r in pagerank(edges, max_iter=15).collect()}
+    assert abs(sum(rows.values()) - 1.0) < 1e-6
+    hub, leaves = rows[0], [rows[i] for i in range(1, 6)]
+    assert all(hub > leaf for leaf in leaves)
+    # leaves are symmetric
+    assert max(leaves) - min(leaves) < 1e-9
