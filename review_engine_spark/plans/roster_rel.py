@@ -1087,3 +1087,27 @@ def q_ri_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("l_partkey", read_parquet_table(spark, sf_dir, "part"), "p_partkey"),
         ],
     )
+
+
+@declared()
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (rows-only: sketch binary —
+    no DuckDB twin). Per-day HLL sketches of user_id are unioned into a
+    global estimate — the incremental pattern at scale: daily partitions
+    keep sketches, re-aggregation never rescans history. Estimate
+    accuracy vs exact is pinned in tests."""
+    ev = read_parquet_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("ALL").alias("day_s"), "est_users", "n_events")
+    per_day = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "n_events",
+    )
+    return per_day.unionByName(total)

@@ -466,3 +466,17 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-02", 0): 1,   # user 3 cohort
         ("2024-01-02", 1): 1,   # user 3 returns next day
     }
+
+
+def test_hll_union_estimate_close_to_exact(spark, sf_dir):
+    """Unioned per-day HLL sketches must estimate the global distinct
+    user count within HLL's expected error (lgK=12 → ~1.6% rse)."""
+    from review_engine_spark.plans.roster_rel import q_hll_mergeable
+    from review_engine_spark.sources.io import read_parquet_table
+
+    rows = {r["day_s"]: r["est_users"] for r in q_hll_mergeable(spark, sf_dir).collect()}
+    exact = (
+        read_parquet_table(spark, sf_dir, "events")
+        .select("user_id").distinct().count()
+    )
+    assert abs(rows["ALL"] - exact) <= max(2, exact * 0.05)
