@@ -1111,3 +1111,58 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
     )
     return per_day.unionByName(total)
+
+
+@declared(
+    oracle="""
+    WITH agg AS (
+        SELECT o_custkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS spend
+        FROM orders GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_mktsegment, a.n_orders, a.spend
+    FROM customer c FULL OUTER JOIN agg a ON c.c_custkey = a.o_custkey
+    """
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join surface: customer spine ⟗ order aggregates —
+    inactive customers keep null aggregates, orphan orders (if any)
+    keep a null spine."""
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    agg = (
+        read_parquet_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("spend"),
+        )
+    )
+    return cust.join(
+        agg, cust["c_custkey"] == agg["o_custkey"], "full_outer"
+    ).select("c_custkey", "c_mktsegment", "n_orders", "spend")
+
+
+@declared(
+    oracle="""
+    SELECT k, v, count(*) AS n FROM (
+        SELECT 'status' AS k, o_orderstatus AS v FROM orders
+        UNION ALL
+        SELECT 'priority' AS k, o_orderpriority AS v FROM orders
+    )
+    GROUP BY 1, 2
+    """
+)
+def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a map column from attributes, explode to
+    key/value rows, aggregate — the generic attributes-as-map path
+    (narrow explode, one count shuffle)."""
+    o = read_parquet_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return (
+        o.select(F.explode(m).alias("k", "v"))
+        .groupBy("k", "v")
+        .agg(F.count("*").alias("n"))
+    )
