@@ -124,6 +124,7 @@ def als_recommend(
     reg_param: float = 0.1,
     alpha: float = 1.0,
     seed: int = 42,
+    num_blocks: int | None = None,
     user_col: str = "user_id",
     item_col: str = "item_id",
     rating_col: str = "rating",
@@ -133,9 +134,19 @@ def als_recommend(
     ``implicitPrefs=True`` matches the quantity-as-confidence input from
     ``implicit_ratings``; the seed pins initialization so a fixed input
     gives a fixed model (rows-only check — iterative, not SQL).
+
+    ``num_blocks`` sizes the ALS block grid (shuffle width of every
+    iteration). The default scales with available parallelism instead
+    of MLlib's fixed 10 — at local scale the choice is noise-level, but
+    the block count is the knob that must grow with the cluster: on a
+    1000-executor run pass an explicit count sized to executors ×
+    cores / 2 so each block's normal-equation solve stays cache-sized.
     """
     from pyspark.ml.recommendation import ALS
 
+    if num_blocks is None:
+        par = ratings.sparkSession.sparkContext.defaultParallelism
+        num_blocks = max(2, min(16, par // 8))
     als = ALS(
         rank=rank,
         maxIter=max_iter,
@@ -143,6 +154,8 @@ def als_recommend(
         alpha=alpha,
         implicitPrefs=True,
         seed=seed,
+        numUserBlocks=num_blocks,
+        numItemBlocks=num_blocks,
         userCol=user_col,
         itemCol=item_col,
         ratingCol=rating_col,

@@ -98,3 +98,75 @@ def test_pagerank_star_graph(spark):
     assert all(hub > leaf for leaf in leaves)
     # leaves are symmetric
     assert max(leaves) - min(leaves) < 1e-9
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _doc = st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=5), min_size=0, max_size=40
+    ).map(" ".join)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(_doc, min_size=1, max_size=6), st.integers(2, 8), st.integers(1, 8))
+    def test_chunking_covers_every_token(spark, docs, chunk_size, stride):
+        """Every token of every doc appears in at least one chunk, chunk
+        windows are ≤ chunk_size tokens, and chunk 0 starts at token 0."""
+        stride = min(stride, chunk_size)  # stride > size would skip tokens
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        out = chunk_documents(df, chunk_size=chunk_size, stride=stride).collect()
+        by_doc: dict = {}
+        for r in out:
+            assert 1 <= r["n_tok"] <= chunk_size
+            by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"]
+        for i, doc in enumerate(docs):
+            toks = [t for t in doc.lower().split() if t]
+            if not toks:
+                assert i not in by_doc
+                continue
+            chunks = by_doc[i]
+            assert 0 in chunks
+            covered = []
+            for idx in sorted(chunks):
+                covered.extend(chunks[idx].split())
+            # stride ≤ size ⇒ concatenated windows cover the doc in order
+            # (with overlap); dedupe by position via reconstruction check
+            reconstructed = []
+            for idx in sorted(chunks):
+                start = idx * stride
+                reconstructed.extend(toks[start:start + chunk_size])
+            assert covered == reconstructed
+            assert set(toks) <= set(covered)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.floats(-1e6, 1e6, allow_nan=False, width=32),
+                min_size=1, max_size=16,
+            ),
+            min_size=1, max_size=8,
+        )
+    )
+    def test_quantize_property(spark, vecs):
+        """Codes stay in [-127, 127]; dequantized error ≤ half a step."""
+        dim = max(len(v) for v in vecs)
+        vecs = [v + [0.0] * (dim - len(v)) for v in vecs]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>"
+        )
+        codes, scale = quantize_vector(F.col("v"))
+        rows = df.select(
+            "id", codes.alias("c"), scale.alias("s"),
+            dequantize_vector(codes, scale).alias("back"), "v",
+        ).collect()
+        for r in rows:
+            assert all(-127 <= c <= 127 for c in r["c"])
+            step = r["s"] if r["s"] > 0 else 0.0
+            for orig, back in zip(r["v"], r["back"]):
+                assert abs(orig - back) <= step / 2 + max(1e-6, abs(orig) * 1e-5)
+
+except ImportError:  # pragma: no cover
+    pass
