@@ -872,3 +872,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, "left_id", "right_id", max_iter=8)
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(100)
+
+
+@declared()
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click→purchase
+    attribution within 1 hour); rows-only, asserted equal to the batch
+    interval join in tests."""
+    from review_engine_spark.streaming.jobs import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir)

@@ -26,6 +26,7 @@ __all__ = [
     "sessionize",
     "run_sessionize_stateful",
     "run_stream_dedup",
+    "run_stream_stream_join",
 ]
 
 
@@ -230,6 +231,77 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
             deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    out = spark.table(name)
+    return spark.createDataFrame(out.toPandas(), out.schema)
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase joined to the
+    same user's clicks in the preceding hour (attribution). Both sides
+    carry watermarks so the join state store is bounded: a click can be
+    evicted once the watermark passes its one-hour attribution window —
+    the state-size discipline that makes stream-stream joins viable at
+    100 TB/day (unbounded join state is the failure mode).
+
+    Driven to completion over the finite events source (append mode,
+    memory sink).
+    """
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def _src():
+        return (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    clicks = (
+        _src()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts < purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL 1 HOUR
+            """
+        ),
+    ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts")
+    name = "stream_stream_join_out"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
             .option("checkpointLocation", ckpt)

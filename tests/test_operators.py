@@ -480,3 +480,35 @@ def test_hll_union_estimate_close_to_exact(spark, sf_dir):
         .select("user_id").distinct().count()
     )
     assert abs(rows["ALL"] - exact) <= max(2, exact * 0.05)
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark, sf_dir):
+    """The watermarked stream-stream attribution join must produce
+    exactly the batch interval-join pairs (finite source, generous
+    watermark ⇒ nothing dropped)."""
+    from review_engine_spark.plans.roster_ext import q_stream_stream_join
+    from review_engine_spark.sources.io import read_parquet_table
+
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in q_stream_stream_join(spark, sf_dir).collect()
+    }
+    ev = read_parquet_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") < F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
