@@ -1166,3 +1166,58 @@ def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k", "v")
         .agg(F.count("*").alias("n"))
     )
+
+
+@declared(
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               round(o_totalprice * 1.1, 4) AS o_totalprice, 2 AS version
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice, 4) AS o_totalprice, 1 AS version
+        FROM orders
+    ),
+    merged AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderkey ORDER BY version DESC
+        ) AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(version AS BIGINT) AS version
+    FROM merged WHERE rn = 1
+    """
+)
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/SCD upsert as a relational op: base ∪ updates, latest version
+    per key wins (row_number over version desc). The MERGE-INTO shape
+    without a mutable table — one shuffle on the key; at scale the
+    update side is tiny and the window collapses to per-key top-1."""
+    o = read_parquet_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        F.lit(1).alias("version"),
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+            F.lit(2).alias("version"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            F.col("version").cast("long").alias("version"),
+        )
+    )
