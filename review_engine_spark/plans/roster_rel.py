@@ -1221,3 +1221,37 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("version").cast("long").alias("version"),
         )
     )
+
+
+@declared(
+    oracle="""
+    WITH bucketed AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               round(avg(value), 6) AS v_obs
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        FROM bucketed GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        FROM b
+    )
+    SELECT g.user_id, g.bucket, t.v_obs,
+           last_value(t.v_obs IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled,
+           t.v_obs IS NULL AS is_gap
+    FROM grid g
+    LEFT JOIN bucketed t ON g.user_id = t.user_id AND g.bucket = t.bucket
+    """
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to an hourly grid with forward fill; grid
+    explode bounded per key (no global calendar cross-join)."""
+    from review_engine_spark.operators.timeseries import resample_ffill
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return resample_ffill(ev)

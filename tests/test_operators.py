@@ -512,3 +512,19 @@ def test_stream_stream_join_matches_batch_interval_join(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_resample_ffill_gaps(spark):
+    from review_engine_spark.operators.timeseries import resample_ffill
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 15), 2.0),
+        (1, dt(2024, 1, 1, 0, 45), 4.0),   # same bucket → avg 3.0
+        (1, dt(2024, 1, 1, 3, 0), 9.0),    # hours 1, 2 are gaps
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sorted(resample_ffill(ev).collect(), key=lambda r: r["bucket"])
+    assert [r["v_obs"] for r in out] == [3.0, None, None, 9.0]
+    assert [r["v_filled"] for r in out] == [3.0, 3.0, 3.0, 9.0]
+    assert [r["is_gap"] for r in out] == [False, True, True, False]
