@@ -1255,3 +1255,46 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_parquet_table(spark, sf_dir, "events")
     return resample_ffill(ev)
+
+
+@declared(
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+        FROM customer
+    ),
+    g AS (SELECT nk, count(*) AS n_cust FROM c GROUP BY 1)
+    SELECT a.nk, a.n_cust, b.n_cust AS n_cust_b
+    FROM g a JOIN g b ON a.nk IS NOT DISTINCT FROM b.nk
+    """
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the NULL key
+    group joins itself instead of vanishing — required when NULL is a
+    legitimate bucket (e.g. 'missing nation' cohort)."""
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("c_nationkey")
+        ).alias("nk"),
+    )
+    g = c.groupBy("nk").agg(F.count("*").alias("n_cust"))
+    a = g.alias("a")
+    b = g.select(F.col("nk").alias("nk_b"), F.col("n_cust").alias("n_cust_b"))
+    return (
+        a.join(b, F.col("nk").eqNullSafe(F.col("nk_b")))
+        .select("nk", "n_cust", "n_cust_b")
+    )
+
+
+@declared()
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch per group (rows-only: sketch-dependent;
+    error vs exact interpolated percentiles pinned in tests)."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+    )

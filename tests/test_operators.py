@@ -528,3 +528,23 @@ def test_resample_ffill_gaps(spark):
     assert [r["v_obs"] for r in out] == [3.0, None, None, 9.0]
     assert [r["v_filled"] for r in out] == [3.0, 3.0, 3.0, 9.0]
     assert [r["is_gap"] for r in out] == [False, True, True, False]
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """approx_percentile with accuracy 10000 must sit within rank error
+    1/10000 of the exact interpolated percentile — checked by value
+    proximity on the fixture distribution."""
+    from review_engine_spark.sources.io import read_parquet_table
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("ap"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("ex"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["ap"] - r["ex"]) <= max(1.0, abs(r["ex"]) * 0.01)
