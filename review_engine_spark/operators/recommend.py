@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["implicit_ratings", "cooccurrence_topk", "als_recommend"]
+__all__ = ["implicit_ratings", "cooccurrence_topk", "als_recommend", "evaluate_cooccur_recommender"]
 
 
 def implicit_ratings(
@@ -178,4 +178,94 @@ def als_recommend(
         F.col(f"rec.{item_col}").cast("long").alias(item_col),
         (F.col("pos") + 1).cast("long").alias("rec_rank"),
         F.round(F.col("rec.rating").cast("double"), 6).alias("score"),
+    )
+
+
+def evaluate_cooccur_recommender(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    customer: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Offline hit-rate@k evaluation of the co-occurrence recommender.
+
+    Leave-latest-out protocol: each customer's most recent order (ties
+    by order key) is the test basket; the rest is training data. Each
+    customer's anchor is their most-purchased training item; the
+    recommendation list is the anchor's top-k co-occurrence partners
+    (trained only on training baskets — no test leakage). A customer
+    scores a hit if any recommended item appears in the held-out basket.
+    Output: (c_mktsegment, n_users, n_hits, hit_rate).
+
+    Every step is deterministic (explicit tie-breaks, lift rounded
+    before ranking) so the whole evaluation is oracle-checkable — the
+    eval harness is engine surface, not a side script.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    ranked = orders.select("o_orderkey", "o_custkey", "o_orderdate").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    test_orders = ranked.filter(F.col("rn") == 1).select("o_orderkey", "o_custkey")
+    train_orders = ranked.filter(F.col("rn") > 1).select("o_orderkey", "o_custkey")
+    li = lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+
+    train_li = li.join(
+        train_orders, li["l_orderkey"] == train_orders["o_orderkey"]
+    ).select("l_orderkey", "l_partkey", "l_quantity", "o_custkey")
+    test_basket = (
+        li.join(test_orders, li["l_orderkey"] == test_orders["o_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+
+    aw = Window.partitionBy("o_custkey").orderBy(
+        F.desc("qty"), F.asc("l_partkey")
+    )
+    anchor = (
+        train_li.groupBy("o_custkey", "l_partkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("qty"))
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("o_custkey", F.col("l_partkey").alias("anchor_item"))
+    )
+
+    recs = cooccurrence_topk(
+        train_li.select("l_orderkey", "l_partkey"), k=k
+    ).select(F.col("item_id").alias("anchor_item"), "rec_item_id")
+
+    user_recs = anchor.join(recs, "anchor_item").select(
+        "o_custkey", "rec_item_id"
+    )
+    hits = (
+        user_recs.join(
+            test_basket,
+            (user_recs["o_custkey"] == test_basket["o_custkey"])
+            & (user_recs["rec_item_id"] == test_basket["l_partkey"]),
+        )
+        .select(user_recs["o_custkey"])
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+
+    eligible = anchor.select("o_custkey").join(
+        test_basket.select("o_custkey").distinct(), "o_custkey"
+    )
+    scored = eligible.join(hits, "o_custkey", "left").select(
+        "o_custkey", F.coalesce("hit", F.lit(0)).alias("hit")
+    )
+    return (
+        scored.join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("hit").alias("n_hits"),
+            F.round(F.avg("hit"), 6).alias("hit_rate"),
+        )
     )

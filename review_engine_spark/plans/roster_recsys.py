@@ -88,3 +88,101 @@ def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_parquet_table(spark, sf_dir, "lineitem"),
     )
     return als_recommend(ratings, k=5)
+
+
+@declared(
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderkey, o_custkey,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ),
+    test_orders AS (SELECT o_orderkey, o_custkey FROM ranked WHERE rn = 1),
+    train_orders AS (SELECT o_orderkey, o_custkey FROM ranked WHERE rn > 1),
+    train_li AS (
+        SELECT l.l_orderkey, l.l_partkey, l.l_quantity, t.o_custkey
+        FROM lineitem l JOIN train_orders t ON l.l_orderkey = t.o_orderkey
+    ),
+    test_basket AS (
+        SELECT DISTINCT t.o_custkey, l.l_partkey
+        FROM lineitem l JOIN test_orders t ON l.l_orderkey = t.o_orderkey
+    ),
+    anchor AS (
+        SELECT o_custkey, l_partkey AS anchor_item FROM (
+            SELECT o_custkey, l_partkey,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY round(sum(l_quantity), 4) DESC, l_partkey
+                   ) AS arn
+            FROM train_li GROUP BY o_custkey, l_partkey
+        ) WHERE arn = 1
+    ),
+    basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM train_li),
+    cnt AS (SELECT l_partkey, count(*) AS n FROM basket GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS c
+        FROM basket a
+        JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT i, j, c FROM pairs UNION ALL SELECT j AS i, i AS j, c FROM pairs
+    ),
+    recs AS (
+        SELECT i AS anchor_item, j AS rec_item_id FROM (
+            SELECT s.i, s.j,
+                   row_number() OVER (
+                       PARTITION BY s.i
+                       ORDER BY round(s.c / sqrt(ci.n * cj.n), 6) DESC, s.j
+                   ) AS rrn
+            FROM sym s
+            JOIN cnt ci ON s.i = ci.l_partkey
+            JOIN cnt cj ON s.j = cj.l_partkey
+        ) WHERE rrn <= 5
+    ),
+    user_recs AS (
+        SELECT a.o_custkey, r.rec_item_id
+        FROM anchor a JOIN recs r ON a.anchor_item = r.anchor_item
+    ),
+    hits AS (
+        SELECT DISTINCT u.o_custkey
+        FROM user_recs u
+        JOIN test_basket t
+          ON u.o_custkey = t.o_custkey AND u.rec_item_id = t.l_partkey
+    ),
+    eligible AS (
+        SELECT a.o_custkey FROM anchor a
+        JOIN (SELECT DISTINCT o_custkey FROM test_basket) t
+          ON a.o_custkey = t.o_custkey
+    ),
+    scored AS (
+        SELECT e.o_custkey,
+               CASE WHEN h.o_custkey IS NULL THEN 0 ELSE 1 END AS hit
+        FROM eligible e LEFT JOIN hits h ON e.o_custkey = h.o_custkey
+    )
+    SELECT c.c_mktsegment,
+           count(*) AS n_users,
+           CAST(sum(s.hit) AS BIGINT) AS n_hits,
+           round(avg(s.hit), 6) AS hit_rate
+    FROM scored s JOIN customer c ON s.o_custkey = c.c_custkey
+    GROUP BY 1
+    """
+)
+def q_recsys_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline hit-rate@5 of the co-occurrence recommender under a
+    leave-latest-order-out protocol — deterministic end to end, so the
+    eval harness itself is oracle-checked engine surface."""
+    from review_engine_spark.operators.recommend import (
+        evaluate_cooccur_recommender,
+    )
+
+    return evaluate_cooccur_recommender(
+        read_parquet_table(spark, sf_dir, "orders"),
+        read_parquet_table(spark, sf_dir, "lineitem"),
+        read_parquet_table(spark, sf_dir, "customer"),
+        k=5,
+    )
