@@ -87,3 +87,41 @@ def test_als_recommend_shape_and_order(spark, sf_dir):
     # recommendForAllUsers orders by predicted score descending
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_eval_no_test_leakage(spark):
+    """An item pair that co-occurs ONLY in held-out orders must never be
+    recommended — the recommender trains strictly on training baskets."""
+    from datetime import datetime as dt
+    from review_engine_spark.operators.recommend import (
+        evaluate_cooccur_recommender,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            # customer 100: two orders — order 2 is latest (test)
+            (1, 100, dt(2024, 1, 1)), (2, 100, dt(2024, 1, 5)),
+            # customer 200: two orders
+            (3, 200, dt(2024, 1, 2)), (4, 200, dt(2024, 1, 6)),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 10, 1.0), (1, 11, 1.0),      # train: 10-11 co-occur
+            (2, 10, 1.0), (2, 99, 1.0),      # TEST only: 10-99 co-occur
+            (3, 10, 1.0), (3, 11, 1.0),      # train: 10-11 again
+            (4, 11, 1.0),                    # test basket for 200
+        ],
+        "l_orderkey long, l_partkey long, l_quantity double",
+    )
+    cust = spark.createDataFrame(
+        [(100, "SEG"), (200, "SEG")], "c_custkey long, c_mktsegment string"
+    )
+    out = evaluate_cooccur_recommender(orders, li, cust, k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    # both customers eligible; anchor=10 for both (min partkey tie-break);
+    # recs from TRAIN graph = {11} only (99 never trains). Customer 100's
+    # test basket {10, 99} has no 11 → miss; customer 200's test {11} → hit.
+    assert r["n_users"] == 2 and r["n_hits"] == 1 and r["hit_rate"] == 0.5
