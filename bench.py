@@ -4,10 +4,18 @@ Runs every declared roster query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], timing plan-build +
 execution to completion (count(), or collect() for top-k results) and
 reporting best-of-N (default 2: first run pays one-time codegen JIT,
-the warm run is steady state). Prints ONE JSON line:
+the warm run is steady state).
+
+The FINAL stdout line is ONE compact JSON object:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q_...": sec, ...}, "sf": 0.1}
+     "queries": {"q_...": sec, ...}, "sf": 0.1, "n_queries": N}
+
+Round 1 taught us the harness captures only a bounded tail of stdout, so
+the full 107-entry per-query map made the final line unparseable. The
+final line now carries only the slowest 8 queries in "queries"; the full
+map is written to BENCH_QUERIES.json next to this script and echoed
+line-by-line to stderr.
 
 Usage: python bench.py [--sf-dir DIR] [--repeat N] [query ...]
 """
@@ -64,14 +72,27 @@ def main() -> int:
 
     m = re.search(r"sf([0-9.]+)", args.sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
-    out = {
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
+    )
+    full = {
         "metric": "declared_query_wall_clock_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
     }
-    print(json.dumps(out))
+    with open(sidecar, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    for name, dt in timings.items():
+        print(f"# timing {name} {dt}", file=sys.stderr)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
+    )
+    out = dict(full, queries=slowest)
+    sys.stderr.flush()
+    print(json.dumps(out), flush=True)
     return 0
 
 

@@ -30,26 +30,68 @@ __all__ = [
 
 #: Declared entity subset for oracle-checkable unescaping. The reference
 #: uses ``html.unescape`` (full HTML5 entity table, embed.py:31); the
-#: engine's deterministic path covers the entities that occur in review
-#: text in practice. ``&amp;`` is replaced LAST so the chain matches
-#: html.unescape's single-pass semantics on inputs like ``&amp;lt;``
-#: (one pass yields ``&lt;``, not ``<``).
-HTML_ENTITIES: list[tuple[str, str]] = [
+#: engine's deterministic path covers the named entities that occur in
+#: review text in practice plus EVERY printable-ASCII numeric character
+#: reference — decimal ``&#39;`` and lowercase-hex ``&#x27;`` forms,
+#: semicolon-terminated (html.unescape also accepts unterminated refs and
+#: uppercase hex digits; those stay out of the declared subset).
+#:
+#: Ordering is load-bearing: every entity that DECODES TO ``&`` is
+#: replaced LAST so the chain matches html.unescape's single-pass
+#: semantics on inputs like ``&amp;lt;`` or ``&#38;#60;`` (one pass
+#: yields ``&lt;`` / ``&#60;``, never ``<``).
+_NAMED_ENTITIES: list[tuple[str, str]] = [
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
-    ("&#34;", '"'),
     ("&apos;", "'"),
-    ("&#39;", "'"),
     ("&nbsp;", " "),
-    ("&amp;", "&"),  # keep last
 ]
 
 
+def _printable_numeric_entities() -> list[tuple[str, str]]:
+    ents: list[tuple[str, str]] = []
+    for code in range(32, 127):
+        ch = chr(code)
+        if ch == "&":  # decodes to the entity-start char: amp group, last
+            continue
+        ents.append((f"&#{code};", ch))
+        ents.append((f"&#x{code:x};", ch))
+    return ents
+
+
+_NUMERIC_ENTITIES: list[tuple[str, str]] = _printable_numeric_entities()
+
+#: Replaced last (see ordering note above).
+_AMP_ENTITIES: list[tuple[str, str]] = [
+    ("&#38;", "&"),
+    ("&#x26;", "&"),
+    ("&amp;", "&"),
+]
+
+#: Full declared table (oracle generation walks this in order; the amp
+#: group is last by construction).
+HTML_ENTITIES: list[tuple[str, str]] = (
+    _NAMED_ENTITIES + _NUMERIC_ENTITIES + _AMP_ENTITIES
+)
+
+
 def unescape_html_entities(col: Column) -> Column:
-    """H1: unescape the declared HTML-entity subset (embed.py:31)."""
+    """H1: unescape the declared HTML-entity subset (embed.py:31).
+
+    The 188-step numeric chain is gated behind a ``contains('&#')`` check
+    so rows without numeric refs (the overwhelming majority of a review
+    corpus) pay only the 8 named/amp replaces; CASE WHEN short-circuits
+    per row in codegen, and the oracle SQL mirrors the same gate.
+    """
     out = col
-    for entity, repl in HTML_ENTITIES:
+    for entity, repl in _NAMED_ENTITIES:
+        out = F.replace(out, F.lit(entity), F.lit(repl))
+    numeric = out
+    for entity, repl in _NUMERIC_ENTITIES:
+        numeric = F.replace(numeric, F.lit(entity), F.lit(repl))
+    out = F.when(out.contains("&#"), numeric).otherwise(out)
+    for entity, repl in _AMP_ENTITIES:
         out = F.replace(out, F.lit(entity), F.lit(repl))
     return out
 

@@ -60,7 +60,7 @@ def implicit_ratings(
 def cooccurrence_topk(
     lineitem: DataFrame,
     k: int = 5,
-    max_basket: int | None = None,
+    max_basket: int | None = 256,
 ) -> DataFrame:
     """Item-item collaborative filtering via within-basket co-occurrence.
 
@@ -70,6 +70,14 @@ def cooccurrence_topk(
     symmetrized by union — half the pair volume, no self-join. Lift is
     rounded *before* ranking so the top-k cut is engine-stable (SURVEY
     §2.L determinism rules).
+
+    ``max_basket`` defaults ON (256): pair volume is quadratic in basket
+    size, so one pathological mega-basket (a wholesale account, a bot)
+    would emit b² pairs into a single task at scale. The cap keeps the
+    first 256 sorted item ids — deterministic, and a no-op on TPC-H-ish
+    baskets (≤7 lines/order), which is why the roster oracles mirror it
+    as a ``list_slice`` that never binds at test SF. Pass ``None`` to
+    disable.
     """
     baskets = (
         lineitem.select("l_orderkey", "l_partkey")

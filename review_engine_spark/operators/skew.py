@@ -36,7 +36,19 @@ def salted_equi_join(
     Cost model: other side shuffles ×n_salts; use only when the skewed
     key histogram warrants it and ``other`` is too big to broadcast
     (broadcast makes salting moot).
+
+    Only ``inner`` and ``left``(-outer) are supported: the ``other`` side
+    is replicated ×n_salts, so under right/full joins every unmatched
+    replica of an ``other`` row would surface — n_salts duplicates of
+    each unmatched right row — silently corrupting outer semantics.
+    Unmatched ``skewed`` rows are safe (each carries exactly one salt).
     """
+    allowed = {"inner", "left", "leftouter", "left_outer"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_equi_join supports how in {{'inner', 'left'}}, got {how!r}: "
+            "the replicated side breaks right/full outer-join semantics"
+        )
     left = skewed.withColumn("_salt", F.pmod(salt_expr, F.lit(n_salts)).cast("int"))
     right = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

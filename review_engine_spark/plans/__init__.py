@@ -36,4 +36,65 @@ from review_engine_spark.plans import roster_rank  # noqa: E402,F401
 from review_engine_spark.plans import roster_ext  # noqa: E402,F401
 from review_engine_spark.plans import roster_recsys  # noqa: E402,F401
 
+# ---------------------------------------------------------------------------
+# Driver-facing ordering. The round-1 harness checked only the FIRST 50
+# oracle entries in registration order, so the dicts are re-ordered to put
+# the highest-verification-value queries first:
+#   tier 1 — fixed since round 1 (events-read conf, array serialization,
+#            oracle dtype casts); need a green driver row to prove the fix;
+#   tier 2 — never driver-checked in round 1 (registry position > 50);
+#   tier 3 — any oracle query not in the two lists (i.e., newly added this
+#            round) — naturally lands after tier 2;
+#   tier 4 — the 33 queries the driver already proved green in round 1;
+#   tier 5 — rows-only queries (no oracle; bench covers execution).
+# ---------------------------------------------------------------------------
+
+_TIER1_FIXED = [
+    "q_window_lag", "q_window_running", "q_range_join", "q_asof_join",
+    "q_window_range", "q_hop_window", "q_json_extract", "q_date_trunc",
+    "q_ts_window", "q_window_analytics", "q_funnel", "q_cohort_retention",
+    "q_tokenize", "q_group_collect", "q_meanpool", "q_salted_collect",
+    "q_text_stats",
+]
+_R01_GREEN = [
+    "q_scan_docs", "q_scan_embeddings", "q_clean_text", "q_token_filter",
+    "q_tfidf", "q_parse_budget", "q_extract_summary", "q_dedup_exact",
+    "q_fingerprint", "q_join_meta", "q_join_anti", "q_group_count",
+    "q_price_stats", "q_percentile_norm", "q_distinct_count", "q_rollup",
+    "q_topk_window", "q_union", "q_intersect", "q_except", "q_semi_join",
+    "q_cube", "q_star_join", "q_salted_join", "q_pivot", "q_grouping_sets",
+    "q_skew_profile", "q_stats_agg", "q_group_percentiles", "q_histogram",
+    "q_zorder_key", "q_data_profile", "q_ri_check",
+]
+
+
+def _driver_order() -> list[str]:
+    seen: set[str] = set()
+    ordered: list[str] = []
+
+    def take(names):
+        for n in names:
+            if n in QUERIES and n not in seen:
+                seen.add(n)
+                ordered.append(n)
+
+    take(_TIER1_FIXED)
+    take(n for n in QUERIES if n in ORACLES and n not in _R01_GREEN)
+    take(n for n in QUERIES if n in ORACLES)
+    take(QUERIES)
+    return ordered
+
+
+def _reorder() -> None:
+    order = _driver_order()
+    q = {n: QUERIES[n] for n in order}
+    QUERIES.clear()
+    QUERIES.update(q)
+    o = {n: ORACLES[n] for n in order if n in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(o)
+
+
+_reorder()
+
 __all__ = ["QUERIES", "ORACLES", "declared"]

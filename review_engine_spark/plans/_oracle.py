@@ -10,16 +10,45 @@ regex (Spark) and RE2 (oracle).
 
 from __future__ import annotations
 
-from review_engine_spark.functions.text import BUDGET_PATTERNS, HTML_ENTITIES, STOPWORDS
+from review_engine_spark.functions.text import (
+    _AMP_ENTITIES,
+    _NAMED_ENTITIES,
+    _NUMERIC_ENTITIES,
+    BUDGET_PATTERNS,
+    STOPWORDS,
+)
 
 # --- H1-H7 clean_text chain (embed.py:13-51) -------------------------------
 
 
-def sql_unescape(expr: str) -> str:
+def _sql_replace_chain(expr: str, entities) -> str:
     out = expr
-    for entity, repl in HTML_ENTITIES:
+    for entity, repl in entities:
         out = f"replace({out}, '{entity}', '{repl.replace(chr(39), chr(39)*2)}')"
     return out
+
+
+def sql_unescape(expr: str) -> str:
+    """Mirrors unescape_html_entities: named chain, then the numeric
+    chain gated behind contains('&#'), then the amp group last (single-
+    pass html.unescape semantics — see functions.text.HTML_ENTITIES).
+
+    The 188-step numeric chain cannot nest as replace(replace(...)) in
+    DuckDB (binder recursion cap 128), so it runs as a flat list_reduce
+    over ``entity<SOH>code`` pair strings — same replacement order as the
+    Spark chain, one bind level.
+    """
+    named = _sql_replace_chain(expr, _NAMED_ENTITIES)
+    elems = ", ".join(
+        f"'{ent}' || chr(1) || '{ord(repl)}'" for ent, repl in _NUMERIC_ENTITIES
+    )
+    numeric = (
+        f"list_reduce(list_prepend({named}, [{elems}]), "
+        "(acc, e) -> replace(acc, string_split(e, chr(1))[1], "
+        "chr(CAST(string_split(e, chr(1))[2] AS INT))))"
+    )
+    gated = f"CASE WHEN contains({named}, '&#') THEN {numeric} ELSE {named} END"
+    return _sql_replace_chain(gated, _AMP_ENTITIES)
 
 
 def sql_clean_text(expr: str) -> str:

@@ -718,24 +718,32 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT vec_id,
-           CASE WHEN ma > 0 THEN list_transform(
-                    embedding,
-                    x -> CAST(round(round(CAST(x AS DOUBLE) / (ma / 127.0), 6), 0) AS BIGINT))
-                ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
-           END AS codes,
+           array_to_string(
+               CASE WHEN ma > 0 THEN list_transform(
+                        embedding,
+                        x -> CAST(round(round(CAST(x AS DOUBLE) / (ma / 127.0), 6), 0) AS BIGINT))
+                    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+               END, ',') AS codes,
            round(ma / 127.0, 9) AS scale
     FROM m
     """
 )
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8-style vector quantization: 4× storage cut for the
-    similarity-search corpus; scale column enables dequantization."""
+    similarity-search corpus; scale column enables dequantization.
+
+    The int8 code array is comma-serialized for output (identical integer
+    rendering on both engines) — the harness canonicalizer cannot hash raw
+    array cells. The quantize operator itself still produces the array.
+    """
     from review_engine_spark.operators.chunking import quantize_vector
 
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     codes, scale = quantize_vector(F.col("embedding"))
     return emb.select(
-        "vec_id", codes.alias("codes"), scale.alias("scale")
+        "vec_id",
+        F.concat_ws(",", codes).alias("codes"),
+        scale.alias("scale"),
     )
 
 

@@ -41,7 +41,15 @@ def q_implicit_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     oracle="""
-    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH b AS (
+        -- mirrors cooccurrence_topk's max_basket=256 skew cap: first 256
+        -- sorted distinct items per order (a no-op on TPC-H-ish baskets
+        -- of <= 7 lines, so the cap is exercised for parity, not effect)
+        SELECT l_orderkey,
+               list_slice(list_sort(list(DISTINCT l_partkey)), 1, 256) AS items
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    basket AS (SELECT l_orderkey, unnest(items) AS l_partkey FROM b),
     cnt AS (SELECT l_partkey, count(*) AS n FROM basket GROUP BY 1),
     pairs AS (
         SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS c

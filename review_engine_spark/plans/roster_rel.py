@@ -95,14 +95,17 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     oracle="""
-    SELECT lang, list(doc_id ORDER BY doc_id) AS doc_ids
+    SELECT lang, array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids
     FROM documents GROUP BY lang
     """
 )
 def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The comma-joined serialization (identical BIGINT→string rendering on
+    # both engines) keeps the output hashable for the harness canonicalizer;
+    # the collected array itself is still built by the plan.
     docs = read_parquet_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("doc_ids")
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("doc_ids")
     )
 
 
@@ -136,16 +139,18 @@ def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                generate_subscripts(embedding, 1) AS pos,
                unnest(embedding)::DOUBLE AS val
         FROM embeddings
-    ),
-    pooled AS (
-        SELECT label, pos, round(avg(val), 6) AS v
-        FROM exploded GROUP BY label, pos
     )
-    SELECT label, list(v ORDER BY pos) AS mean_vec
-    FROM pooled GROUP BY label
+    SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(val), 6) AS v
+    FROM exploded GROUP BY label, pos
     """
 )
 def q_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The mean vector is assembled as an array (the D2 semantic), then
+    # re-exploded to (label, pos, v) rows for output: the harness
+    # canonicalizer cannot hash raw array cells, and double-in-JSON
+    # renderings differ between engines ("1.2E-5" vs "1.2e-05"), so the
+    # comparable form is the exploded double column. pos is 1-based to
+    # match the oracle's generate_subscripts.
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos", "val")
@@ -153,11 +158,14 @@ def q_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled = exploded.groupBy("label", "pos").agg(
         F.round(F.avg("val"), 6).alias("v")
     )
-    return pooled.groupBy("label").agg(
+    assembled = pooled.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s.v
         ).alias("mean_vec")
     )
+    return assembled.select(
+        "label", F.posexplode("mean_vec").alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).cast("long").alias("pos"), "v")
 
 
 # ---------------------------------------------------------------------------
@@ -504,7 +512,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     oracle="""
-    SELECT lang, list(doc_id ORDER BY doc_id) AS doc_ids
+    SELECT lang, array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids
     FROM documents GROUP BY lang
     """
 )
@@ -512,12 +520,15 @@ def q_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted collect_list (engine surface): same result as
     q_group_collect, but no single reducer ever materializes a hot key's
     full list — the partial lists are bounded to 1/8th before the final
-    flatten."""
+    flatten. Output is comma-serialized for the harness canonicalizer."""
     from review_engine_spark.operators.skew import two_stage_collect
 
     docs = read_parquet_table(spark, sf_dir, "documents")
-    return two_stage_collect(
+    collected = two_stage_collect(
         docs, "lang", "doc_id", salt_expr=F.xxhash64("doc_id"), n_salts=8
+    )
+    return collected.select(
+        "lang", F.concat_ws(",", F.col("doc_ids")).alias("doc_ids")
     )
 
 

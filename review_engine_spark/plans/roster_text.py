@@ -98,7 +98,7 @@ def q_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     oracle=f"""
-    SELECT doc_id, {sql_tokenize('text')} AS tokens
+    SELECT doc_id, array_to_string({sql_tokenize('text')}, ' ') AS tokens
     FROM documents WHERE doc_id % 5 = 0
     """
 )
@@ -108,10 +108,14 @@ def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference's spaCy lemma pipeline (rank.py:144-160) is dead code;
     the engine keeps tokenize+stopword-removal relational and leaves
     lemmatization to the inference surface.
+
+    Output serializes the token array with a space separator (tokens are
+    whitespace-split, so the separator cannot occur inside a token) —
+    array columns are not hashable by the harness canonicalizer.
     """
     docs = read_parquet_table(spark, sf_dir, "documents")
     return docs.filter(F.col("doc_id") % 5 == 0).select(
-        "doc_id", tokenize(F.col("text")).alias("tokens")
+        "doc_id", F.concat_ws(" ", tokenize(F.col("text"))).alias("tokens")
     )
 
 
@@ -124,9 +128,9 @@ def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            count(*) AS n_docs,
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            round(avg(n_chars), 4) AS avg_chars,
-           sum(n_tokens) AS total_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM t GROUP BY lang
     """
 )

@@ -54,21 +54,36 @@ def q_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     oracle=f"""
-    SELECT vec_id, {sql_unit_vector('embedding')} AS unit
-    FROM embeddings
+    WITH u AS (
+        SELECT vec_id, {sql_unit_vector('embedding')} AS unit
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(generate_subscripts(unit, 1) AS BIGINT) AS pos,
+           unnest(unit)::DOUBLE AS u
+    FROM u
     """
 )
 def q_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H22: v / (||v|| + 1e-9) (rank.py:286-289, embed.py:77). Uses the
-    staged DataFrame form — O(dim) per row regardless of vector width."""
+    staged DataFrame form — O(dim) per row regardless of vector width.
+
+    The unit vector is built as an array (the H22 semantic) then exploded
+    to (vec_id, pos, u) double rows for output: the harness canonicalizer
+    cannot hash raw array cells, and doubles inside a string serialization
+    render differently across engines, so the comparable form is the
+    exploded double column. pos is 1-based to match generate_subscripts.
+    """
     from review_engine_spark.functions.vector import l2_normalize_rows
 
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     staged = l2_normalize_rows(emb, "embedding", "_unit")
     return staged.select(
         "vec_id",
-        F.transform(F.col("_unit"), lambda x: F.round(x, 6)).alias("unit"),
-    )
+        F.posexplode(
+            F.transform(F.col("_unit"), lambda x: F.round(x, 6))
+        ).alias("pos", "u"),
+    ).select("vec_id", (F.col("pos") + 1).cast("long").alias("pos"), "u")
 
 
 @declared(

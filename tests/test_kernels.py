@@ -400,3 +400,59 @@ def test_l2_normalize_rows_matches_expression(spark):
     assert via_rows[1] == pytest.approx([0.6, 0.8])
     assert via_rows[2] == pytest.approx([0.0, 0.0])
     assert via_rows[3] is None
+
+
+# --- HTML entity unescape vs html.unescape (embed.py:31) -------------------
+
+
+def test_unescape_named_and_numeric_entities(spark):
+    from review_engine_spark.functions.text import unescape_html_entities
+
+    cases = [
+        ("&lt;b&gt; &quot;x&quot; &apos;y&apos;", '<b> "x" \'y\''),
+        ("&#39;hi&#39; &#x27;there&#x27;", "'hi' 'there'"),
+        ("&#72;&#x65;&#108;&#x6c;&#111;", "Hello"),
+        # single-pass: entities decoding to '&' must not re-trigger
+        ("&amp;lt; &#38;gt; &#x26;#60;", "&lt; &gt; &#60;"),
+        ("no entities here", "no entities here"),
+        ("&#999; &#xzz; &# ;", "&#999; &#xzz; &# ;"),  # outside subset: kept
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "t string")
+    got = [r[0] for r in df.select(unescape_html_entities(F.col("t"))).collect()]
+    assert got == [w for _, w in cases]
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    # The declared subset: semicolon-terminated printable-ASCII numeric
+    # refs (decimal + lowercase hex) and the five named entities + amp
+    # group. html.unescape is the reference behavior (embed.py:31).
+    _entity = st.one_of(
+        st.integers(32, 126).map(lambda c: f"&#{c};"),
+        st.integers(32, 126).map(lambda c: f"&#x{c:x};"),
+        st.sampled_from(["&lt;", "&gt;", "&quot;", "&apos;", "&amp;"]),
+    )
+    _plain = st.text(
+        alphabet="abcXYZ 019.!?", min_size=0, max_size=6
+    )
+    _entity_text = st.lists(
+        st.one_of(_entity, _plain), min_size=0, max_size=8
+    ).map("".join)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(_entity_text, min_size=6, max_size=6))
+    def test_unescape_matches_html_unescape_property(spark, texts):
+        import html
+
+        from review_engine_spark.functions.text import unescape_html_entities
+
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        got = [
+            r[0] for r in df.select(unescape_html_entities(F.col("t"))).collect()
+        ]
+        for t, g in zip(texts, got):
+            assert g == html.unescape(t), f"unescape({t!r}) = {g!r}"
+
+except ImportError:  # pragma: no cover — hypothesis is baked in, but be safe
+    pass

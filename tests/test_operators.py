@@ -327,6 +327,67 @@ def test_predict_batch_udf_path(spark):
     assert all(0.0 <= r["s"] < 1.0 for r in scored)
 
 
+def test_predict_batch_udf_real_model_loader(spark):
+    """A real (non-stub) model callable through the J1/J3 constructors:
+    a numpy linear projection posing as an encoder, loaded once per
+    worker by ``make_model`` and fed Arrow numpy batches — the exact
+    wiring a SentenceTransformer/cross-encoder swap-in uses
+    (embed.py:73-78 / rank.py:15-41 batching semantics). Outputs are
+    verified value-for-value against the same model run driver-side."""
+    import numpy as np
+
+    from review_engine_spark.inference.batch import embedder_batch_udf, scorer_batch_udf
+
+    DIM = 4
+
+    def _featurize(texts):
+        # text -> 3 deterministic numeric features (stand-in tokenizer)
+        return np.array(
+            [[len(t), sum(t.encode()) % 97, t.count(" ")] for t in texts],
+            dtype=np.float64,
+        )
+
+    def make_encoder():
+        # "weights load" happens here, once per Python worker
+        w = np.arange(12, dtype=np.float64).reshape(3, DIM) / 10.0
+
+        def predict(inputs: np.ndarray) -> np.ndarray:
+            return _featurize([str(t) for t in inputs]) @ w
+
+        return predict
+
+    def make_scorer():
+        w = np.array([0.5, -0.25, 2.0])
+
+        def predict(queries: np.ndarray, docs: np.ndarray) -> np.ndarray:
+            q = _featurize([str(t) for t in queries])
+            d = _featurize([str(t) for t in docs])
+            return (q * d) @ w
+
+        return predict
+
+    texts = [f"doc {i} body {'x' * i}" for i in range(9)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+
+    embed = embedder_batch_udf(make_model=make_encoder, dim=DIM, batch_size=4)
+    got = {
+        r["id"]: r["v"]
+        for r in df.select("id", embed(F.col("text")).alias("v")).collect()
+    }
+    want = make_encoder()(np.array(texts))
+    for i, t in enumerate(texts):
+        assert got[i] == pytest.approx(list(want[i]), abs=1e-12)
+
+    score = scorer_batch_udf(make_model=make_scorer, batch_size=4)
+    got_s = [
+        r["s"]
+        for r in df.select(score(F.lit("the query"), F.col("text")).alias("s"))
+        .collect()
+    ]
+    want_s = make_scorer()(np.array(["the query"] * len(texts)), np.array(texts))
+    assert got_s == pytest.approx(list(want_s), abs=1e-12)
+
+
 def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
     """dropDuplicatesWithinWatermark over the finite source must keep
     exactly one row per key — same cardinality and key set as the batch

@@ -110,6 +110,30 @@ def main() -> int:
         if scols != ocols:
             ok = False
             msgs.append(f"cols {scols} vs {ocols}")
+        # Driver-hazard replication: the harness canonicalizer hashes raw
+        # pandas values, so (a) a list/ndarray cell crashes its sort, and
+        # (b) an int64-vs-float64 dtype split hash-mismatches even when
+        # values are numerically equal. Flag both as failures here.
+        if ok:
+            for frame, side in ((sdf, "spark"), (odf, "oracle")):
+                if len(frame) and any(
+                    isinstance(frame[c].iloc[0], (list, tuple))
+                    or type(frame[c].iloc[0]).__name__ == "ndarray"
+                    for c in frame.columns
+                ):
+                    ok = False
+                    msgs.append(f"{side} returns array cells (driver canonicalizer would crash)")
+                    break
+        if ok and len(sdf) and len(odf):
+            num = {"i", "u", "f"}
+            for c in sdf.columns:
+                sk, okind = sdf[c].dtype.kind, odf[c].dtype.kind
+                if sk != okind and sk in num and okind in num:
+                    ok = False
+                    msgs.append(
+                        f"dtype kind mismatch on '{c}': spark={sdf[c].dtype} "
+                        f"oracle={odf[c].dtype} (driver value-hash would differ)"
+                    )
         if ok and srows != orows:
             ok = False
             diff = next(
