@@ -119,6 +119,29 @@ def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared()
+def q_porter_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H13: Porter-stemmed token stream (rank.py:132-141 — dead code in
+    the reference, implemented for §2 inventory completeness). Rows-only
+    by design: no SQL-expressible oracle for the 1980 suffix-stripping
+    algorithm; correctness is pinned by unit tests against the paper's
+    published examples (tests/test_kernels.py).
+
+    Scale shape: tokenize is pure Catalyst; the stem itself is the one
+    Python hop, Arrow-batched over the already-filtered slice (the same
+    placement discipline as the multimodal decoders — Python after the
+    row cut, never before).
+    """
+    from review_engine_spark.functions.stemmer import stem_tokens_udf
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    stem = stem_tokens_udf()
+    return docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat_ws(" ", stem(tokenize(F.col("text")))).alias("stemmed"),
+    )
+
+
 @declared(
     oracle=f"""
     WITH t AS (

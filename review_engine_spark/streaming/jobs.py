@@ -109,7 +109,11 @@ def run_tumbling_count_batchlike(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_sessionize_stateful(
-    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    path_glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator (SURVEY §2.I stretch goal):
     gap-based sessionization via ``applyInPandasWithState``, driven to
@@ -118,14 +122,23 @@ def run_sessionize_stateful(
     Semantics match ``session_window`` exactly: a session is a maximal
     run of same-user events with inter-event gaps < ``gap_minutes``;
     ``session_end`` = last event + gap (asserted equal to the
-    session_window result in tests). Per group, state is the open
-    session; with the finite source each user's history arrives in one
-    micro-batch, so every session is emitted from that batch. On a live
-    stream the same function carries the open session in ``state`` and
-    emits on watermark timeout — the per-group pandas logic is unchanged,
-    which is the point of the operator: custom sequential session logic
-    that neither window() nor session_window() could express (e.g.
-    value-dependent gap rules) runs JVM-adjacent over Arrow batches.
+    session_window result in tests). The open session genuinely lives in
+    ``GroupState`` across micro-batches: each batch seeds from
+    ``state.get``, closes sessions the new events terminate, and writes
+    the still-open tail back via ``state.update``. Update-mode contract:
+    the open session is emitted *provisionally* each batch it changes,
+    keyed by (user_id, session_start) — a later batch that extends it
+    re-emits a superseding row under the same key, so downstream takes
+    the latest row per key (exactly how the cross-batch pytest reads the
+    memory sink). The point of the operator: custom sequential session
+    logic that neither window() nor session_window() could express
+    (e.g. value-dependent gap rules) runs JVM-adjacent over Arrow
+    batches with real cross-batch state.
+
+    Assumes per-user event-time arrives non-decreasing across batches
+    (file/backfill order); a row older than the open session's start is
+    folded by sort within its batch but cannot reopen an already-closed
+    session — the same horizon any watermarked sessionizer has.
 
     Scale: the only shuffle keys events by user_id; state per key is one
     open session struct, bounded by the watermark horizon.
@@ -141,9 +154,25 @@ def run_sessionize_stateful(
     state_schema = "open_start long, open_end long, n long, v double"
 
     def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # live-stream path: flush the open session
+            s0, s1, n, v = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(s0, unit="us")],
+                    "session_end": [pd.Timestamp(s1, unit="us") + gap],
+                    "n_events": [n],
+                    "total_v": [round(v, 4)],
+                }
+            )
+            return
         rows = pd.concat(list(pdfs)).sort_values("ts")
         sessions = []
         cur = None
+        if state.exists:  # seed the open session from the previous batch
+            s0, s1, n, v = state.get
+            cur = [pd.Timestamp(s0, unit="us"), pd.Timestamp(s1, unit="us"), n, v]
         for ts, v in zip(rows["ts"], rows["value"]):
             # new session when the gap is reached (session_window's
             # half-open [start, last+gap) boundary: an event at exactly
@@ -157,6 +186,8 @@ def run_sessionize_stateful(
             cur[2] += 1
             cur[3] += float(v)
         if cur is not None:
+            # keep the open tail in state; emit it provisionally below
+            state.update((cur[0].value // 1000, cur[1].value // 1000, cur[2], cur[3]))
             sessions.append(cur)
         yield pd.DataFrame(
             {
@@ -172,11 +203,15 @@ def run_sessionize_stateful(
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string"
     )
-    stream = (
+    reader = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", path_glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = (
+        reader.load(sf_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .select("user_id", "ts", "value")
     )

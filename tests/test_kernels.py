@@ -456,3 +456,72 @@ try:
 
 except ImportError:  # pragma: no cover — hypothesis is baked in, but be safe
     pass
+
+
+# --- Porter stemmer H13 (rank.py:132-141) ----------------------------------
+
+
+def test_porter_stem_paper_examples():
+    """Pinned outputs of the original Porter (1980) algorithm, traced
+    from the published paper's per-step examples through all five steps."""
+    from review_engine_spark.functions.stemmer import porter_stem
+
+    cases = {
+        # step 1a/1b/1c
+        "caresses": "caress", "ponies": "poni", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "fizzed": "fizz", "failing": "fail", "filing": "file",
+        "happy": "happi", "sky": "sky",
+        # step 2 (then 4/5 where they fire)
+        "relational": "relat", "conditional": "condit",
+        "rational": "ration", "valenci": "valenc", "hesitanci": "hesit",
+        "digitizer": "digit", "differentli": "differ",
+        "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope",
+        "callousness": "callous", "formaliti": "formal",
+        "sensitiviti": "sensit", "vietnamization": "vietnam",
+        "predication": "predic", "analogousli": "analog",
+        "vileli": "vile", "radicalli": "radic",
+        "conformabli": "conform",
+        # step 3
+        "triplicate": "triplic", "formative": "form",
+        "formalize": "formal", "electriciti": "electr",
+        "electrical": "electr", "hopeful": "hope", "goodness": "good",
+        # step 4
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "adjustable": "adjust",
+        "defensible": "defens", "irritant": "irrit",
+        "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt",
+        "communism": "commun", "activate": "activ",
+        "effective": "effect",
+        # step 5 (incl. the paper's GENERALIZATIONS/OSCILLATORS chains)
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "roll": "roll", "controlling": "control",
+        "oscillators": "oscil", "generalizations": "gener",
+    }
+    got = {w: porter_stem(w) for w in cases}
+    assert got == cases
+
+
+def test_porter_stem_reference_guard(spark):
+    """The reference wrapper (rank.py:136-141): lowercase first, and a
+    stem shorter than 3 chars falls back to the lowercased original —
+    and the Arrow-batched UDF applies the same wrapper per token."""
+    from review_engine_spark.functions.stemmer import (
+        stem_tokens_udf,
+        stem_with_guard,
+    )
+
+    assert stem_with_guard("ties") == "ties"  # stem "ti" < 3 chars
+    assert stem_with_guard("Dies") == "dies"
+    assert stem_with_guard("RUNNING") == "run"
+
+    df = spark.createDataFrame(
+        [(["ties", "RUNNING", "caresses"],), (None,)],
+        "toks array<string>",
+    )
+    out = [r[0] for r in df.select(stem_tokens_udf()(F.col("toks"))).collect()]
+    assert out == [["ties", "run", "caress"], None]

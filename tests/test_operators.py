@@ -609,3 +609,86 @@ def test_approx_percentile_error_bound(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r["ap"] - r["ex"]) <= max(1.0, abs(r["ex"]) * 0.01)
+
+
+def test_stateful_sessionize_merges_across_microbatches(spark, tmp_path):
+    """The open session must genuinely live in GroupState: with
+    maxFilesPerTrigger=1 the second file's events arrive in a later
+    micro-batch, and a session spanning the file boundary may only come
+    out whole if the state seeded it. Update-mode contract: the latest
+    row per (user_id, session_start) is the session's final form."""
+    import pandas as pd
+
+    from review_engine_spark.streaming.jobs import run_sessionize_stateful, sessionize
+
+    base = pd.Timestamp("2024-01-01 08:00:00")
+
+    def ns(minutes):
+        return int((base + pd.Timedelta(minutes=minutes)).value)
+
+    # (user_id, minutes-offset) per file; gap = 30 min
+    file_a = [(1, 120), (1, 130), (2, 60), (3, 0)]
+    file_b = [(1, 140), (1, 240), (2, 89), (3, 60)]
+
+    def write(rows, name):
+        pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": [ns(m) for _, m in rows],
+                "user_id": [u for u, _ in rows],
+                "event_type": "click",
+                "value": 1.0,
+                "props": "{}",
+            }
+        ).to_parquet(tmp_path / name)
+
+    import time as _time
+
+    write(file_a, "a_events.parquet")
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    write(file_b, "b_events.parquet")
+
+    raw = run_sessionize_stateful(
+        spark,
+        str(tmp_path),
+        gap_minutes=30,
+        path_glob="*_events.parquet",
+        max_files_per_trigger=1,
+    ).toPandas()
+
+    # supersede: keep the widest row per (user, session_start)
+    final = (
+        raw.sort_values("n_events")
+        .drop_duplicates(["user_id", "session_start"], keep="last")
+    )
+    # provisional rows from batch 1 must exist alongside their superseding
+    # rows — proof that two batches ran and re-emitted
+    assert len(raw) > len(final)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_v, 4))
+        for r in final.itertuples()
+    }
+    # cross-batch merge: user 1's first session spans the file boundary
+    # (2 events in batch 1 + 1 in batch 2 → one 3-event session)
+    assert (1, base + pd.Timedelta(minutes=120), base + pd.Timedelta(minutes=170), 3, 3.0) in got
+
+    # full equality vs the batch session_window reference on the same rows
+    all_rows = [
+        (u, (base + pd.Timedelta(minutes=m)).to_pydatetime(), 1.0)
+        for u, m in file_a + file_b
+    ]
+    batch = spark.createDataFrame(
+        all_rows, "user_id long, ts timestamp, value double"
+    )
+    want = {
+        (
+            r["user_id"],
+            pd.Timestamp(r["session_start"]),
+            pd.Timestamp(r["session_end"]),
+            r["n_events"],
+            round(r["total_v"], 4),
+        )
+        for r in sessionize(batch, gap="30 minutes").collect()
+    }
+    assert got == want
