@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_tokens", "chunk_documents", "quantize_vector", "dequantize_vector"]
+__all__ = [
+    "chunk_tokens",
+    "chunk_documents",
+    "quantize_vector",
+    "dequantize_vector",
+    "pack_sequences",
+    "assign_split",
+]
 
 
 def chunk_tokens(col: Column) -> Column:
@@ -100,3 +107,77 @@ def quantize_vector(v: Column) -> tuple[Column, Column]:
 def dequantize_vector(codes: Column, scale: Column) -> Column:
     """Inverse of ``quantize_vector``: codes[i] * scale."""
     return F.transform(codes, lambda c: c.cast("double") * scale)
+
+
+def pack_sequences(
+    df: DataFrame,
+    n_col: str,
+    id_col: str,
+    budget: int = 512,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Sequence packing for training-batch prep: group documents into
+    packs of ~``budget`` tokens using deterministic contiguous fill —
+    doc d joins the pack at floor(tokens-before-d / budget) within its
+    shard, so a document straddling a boundary overflows its pack rather
+    than splitting (closed-form, SQL-mirrorable; exact capped bin-packing
+    needs a sequential scan and lives behind applyInPandas if ever
+    needed — corpus docs ≪ budget make the overflow negligible).
+
+    Scale shape: a single global ordering would be one reducer, so
+    packing runs per shard (``pmod(id, n_shards)``) — n_shards
+    independent window sorts, deterministic pack membership regardless
+    of cluster layout. pack_id = shard·2⁴⁰ + local pack ordinal.
+
+    Returns (id, n, shard, pack_id, pack_pos).
+    """
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum_before = F.coalesce(
+        F.sum(n_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    staged = df.select(
+        F.col(id_col), F.col(n_col), shard.alias("shard")
+    ).withColumn("_local", F.floor(cum_before / budget))
+    wp = Window.partitionBy("shard", "_local").orderBy(id_col)
+    return staged.select(
+        F.col(id_col),
+        F.col(n_col),
+        F.col("shard"),
+        (F.col("shard").cast("long") * (1 << 40) + F.col("_local")).alias(
+            "pack_id"
+        ),
+        F.row_number().over(wp).cast("long").alias("pack_pos"),
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    train: float = 0.9,
+    val: float = 0.05,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash: stable across
+    runs, engines, and partitionings (the property random() splits lack),
+    so downstream joins against either side never leak.
+
+    The hash is a 31-bit LCG step (a=1103515245, c=12345 — the classic
+    ANSI-C constants) over ``id mod 2³¹``: pure integer arithmetic that
+    evaluates identically in Spark and any SQL oracle, with no reliance
+    on engine-specific hash functions. Adds a ``split`` column.
+    """
+    m = 2147483648  # 2^31
+    h = F.pmod(
+        F.pmod(F.col(id_col), F.lit(m)) * F.lit(1103515245) + F.lit(12345),
+        F.lit(m),
+    )
+    frac = h.cast("double") / F.lit(float(m))
+    return df.withColumn(
+        "split",
+        F.when(frac < train, F.lit("train"))
+        .when(frac < train + val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

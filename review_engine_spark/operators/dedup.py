@@ -36,6 +36,7 @@ __all__ = [
     "rh_signatures",
     "rh_signatures_batch",
     "embedding_near_dups",
+    "contamination_check",
 ]
 
 
@@ -511,4 +512,55 @@ def ngram_jaccard_pairs(
     ).alias("jaccard")
     return pairs.select("left_id", "right_id", F.round(jac, 6).alias("jaccard")).filter(
         F.col("jaccard") >= min_jaccard
+    )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text_col: str,
+    id_col: str,
+    probe_id_col: str = "probe_id",
+    k: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination scan: for each (training doc, probe doc)
+    pair, the count and fraction of the probe's distinct k-token shingles
+    that appear verbatim in the training doc — the standard n-gram
+    overlap test run before a pretraining corpus ships (probes = eval
+    benchmark items).
+
+    Output: (id, probe_id, n_shared, probe_n, overlap_frac) for pairs
+    with n_shared >= min_shared.
+
+    Scale shape: both sides reduce to distinct (id, shingle-hash) rows —
+    the join carries 8-byte hashes, never text — and the probe side (a
+    benchmark, thousands of rows, not billions) is broadcast, so the
+    corpus never shuffles. Equality on xxhash64 stands in for equality
+    on the shingle string (collision odds ~n²/2⁶⁴; an oracle that joins
+    on the raw shingle text agrees except on such collisions).
+    """
+    c = (
+        shingle_hash_rows(corpus, text_col, id_col, k)
+        .select(F.col(id_col), "h")
+        .distinct()
+    )
+    p_rows = shingle_hash_rows(probes, text_col, id_col, k).select(
+        F.col(id_col).alias(probe_id_col), "h"
+    ).distinct()
+    probe_n = p_rows.groupBy(probe_id_col).agg(F.count("*").alias("probe_n"))
+    shared = (
+        c.join(F.broadcast(p_rows), "h")
+        .groupBy(id_col, probe_id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return shared.join(F.broadcast(probe_n), probe_id_col).select(
+        F.col(id_col),
+        F.col(probe_id_col),
+        F.col("n_shared"),
+        F.col("probe_n"),
+        F.round(F.col("n_shared") / F.col("probe_n").cast("double"), 6).alias(
+            "overlap_frac"
+        ),
     )

@@ -16,6 +16,7 @@ __all__ = [
     "quality_score",
     "bpe_ish_token_count",
     "winnow_fingerprints",
+    "repetition_stats",
     "LANG_MARKERS",
 ]
 
@@ -99,6 +100,46 @@ def bpe_ish_token_count(col: Column) -> Column:
     pieces = F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"))
     long_words = F.regexp_count(col, F.lit(r"[A-Za-z]{8,}"))
     return (pieces + long_words).cast("long")
+
+
+def repetition_stats(df, text_col: str, id_col: str):
+    """Gopher-style repetition filters for pretraining-corpus curation:
+    per document, the duplicate-token fraction (1 − distinct/total) and
+    the most-frequent-token fraction — the two cheapest signals that a
+    page is boilerplate, keyword stuffing, or a scraped table. Returns
+    ``(id, n_tokens, dup_token_frac, top_token_frac)``, one row per
+    document with ≥1 token.
+
+    Scale shape: explode → two-level hash aggregate. The first groupBy
+    keys on (doc_id, token) so partial aggregation collapses each
+    document's repeats map-side — the shuffle carries one row per
+    distinct (doc, token), not per token occurrence. The narrow
+    alternative (array_distinct + a frequency HOF) avoids the shuffle
+    but is O(tokens × distinct) per row — quadratic on exactly the
+    repetitive documents this filter exists to catch.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok")
+    )
+    cnt = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    return (
+        cnt.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_tokens").cast("double"), 6
+            ).alias("dup_token_frac"),
+            F.round(F.col("top_c") / F.col("n_tokens").cast("double"), 6).alias(
+                "top_token_frac"
+            ),
+        )
+    )
 
 
 def winnow_fingerprints(

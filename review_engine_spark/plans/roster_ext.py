@@ -109,6 +109,143 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   string_split_regex(lower(text), '\s+'), t -> t <> ''
+               )) AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_token_frac,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_token_frac
+    FROM cnt GROUP BY doc_id
+    """
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K quality filtering, repetition family (Gopher-rule style):
+    duplicate-token fraction and most-frequent-token fraction per doc —
+    the boilerplate/keyword-stuffing signals a pretraining curation
+    pipeline thresholds on."""
+    from review_engine_spark.operators.textstats import repetition_stats
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id")
+
+
+@declared(
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(doc_id % 8 AS INT) AS shard
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, shard,
+               COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0
+               ) AS cum_before
+        FROM s
+    ),
+    p AS (
+        SELECT doc_id, n_tokens, shard,
+               CAST(floor(cum_before / 512) AS BIGINT) AS local
+        FROM c
+    )
+    SELECT doc_id, n_tokens, shard,
+           shard * 1099511627776 + local AS pack_id,
+           CAST(row_number() OVER (
+               PARTITION BY shard, local ORDER BY doc_id) AS BIGINT) AS pack_pos
+    FROM p
+    """
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch sequence packing: deterministic contiguous fill to
+    a 512-token budget, sharded 8 ways so no global sort exists (each
+    shard's window sort runs independently — the layout a 1000-executor
+    packing job needs)."""
+    from review_engine_spark.functions.text import token_count
+    from review_engine_spark.operators.chunking import pack_sequences
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, "n_tokens", "doc_id", budget=512, n_shards=8)
+
+
+@declared(
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN h < 0.9 THEN 'train'
+                WHEN h < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
+                   / 2147483648.0 AS h
+        FROM documents
+    )
+    """
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by id-hash — stable
+    across runs, engines, and partitionings (rand()-based splits are
+    not), so joins against either side never leak."""
+    from review_engine_spark.operators.chunking import assign_split
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return assign_split(docs.select("doc_id"), "doc_id").select("doc_id", "split")
+
+
+@declared(
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               list_filter(string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '
+               ), t -> t <> '') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+               ))) AS g
+        FROM norm
+    ),
+    c AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0),
+    p AS (SELECT doc_id AS probe_id, g FROM grams WHERE doc_id % 97 = 0),
+    pn AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS probe_n
+           FROM p GROUP BY 1),
+    sh AS (
+        SELECT c.doc_id, p.probe_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM c JOIN p ON c.g = p.g GROUP BY 1, 2
+    )
+    SELECT sh.doc_id, sh.probe_id, n_shared, probe_n,
+           round(n_shared / CAST(probe_n AS DOUBLE), 6) AS overlap_frac
+    FROM sh JOIN pn USING (probe_id)
+    """
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: 3-gram overlap of every training doc
+    against a probe set (docs with doc_id % 97 == 0 stand in for a held-
+    out benchmark). The probe side broadcasts; the corpus joins on 8-byte
+    shingle hashes and never shuffles its text."""
+    from review_engine_spark.operators.dedup import contamination_check
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_check(corpus, probes, "text", "doc_id", k=3)
+
+
+@declared(
     oracle="""
     WITH t AS (
         SELECT doc_id,

@@ -170,3 +170,47 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_pack_sequences_invariants(spark):
+    from review_engine_spark.operators.chunking import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 300) for i in range(60)], "doc_id long, n long"
+    )
+    out = pack_sequences(df, "n", "doc_id", budget=512, n_shards=4).collect()
+    # every doc assigned exactly once
+    assert sorted(r["doc_id"] for r in out) == list(range(60))
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for rows in by_pack.values():
+        # pack_pos is 1..n within the pack, ordered by doc_id
+        rows = sorted(rows, key=lambda r: r["pack_pos"])
+        assert [r["pack_pos"] for r in rows] == list(range(1, len(rows) + 1))
+        assert [r["doc_id"] for r in rows] == sorted(r["doc_id"] for r in rows)
+        # contiguous fill: all docs in a pack share a shard
+        assert len({r["shard"] for r in rows}) == 1
+    # deterministic: a second run yields identical assignments
+    again = pack_sequences(df, "n", "doc_id", budget=512, n_shards=4).collect()
+    assert {(r["doc_id"], r["pack_id"]) for r in again} == {
+        (r["doc_id"], r["pack_id"]) for r in out
+    }
+
+
+def test_assign_split_deterministic_and_partitioned(spark):
+    from review_engine_spark.operators.chunking import assign_split
+
+    df = spark.createDataFrame([(i,) for i in range(8000)], "id long")
+    out = {r["id"]: r["split"] for r in assign_split(df, "id").collect()}
+    assert len(out) == 8000  # exhaustive, one split each
+    frac = {s: sum(1 for v in out.values() if v == s) / 8000 for s in ("train", "val", "test")}
+    assert 0.85 < frac["train"] < 0.95
+    assert 0.02 < frac["val"] < 0.08
+    assert 0.02 < frac["test"] < 0.08
+    # stable across runs and partitionings
+    again = {
+        r["id"]: r["split"]
+        for r in assign_split(df.repartition(13), "id").collect()
+    }
+    assert again == out

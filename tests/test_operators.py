@@ -692,3 +692,42 @@ def test_stateful_sessionize_merges_across_microbatches(spark, tmp_path):
         for r in sessionize(batch, gap="30 minutes").collect()
     }
     assert got == want
+
+
+def test_contamination_check_exact_overlap(spark):
+    from review_engine_spark.operators.dedup import contamination_check
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),      # superset of probe 10
+            (2, "totally unrelated words live here"),   # no overlap
+            (3, "alpha beta gamma nothing else atall"), # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(10, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_id"], r["probe_id"]): (r["n_shared"], r["probe_n"], r["overlap_frac"])
+        for r in contamination_check(corpus, probes, "text", "doc_id", k=3).collect()
+    }
+    # probe has 2 distinct 3-grams; doc 1 contains both, doc 3 contains one
+    assert out[(1, 10)] == (2, 2, 1.0)
+    assert out[(3, 10)] == (1, 2, 0.5)
+    assert (2, 10) not in out
+
+
+def test_repetition_stats_values(spark):
+    from review_engine_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "x x x y"), (2, "a b c d"), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dup_token_frac"], r["top_token_frac"])
+        for r in repetition_stats(df, "text", "doc_id").collect()
+    }
+    assert out[1] == (4, 0.5, 0.75)
+    assert out[2] == (4, 0.0, 0.25)
+    assert 3 not in out  # zero-token docs drop (no signal to threshold)
