@@ -21,7 +21,9 @@ __all__ = [
     "parse_money",
     "parse_budget",
     "extract_summary",
+    "scrub_pii",
     "BUDGET_PATTERNS",
+    "PII_PATTERNS",
 ]
 
 # ---------------------------------------------------------------------------
@@ -205,6 +207,36 @@ def parse_budget(query: Column) -> Column:
         candidate(BUDGET_PATTERNS["num_budget"]),
         candidate(BUDGET_PATTERNS["budget_num"]),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data curation surface; no reference analog)
+# ---------------------------------------------------------------------------
+
+#: Redaction patterns, applied IN ORDER (SSN before phone — the phone
+#: pattern would otherwise consume SSN digit runs). All patterns are
+#: lookaround/backref-free so they evaluate identically under Java regex
+#: (Spark) and RE2 (DuckDB oracle).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "[SSN]"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "[PHONE]"),
+]
+
+
+def scrub_pii(col: Column) -> tuple[Column, Column]:
+    """Redact emails / phone numbers / SSN-shaped tokens before a corpus
+    ships to training: returns ``(scrubbed, n_redactions)``. Counts are
+    taken per pattern against the text as that pattern sees it (i.e.
+    after earlier redactions), matching the sequential replace chain.
+    Pure Catalyst — regexp_replace/regexp_count, no Python.
+    """
+    scrubbed = col
+    total = F.lit(0)
+    for _name, pat, repl in PII_PATTERNS:
+        total = total + F.regexp_count(scrubbed, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return scrubbed, total.cast("long")
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,9 @@ __all__ = [
     "quantize_vector",
     "dequantize_vector",
     "pack_sequences",
+    "id_hash_frac",
     "assign_split",
+    "stratified_sample",
 ]
 
 
@@ -154,6 +156,22 @@ def pack_sequences(
     )
 
 
+def id_hash_frac(id_col: str) -> Column:
+    """Deterministic uniform-ish fraction in [0, 1) from an integer id:
+    one 31-bit LCG step (a=1103515245, c=12345 — the classic ANSI-C
+    constants) over ``id mod 2³¹``. Pure integer arithmetic that
+    evaluates identically in Spark and any SQL oracle, with no reliance
+    on engine-specific hash functions — the basis for splits and
+    sampling that must be stable across runs, engines, partitionings.
+    """
+    m = 2147483648  # 2^31
+    h = F.pmod(
+        F.pmod(F.col(id_col), F.lit(m)) * F.lit(1103515245) + F.lit(12345),
+        F.lit(m),
+    )
+    return h.cast("double") / F.lit(float(m))
+
+
 def assign_split(
     df: DataFrame,
     id_col: str,
@@ -162,22 +180,33 @@ def assign_split(
 ) -> DataFrame:
     """Deterministic train/val/test assignment by id hash: stable across
     runs, engines, and partitionings (the property random() splits lack),
-    so downstream joins against either side never leak.
-
-    The hash is a 31-bit LCG step (a=1103515245, c=12345 — the classic
-    ANSI-C constants) over ``id mod 2³¹``: pure integer arithmetic that
-    evaluates identically in Spark and any SQL oracle, with no reliance
-    on engine-specific hash functions. Adds a ``split`` column.
+    so downstream joins against either side never leak. Adds ``split``.
     """
-    m = 2147483648  # 2^31
-    h = F.pmod(
-        F.pmod(F.col(id_col), F.lit(m)) * F.lit(1103515245) + F.lit(12345),
-        F.lit(m),
-    )
-    frac = h.cast("double") / F.lit(float(m))
+    frac = id_hash_frac(id_col)
     return df.withColumn(
         "split",
         F.when(frac < train, F.lit("train"))
         .when(frac < train + val, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-mixing knob of
+    a pretraining pipeline (e.g. keep 50% of English, 20% of everything
+    else). Row kept iff id_hash_frac(id) < rate(stratum); no rand(), so
+    reruns, retries, and different partitionings keep identical rows,
+    and the sample composes with assign_split without correlation only
+    if the two use different hash constants — callers needing both
+    should offset ids (documented limitation of the single LCG).
+    """
+    rate = F.lit(float(default_rate))
+    for value, r in rates.items():
+        rate = F.when(F.col(stratum_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.filter(id_hash_frac(id_col) < rate)

@@ -203,3 +203,24 @@ sims AS (
 def sql_cosine_cte(source: str, a: str, b: str, keys: str) -> str:
     """CTE computing _dot/_na/_nb per key; cosine = _dot/(_na*_nb+1e-9)."""
     return COSINE_PAIR_CTE.format(source=source, a=a, b=b, keys=keys)
+
+
+# --- PII scrub (training-data curation) ------------------------------------
+
+
+def sql_scrub_pii(table: str, id_col: str, text_col: str) -> str:
+    """CTE-free nested mirror of functions.text.scrub_pii: per stage,
+    count pattern hits on the incoming text, then replace — identical
+    sequential semantics to the Spark chain."""
+    from review_engine_spark.functions.text import PII_PATTERNS
+
+    sel = f"SELECT {id_col}, {text_col} AS t, 0 AS c FROM {table}"
+    for _name, pat, repl in PII_PATTERNS:
+        sel = (
+            f"SELECT {id_col}, regexp_replace(t, '{pat}', '{repl}', 'g') AS t, "
+            f"c + len(regexp_extract_all(t, '{pat}')) AS c FROM ({sel})"
+        )
+    return (
+        f"SELECT {id_col}, t AS scrubbed, CAST(c AS BIGINT) AS n_redactions "
+        f"FROM ({sel})"
+    )

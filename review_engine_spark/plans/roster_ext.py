@@ -245,6 +245,51 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(corpus, probes, "text", "doc_id", k=3)
 
 
+def _sql_scrub_pii_oracle() -> str:
+    from review_engine_spark.plans._oracle import sql_scrub_pii
+
+    return sql_scrub_pii("documents", "doc_id", "text")
+
+
+@declared(oracle=_sql_scrub_pii_oracle())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction before a corpus ships: emails, phone-shaped digit
+    runs, SSN-shaped tokens → typed placeholders, with a per-doc
+    redaction count for curation dashboards. Pure regexp_replace chain —
+    narrow, no shuffle, runs at scan speed."""
+    from review_engine_spark.functions.text import scrub_pii
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    scrubbed, n = scrub_pii(F.col("text"))
+    return docs.select(
+        "doc_id", scrubbed.alias("scrubbed"), n.alias("n_redactions")
+    )
+
+
+@declared(
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
+                   / 2147483648.0 AS h
+        FROM documents
+    )
+    WHERE h < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END
+    """
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: keep 50% of English, 20% of every
+    other language, by id-hash — the sampling knob of a pretraining
+    data recipe, reproducible across reruns and partitionings."""
+    from review_engine_spark.operators.chunking import stratified_sample
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "doc_id", "lang", rates={"en": 0.5}, default_rate=0.2
+    )
+
+
 @declared(
     oracle="""
     WITH t AS (

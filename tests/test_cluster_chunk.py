@@ -214,3 +214,25 @@ def test_assign_split_deterministic_and_partitioned(spark):
         for r in assign_split(df.repartition(13), "id").collect()
     }
     assert again == out
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from review_engine_spark.operators.chunking import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(10000)],
+        "id long, lang string",
+    )
+    out = stratified_sample(df, "id", "lang", rates={"en": 0.5}, default_rate=0.1)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 0.4 < counts["en"] / 5000 < 0.6
+    assert 0.05 < counts["de"] / 5000 < 0.15
+    # deterministic under repartition
+    ids = {r["id"] for r in out.collect()}
+    again = {
+        r["id"]
+        for r in stratified_sample(
+            df.repartition(17), "id", "lang", rates={"en": 0.5}, default_rate=0.1
+        ).collect()
+    }
+    assert again == ids

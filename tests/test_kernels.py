@@ -525,3 +525,26 @@ def test_porter_stem_reference_guard(spark):
     )
     out = [r[0] for r in df.select(stem_tokens_udf()(F.col("toks"))).collect()]
     assert out == [["ties", "run", "caress"], None]
+
+
+# --- PII scrub (curation surface) ------------------------------------------
+
+
+def test_scrub_pii_redacts_in_order(spark):
+    from review_engine_spark.functions.text import scrub_pii
+
+    rows = [
+        ("mail me at jo.doe+x@example.co.uk please", "[EMAIL]", 1),
+        ("ssn 123-45-6789 and phone 555-123-4567 here", "[SSN]", 2),
+        ("call +1 555 867 5309 now", "[PHONE]", 1),
+        ("nothing sensitive here", None, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], "t string")
+    scrubbed, n = scrub_pii(F.col("t"))
+    got = df.select(scrubbed.alias("s"), n.alias("n")).collect()
+    for (raw, marker, want_n), r in zip(rows, got):
+        if marker:
+            assert marker in r["s"], f"{raw!r} -> {r['s']!r}"
+        assert r["n"] == want_n
+        # no raw digits of an SSN/phone survive, emails gone
+        assert "123-45-6789" not in r["s"] and "@" not in r["s"]
