@@ -278,10 +278,13 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE h < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END
     """
 )
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus mixing: keep 50% of English, 20% of every
-    other language, by id-hash — the sampling knob of a pretraining
-    data recipe, reproducible across reruns and partitionings."""
+    other language, by id-hash — the sampling knob of a pretraining data
+    recipe, reproducible across reruns and partitionings. Complements
+    q_stratified_sample (exact per-stratum count via a ranked window,
+    one shuffle): the rate form is a narrow filter — zero shuffle, so at
+    100 TB it runs at scan speed and composes with pushdown."""
     from review_engine_spark.operators.chunking import stratified_sample
 
     docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id", "lang")
