@@ -60,7 +60,8 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_sql() -> str:
+def _lang_case_expr() -> str:
+    """The lang_id argmax as a SQL CASE over a ``text`` column in scope."""
     from review_engine_spark.operators.textstats import LANG_MARKERS
 
     toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
@@ -78,7 +79,11 @@ def _lang_sql() -> str:
             op = ">=" if langs.index(lang) < langs.index(other) else ">"
             conds.append(f"{hits[lang]} {op} {hits[other]}")
         case = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {case} END"
-    return f"SELECT doc_id, {case} AS pred_lang FROM documents"
+    return case
+
+
+def _lang_sql() -> str:
+    return f"SELECT doc_id, {_lang_case_expr()} AS pred_lang FROM documents"
 
 
 @declared(oracle=_lang_sql())
@@ -1075,3 +1080,153 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from review_engine_spark.streaming.jobs import run_stream_stream_join
 
     return run_stream_stream_join(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 curation pipeline composition (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    oracle="""
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        FROM documents
+    )
+    WHERE rk <= 50
+    """
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain frequency cap: keep at most 50 docs per
+    source, chosen deterministically by doc_id order — the guard against
+    one crawled domain dominating the corpus mix. Per-domain window; a
+    pathologically hot domain still sorts on one reducer, but only its
+    own rows (the cap bounds output, and a two-stage pre-cap by
+    (source, salt) keeping 50 per salt would bound input too — noted,
+    not needed at review-corpus domain cardinalities)."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= 50)
+    )
+
+
+def _quality_gate_sql() -> str:
+    return f"""
+    WITH m AS (
+        SELECT doc_id, n_chars, text,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter(
+                    list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> ''),
+                    x -> list_contains([{_STOPS_SQL}], x))) AS DOUBLE) AS stop_hits,
+               CAST(n_chars AS DOUBLE) AS length,
+               CAST(n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                    AS DOUBLE) AS punct
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, n_chars, text,
+               round(least(1.0, greatest(0.0,
+                   0.2 + 0.1 * ln(1.0 + n_tok)
+                   - 0.5 * (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END)
+                   - 0.8 * (CASE WHEN length > 0 THEN punct / length ELSE 0.0 END)
+               )), 6) AS quality
+        FROM m
+    ),
+    r AS (
+        SELECT doc_id,
+               CASE WHEN n_chars < 200 THEN 'too_short'
+                    WHEN quality < 0.35 THEN 'low_quality'
+                    WHEN ({_lang_case_expr()}) = 'und' THEN 'und_lang'
+                    ELSE 'ok' END AS reason
+        FROM q
+    )
+    SELECT doc_id, reason = 'ok' AS keep, reason FROM r
+    """
+
+
+@declared(oracle=_quality_gate_sql())
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation filter a corpus actually ships through:
+    length floor → quality-score floor → language coverage, first
+    failing rule wins and is reported as the drop reason (the
+    reason histogram is the curation dashboard). All pure Catalyst —
+    one scan, no shuffle, no Python."""
+    from review_engine_spark.operators.textstats import lang_id, quality_score
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    quality = F.round(quality_score(F.col("text"), F.col("n_chars")), 6)
+    reason = (
+        F.when(F.col("n_chars") < 200, F.lit("too_short"))
+        .when(quality < 0.35, F.lit("low_quality"))
+        .when(lang_id(F.col("text")) == "und", F.lit("und_lang"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        "doc_id",
+        (reason == "ok").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+@declared(
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT a.p_partkey AS a, b.p_partkey AS b
+        FROM part a
+        JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 8
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    reach(node, r) AS (
+        SELECT DISTINCT a AS node, a AS r FROM sym
+        UNION
+        SELECT s.a AS node, reach.r FROM sym s JOIN reach ON s.b = reach.node
+    ),
+    lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT p.p_partkey
+    FROM part p
+    WHERE p.p_partkey NOT IN (
+        SELECT node FROM lab WHERE node <> cluster_id
+    )
+    """
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup story: materialize the deduplicated corpus.
+    Cluster labels from connected components (same edges as
+    q_dedup_clusters); every cluster keeps its min-id member, and the
+    non-survivors anti-join out of the fact table — the shuffle carries
+    only the (small) dropped-id set, broadcast against the corpus."""
+    from review_engine_spark.operators.cluster import connected_components
+
+    part = read_parquet_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("left_id"), F.col("p_name").alias("lname"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("right_id"), F.col("p_name").alias("rname"),
+    )
+    edges = (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .filter(F.levenshtein("lname", "rname") <= 8)
+        .select("left_id", "right_id")
+    )
+    labels = connected_components(edges, "left_id", "right_id")
+    dropped = labels.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("p_partkey")
+    )
+    return part.join(
+        F.broadcast(dropped), "p_partkey", "left_anti"
+    ).select("p_partkey")

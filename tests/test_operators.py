@@ -731,3 +731,28 @@ def test_repetition_stats_values(spark):
     assert out[1] == (4, 0.5, 0.75)
     assert out[2] == (4, 0.0, 0.25)
     assert 3 not in out  # zero-token docs drop (no signal to threshold)
+
+
+def test_quality_gate_reason_priority(spark, sf_dir):
+    """First failing rule wins: a doc can be both short and low-quality;
+    it must report too_short. And keep == (reason == 'ok') everywhere."""
+    from review_engine_spark.plans.roster_ext import q_quality_gate
+
+    rows = q_quality_gate(spark, sf_dir).collect()
+    assert len(rows) > 0
+    reasons = {r["reason"] for r in rows}
+    assert reasons <= {"ok", "too_short", "low_quality", "und_lang"}
+    for r in rows:
+        assert r["keep"] == (r["reason"] == "ok")
+
+
+def test_dedup_apply_drops_only_cluster_non_survivors(spark, sf_dir):
+    """Survivor set = all parts minus (cluster members - min id): sizes
+    must reconcile exactly with q_dedup_clusters' labels."""
+    from review_engine_spark.plans.roster_ext import q_dedup_apply, q_dedup_clusters
+
+    labels = q_dedup_clusters(spark, sf_dir).collect()
+    n_dropped = sum(1 for r in labels if r["node"] != r["cluster_id"])
+    n_part = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    kept = q_dedup_apply(spark, sf_dir).count()
+    assert kept == n_part - n_dropped
