@@ -56,6 +56,14 @@ _TIER1_FIXED = [
     "q_tokenize", "q_group_collect", "q_meanpool", "q_salted_collect",
     "q_text_stats",
 ]
+
+#: Never-driver-checked queries worth a slot ahead of plain registration
+#: order: the recsys surface (the north star's headline direction) and
+#: the round-2 curation compositions.
+_TIER2_PRIORITY = [
+    "q_implicit_ratings", "q_cooccur_topk", "q_recsys_eval",
+    "q_domain_cap", "q_quality_gate", "q_dedup_apply",
+]
 _R01_GREEN = [
     "q_scan_docs", "q_scan_embeddings", "q_clean_text", "q_token_filter",
     "q_tfidf", "q_parse_budget", "q_extract_summary", "q_dedup_exact",
@@ -79,6 +87,7 @@ def _driver_order() -> list[str]:
                 ordered.append(n)
 
     take(_TIER1_FIXED)
+    take(n for n in _TIER2_PRIORITY if n in ORACLES)
     take(n for n in QUERIES if n in ORACLES and n not in _R01_GREEN)
     take(n for n in QUERIES if n in ORACLES)
     take(QUERIES)
