@@ -79,6 +79,8 @@ def cooccurrence_topk(
     as a ``list_slice`` that never binds at test SF. Pass ``None`` to
     disable.
     """
+    from pyspark import StorageLevel
+
     baskets = (
         lineitem.select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
@@ -86,6 +88,11 @@ def cooccurrence_topk(
     )
     if max_basket is not None:
         baskets = baskets.select(F.slice("items", 1, max_basket).alias("items"))
+    # The basket table feeds four consumers (both union branches of the
+    # pair generation + both sides' item counts); without persist the
+    # fact-table scan + collect_set shuffle runs 4×. Size is one array
+    # of item ids per order — far smaller than the fact table.
+    baskets = baskets.persist(StorageLevel.MEMORY_AND_DISK)
     item_cnt = baskets.select(F.explode("items").alias("l_partkey")).groupBy(
         "l_partkey"
     ).agg(F.count("*").alias("n"))

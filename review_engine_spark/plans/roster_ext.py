@@ -548,6 +548,38 @@ def q_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared()
+def q_embed_batch_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 production machinery in the bench path: the same clean → filter
+    → embed pipeline as q_embed_stub but through
+    ``pyspark.ml.functions.predict_batch_udf`` — worker-cached model
+    loader, numpy batch marshalling, batch_size 700 (embed.py:73-78).
+    Swapping the deterministic hash loader for a SentenceTransformer is
+    a one-argument change; the plan and batching semantics are what this
+    query keeps honest. Output is the embedding L2 norm per doc (scalar,
+    so the rows-only check also pins the vector's magnitude)."""
+    from review_engine_spark.functions.text import clean_text, token_count
+    from review_engine_spark.inference.batch import embedder_batch_udf
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    cleaned = docs.select("doc_id", clean_text(F.col("text")).alias("clean"))
+    kept = cleaned.filter(token_count(F.col("clean")) > 5)
+    embed = embedder_batch_udf(dim=16, batch_size=700)
+    return kept.select(
+        "doc_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    embed(F.col("clean")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+            6,
+        ).alias("embed_norm"),
+    )
+
+
+@declared()
 def q_rerank_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 pipeline shape: top-200 cut FIRST, then the rerank UDF over
     (query, title+' '+summary) pairs (rank.py:15-41, 213-219; the
@@ -1230,3 +1262,14 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.join(
         F.broadcast(dropped), "p_partkey", "left_anti"
     ).select("p_partkey")
+
+
+@declared()
+def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.I sink path: streaming ingest dedup landed in an exactly-once
+    parquet file sink (transaction-logged), read back through the batch
+    reader; rows-only — equality with the batch distinct is pinned in
+    tests."""
+    from review_engine_spark.streaming.jobs import run_stream_to_parquet
+
+    return run_stream_to_parquet(spark, sf_dir)

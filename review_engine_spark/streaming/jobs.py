@@ -27,6 +27,7 @@ __all__ = [
     "run_sessionize_stateful",
     "run_stream_dedup",
     "run_stream_stream_join",
+    "run_stream_to_parquet",
 ]
 
 from contextlib import contextmanager
@@ -363,4 +364,51 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination(30)
     out = spark.table(name)
+    return spark.createDataFrame(out.toPandas(), out.schema)
+
+
+def run_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ETL to a parquet file sink — the production landing path
+    (exactly-once via the sink's _spark_metadata transaction log, unlike
+    the test-only memory sink): watermarked ingest dedup streamed into a
+    partitioned parquet directory, then read back through the batch
+    reader. Stateless-append output (dropDuplicatesWithinWatermark emits
+    on first arrival), so a finite source lands every row — no
+    tail-window finalization hazard.
+
+    Scale: the sink writes one file per partition per micro-batch;
+    production sizes micro-batches (maxFilesPerTrigger / trigger
+    interval) so files land at ~128 MB, and compaction is a downstream
+    batch job over the same directory.
+    """
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_sink_")
+    with _state_partitions(spark, 8), tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    out = spark.read.parquet(out_dir)
+    # snapshot: the temp dir outlives this call only until process exit
     return spark.createDataFrame(out.toPandas(), out.schema)

@@ -756,3 +756,23 @@ def test_dedup_apply_drops_only_cluster_non_survivors(spark, sf_dir):
     n_part = spark.read.parquet(f"{sf_dir}/part.parquet").count()
     kept = q_dedup_apply(spark, sf_dir).count()
     assert kept == n_part - n_dropped
+
+
+def test_stream_parquet_sink_equals_batch_distinct(spark, sf_dir):
+    """The parquet file sink must land exactly the batch-distinct key
+    set (exactly-once semantics over the finite source)."""
+    from review_engine_spark.plans.roster_ext import q_stream_sink_parquet
+    from review_engine_spark.sources.io import read_parquet_table
+
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in q_stream_sink_parquet(spark, sf_dir).collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in read_parquet_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
