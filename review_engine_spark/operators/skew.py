@@ -12,10 +12,10 @@ identical to the unsalted op (oracle-checked in the roster).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["salted_equi_join", "two_stage_collect"]
+__all__ = ["salted_equi_join", "two_stage_collect", "capped_top_per_key"]
 
 
 def salted_equi_join(
@@ -77,3 +77,34 @@ def two_stage_collect(
         staged.groupBy(key)
         .agg(F.array_sort(F.flatten(F.collect_list("_part"))).alias(f"{value}s"))
     )
+
+
+def capped_top_per_key(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    n: int,
+    rank_col: str = "rk",
+    n_salts: int = 8,
+) -> DataFrame:
+    """First-n-per-key (by ``order_col`` ascending) without a hot key
+    sorting all of its rows on one reducer: stage 1 takes the first n
+    within each (key, salt) — the global first-n is always a subset of
+    the per-salt first-n union — so stage 2's real ranking sorts at most
+    n·n_salts rows per key instead of the key's full row count. Salt is
+    a deterministic hash of the order column (never rand(): retries must
+    recompute identically). Output = input rows with ``rank_col`` 1..n
+    per key, identical to the single-window form.
+    """
+    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts)).cast("int")
+    w1 = Window.partitionBy(key, "_salt").orderBy(order_col)
+    pre = (
+        df.withColumn("_salt", salt)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= n)
+        .drop("_salt", "_rk1")
+    )
+    w2 = Window.partitionBy(key).orderBy(order_col)
+    return pre.withColumn(
+        rank_col, F.row_number().over(w2).cast("long")
+    ).filter(F.col(rank_col) <= n)

@@ -1133,19 +1133,17 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style per-domain frequency cap: keep at most 50 docs per
     source, chosen deterministically by doc_id order — the guard against
-    one crawled domain dominating the corpus mix. Per-domain window; a
-    pathologically hot domain still sorts on one reducer, but only its
-    own rows (the cap bounds output, and a two-stage pre-cap by
-    (source, salt) keeping 50 per salt would bound input too — noted,
-    not needed at review-corpus domain cardinalities)."""
+    one crawled domain dominating the corpus mix. Two-stage form
+    (operators.skew.capped_top_per_key): stage 1 pre-caps per
+    (source, salt) so the final per-domain ranking sorts ≤ 50·n_salts
+    rows regardless of how hot a domain is — the single-window form puts
+    a crawled mega-domain's entire row set on one reducer."""
+    from review_engine_spark.operators.skew import capped_top_per_key
+
     docs = read_parquet_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("doc_id")
-    return (
-        docs.select(
-            "doc_id", "source", F.row_number().over(w).cast("long").alias("rk")
-        )
-        .filter(F.col("rk") <= 50)
-    )
+    return capped_top_per_key(
+        docs.select("doc_id", "source"), "source", "doc_id", 50
+    ).select("doc_id", "source", "rk")
 
 
 def _quality_gate_sql() -> str:

@@ -776,3 +776,28 @@ def test_stream_parquet_sink_equals_batch_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_capped_top_per_key_equals_single_window(spark):
+    """Two-stage pre-capped first-n must equal the single-window form on
+    a skewed fixture (one key with 40x the rows of the others)."""
+    from pyspark.sql import Window
+
+    from review_engine_spark.operators.skew import capped_top_per_key
+
+    rows = [("hot", i) for i in range(400)] + [
+        (f"k{j}", i) for j in range(5) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "key string, v long")
+    got = {
+        (r["key"], r["v"], r["rk"])
+        for r in capped_top_per_key(df, "key", "v", 7, n_salts=4).collect()
+    }
+    w = Window.partitionBy("key").orderBy("v")
+    want = {
+        (r["key"], r["v"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 7)
+        .collect()
+    }
+    assert got == want
