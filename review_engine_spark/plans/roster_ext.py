@@ -1271,3 +1271,42 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from review_engine_spark.streaming.jobs import run_stream_to_parquet
 
     return run_stream_to_parquet(spark, sf_dir)
+
+
+@declared(
+    oracle=r"""
+    WITH corpus AS (
+        SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents WHERE doc_id % 10 <> 0
+    ),
+    incoming AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT i.doc_id, (c.t IS NOT NULL) AS is_dup
+    FROM incoming i LEFT JOIN corpus c ON i.t = c.t
+    """
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup of a NEW batch against the historical corpus —
+    the incremental form every daily pipeline actually runs (full-corpus
+    dedup is the backfill path). The corpus reduces to distinct 8-byte
+    content hashes once (in production: a maintained fingerprint store,
+    not a rescan); the incoming batch left-joins on the hash, so the
+    join never carries document text. Hash equality stands in for text
+    equality (xxhash64 collision odds ~n²/2⁶⁴ — the oracle joins on the
+    normalized text itself and agrees except on such collisions)."""
+    from review_engine_spark.operators.dedup import normalize_text
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    h = F.xxhash64(normalize_text(F.col("text")))
+    corpus = (
+        docs.filter(F.col("doc_id") % 10 != 0).select(h.alias("h")).distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", h.alias("h")
+    )
+    marked = corpus.withColumn("_hit", F.lit(True))
+    return incoming.join(marked, "h", "left").select(
+        "doc_id", F.coalesce("_hit", F.lit(False)).alias("is_dup")
+    )
