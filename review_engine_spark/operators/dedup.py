@@ -510,10 +510,26 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.0,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (all-pairs form — cap the
-    input or feed LSH candidates at scale)."""
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh")).filter(
-        F.size("sh") > 0
+    input or feed LSH candidates at scale).
+
+    Tokens are materialized as a column before the shingle transform so
+    the per-shingle slice is linear (the `shingles()` expression form
+    re-evaluates its token pipeline per element — O(n²)/doc — and is
+    kept only for single-expression SQL contexts)."""
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
     )
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    n_sh = F.size("_toks") - (n - 1)
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = staged.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_toks", i, n)))
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
     left = sh.select(F.col(id_col).alias("left_id"), F.col("sh").alias("lsh"))
     right = sh.select(F.col(id_col).alias("right_id"), F.col("sh").alias("rsh"))
     pairs = left.join(right, F.col("left_id") < F.col("right_id"))

@@ -152,35 +152,45 @@ def winnow_fingerprints(
     Returns ``(id, fingerprints: array<bigint>)``, one row per input row
     (documents too short for one full window get an empty array).
 
-    Implemented over exploded shingle-hash rows with a per-document sliding
-    window (`rowsBetween(0, window-1)` min) — both window passes share one
-    partition-by-id sort, and the shuffle carries 8-byte hashes, never text.
-    The pure-expression form (nested transform over slice) re-evaluates the
-    shingle-hash array per window position — O(n²) per document — and is
-    deliberately avoided (SURVEY §2.K fingerprinting).
+    ZERO-shuffle narrow form: tokens, then the shingle-hash array, are
+    each MATERIALIZED as columns before the next stage slices them —
+    every per-element lambda slices a materialized column (linear), never
+    re-evaluates an upstream pipeline (the O(n²) trap this operator's
+    earlier exploded-window form was built to avoid; that form cost a
+    partition-by-id shuffle + sort per document instead, which at corpus
+    scale was the whole job). Cost: O(tokens·k) hashing + O(shingles·w)
+    window mins per document, one codegen stage, partitioning inherited
+    from the scan.
     """
-    from pyspark.sql import Window
-    from review_engine_spark.operators.dedup import shingle_hash_rows
+    from review_engine_spark.operators.dedup import normalize_text
 
-    sh = shingle_hash_rows(df, text_col, id_col, k)
-    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    wins = sh.select(
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    n_sh = F.size("_toks") - (k - 1)
+    sh_idx = F.when(n_sh >= 1, F.sequence(F.lit(0), n_sh - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashed = staged.select(
         F.col(id_col),
-        F.min("h").over(w).alias("wmin"),
-        F.count("h").over(w).alias("wn"),
+        F.transform(
+            sh_idx,
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_toks", i + 1, k))),
+        ).alias("_hashes"),
     )
-    fps = (
-        wins.filter(F.col("wn") == window)
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_set("wmin")).alias("fingerprints"))
+    n_win = F.size("_hashes") - (window - 1)
+    win_idx = F.when(n_win >= 1, F.sequence(F.lit(0), n_win - 1)).otherwise(
+        F.array().cast("array<int>")
     )
-    return (
-        df.select(F.col(id_col))
-        .join(fps, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(
-                "fingerprints", F.array().cast("array<bigint>")
-            ).alias("fingerprints"),
-        )
+    return hashed.select(
+        F.col(id_col),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    win_idx,
+                    lambda j: F.array_min(F.slice("_hashes", j + 1, window)),
+                )
+            )
+        ).alias("fingerprints"),
     )

@@ -801,3 +801,38 @@ def test_capped_top_per_key_equals_single_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_winnow_fingerprints_matches_python_reference(spark):
+    """The narrow winnowing form must reproduce the definition verbatim:
+    min hash of every sliding window of `window` consecutive k-shingle
+    hashes, distinct and sorted; short docs get empty arrays."""
+    from review_engine_spark.operators.textstats import winnow_fingerprints
+
+    texts = {
+        1: "a b c d e f g h",
+        2: "x y",                       # too short for one shingle
+        3: "p q r s t u p q r s t",     # repeated region -> duplicate mins
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["fingerprints"])
+        for r in winnow_fingerprints(df, "text", "doc_id", k=3, window=2).collect()
+    }
+
+    def ref(text, k=3, window=2):
+        toks = text.split()
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        if not grams:
+            return []
+        hs = [
+            r["h"]
+            for r in spark.createDataFrame([(g,) for g in grams], "g string")
+            .select(F.xxhash64("g").alias("h"))
+            .collect()
+        ]
+        mins = [min(hs[j : j + window]) for j in range(len(hs) - window + 1)]
+        return sorted(set(mins))
+
+    for doc_id, text in texts.items():
+        assert got[doc_id] == ref(text), f"doc {doc_id}"
