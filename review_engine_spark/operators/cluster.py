@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = [
+    "blocked_connected_components",
+    "connected_components",
+    "pagerank",
+]
 
 
 def connected_components(
@@ -91,6 +95,74 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def blocked_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Component labels when the edge graph is *block-decomposed*:
+    (node, cluster_id), cluster_id = min member id, same contract as
+    ``connected_components``.
+
+    Requirement: every node belongs to exactly ONE block (the edge
+    generator joined within single-membership blocking keys — e.g.
+    (brand, size) record-linkage blocks, where each record has one brand
+    and one size). Then no component ever spans blocks, and the global
+    iterative min-label loop is overkill: each block's components are
+    computed independently by a per-group union-find.
+
+    This replaces O(log diameter) rounds of (join + agg + checkpoint)
+    shuffles with ONE shuffle of the 16-byte edge pairs, and the blocks
+    are embarrassingly parallel across executors — for blocked dedup
+    graphs this is the 100 TB path. Per-task memory is O(block edges),
+    already bounded upstream by whatever blocking bounded the O(block²)
+    pair generation. NOT valid for multi-membership blocking (LSH band
+    buckets: a doc sits in many bands, components span buckets — use
+    ``connected_components`` there).
+    """
+    import pandas as pd
+
+    e = edges.select(
+        *(block_cols or []),
+        F.col(src).alias("a").cast("long"),
+        F.col(dst).alias("b").cast("long"),
+    ).filter(F.col("a") != F.col("b"))
+    if not block_cols:
+        # degenerate single block — still correct, but serial; callers
+        # with no block key should prefer connected_components
+        e = e.withColumn("_blk", F.lit(0))
+        block_cols = ["_blk"]
+
+    def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["a"], pdf["b"]):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps the label the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        return pd.DataFrame(
+            {"node": list(parent), "cluster_id": [find(n) for n in parent]}
+        )
+
+    return e.groupBy(*block_cols).applyInPandas(
+        _uf, "node long, cluster_id long"
+    )
 
 
 def pagerank(

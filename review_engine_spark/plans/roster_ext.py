@@ -993,10 +993,15 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: connected components over the fuzzy near-dup
-    pair graph (q_fuzzy_pairs edges). Iterative min-label + pointer-jump
-    on the Spark side; the deterministic output (component = min member
-    id) is oracle-checked against a recursive-CTE transitive closure."""
-    from review_engine_spark.operators.cluster import connected_components
+    pair graph (q_fuzzy_pairs edges). (brand, size) blocking is
+    single-membership, so the graph decomposes per block and the
+    per-block union-find replaces the global iterative loop — one
+    shuffle instead of O(log d) join rounds. The deterministic output
+    (component = min member id) is oracle-checked against a
+    recursive-CTE transitive closure."""
+    from review_engine_spark.operators.cluster import (
+        blocked_connected_components,
+    )
 
     part = read_parquet_table(spark, sf_dir, "part")
     a = part.select(
@@ -1011,9 +1016,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["brand", "size"])
         .filter(F.col("left_id") < F.col("right_id"))
         .filter(F.levenshtein("lname", "rname") <= 8)
-        .select("left_id", "right_id")
+        .select("brand", "size", "left_id", "right_id")
     )
-    labels = connected_components(edges, "left_id", "right_id")
+    labels = blocked_connected_components(
+        edges, "left_id", "right_id", block_cols=["brand", "size"]
+    )
     w = Window.partitionBy("cluster_id")
     return labels.select(
         "node", "cluster_id", F.count("*").over(w).cast("long").alias("csize")
@@ -1232,11 +1239,14 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End of the dedup story: materialize the deduplicated corpus.
-    Cluster labels from connected components (same edges as
-    q_dedup_clusters); every cluster keeps its min-id member, and the
-    non-survivors anti-join out of the fact table — the shuffle carries
-    only the (small) dropped-id set, broadcast against the corpus."""
-    from review_engine_spark.operators.cluster import connected_components
+    Cluster labels from the per-block union-find (same block-decomposed
+    edges as q_dedup_clusters); every cluster keeps its min-id member,
+    and the non-survivors anti-join out of the fact table — the shuffle
+    carries only the (small) dropped-id set, broadcast against the
+    corpus."""
+    from review_engine_spark.operators.cluster import (
+        blocked_connected_components,
+    )
 
     part = read_parquet_table(spark, sf_dir, "part")
     a = part.select(
@@ -1251,9 +1261,11 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["brand", "size"])
         .filter(F.col("left_id") < F.col("right_id"))
         .filter(F.levenshtein("lname", "rname") <= 8)
-        .select("left_id", "right_id")
+        .select("brand", "size", "left_id", "right_id")
     )
-    labels = connected_components(edges, "left_id", "right_id")
+    labels = blocked_connected_components(
+        edges, "left_id", "right_id", block_cols=["brand", "size"]
+    )
     dropped = labels.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("p_partkey")
     )

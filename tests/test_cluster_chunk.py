@@ -11,7 +11,10 @@ from review_engine_spark.operators.chunking import (
     dequantize_vector,
     quantize_vector,
 )
-from review_engine_spark.operators.cluster import connected_components
+from review_engine_spark.operators.cluster import (
+    blocked_connected_components,
+    connected_components,
+)
 
 
 def _labels(spark, pairs, **kw):
@@ -38,6 +41,52 @@ def test_cc_long_chain_converges(spark):
 def test_cc_self_loops_and_duplicates_ignored(spark):
     out = _labels(spark, [(5, 5), (1, 2), (2, 1), (1, 2)])
     assert out == {1: 1, 2: 1}
+
+
+def test_blocked_cc_chain_and_components_per_block(spark):
+    # chains inside two blocks + an isolated pair: union-find must give
+    # min-member labels per block, identical contract to the iterative op
+    rows = (
+        [("x", i, i + 1) for i in range(1, 6)]       # block x: 1-2-3-4-5-6
+        + [("y", 10, 11), ("y", 12, 13), ("y", 11, 12)]  # y: 10..13 one comp
+        + [("z", 20, 21)]
+    )
+    df = spark.createDataFrame(rows, "blk string, src long, dst long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in blocked_connected_components(
+            df, block_cols=["blk"]
+        ).collect()
+    }
+    want = {i: 1 for i in range(1, 7)}
+    want.update({i: 10 for i in range(10, 14)})
+    want.update({20: 20, 21: 20})
+    assert got == want
+
+
+def test_blocked_cc_matches_iterative_on_random_blocked_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for blk in range(8):
+        base = blk * 100
+        nodes = list(range(base, base + rng.randint(2, 20)))
+        for _ in range(rng.randint(1, 25)):
+            rows.append((str(blk), rng.choice(nodes), rng.choice(nodes)))
+    rows = [r for r in rows if r[1] != r[2]]
+    df = spark.createDataFrame(rows, "blk string, src long, dst long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in blocked_connected_components(
+            df, block_cols=["blk"]
+        ).collect()
+    }
+    want = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df.select("src", "dst")).collect()
+    }
+    assert got == want
 
 
 def test_chunking_windows_and_tail(spark):
