@@ -1,0 +1,230 @@
+"""Corpus-curation operators: vocabulary building, duplicated-span
+removal, boilerplate filtering, semantic (embedding-space) dedup.
+
+These are the remaining standard passes of a pretraining data pipeline
+(SURVEY §2.K family) not covered by the doc-level dedup operators:
+
+- ``top_tokens`` — corpus vocabulary with doc/total frequencies (the
+  wordcount that seeds tokenizer training and stopword lists);
+- ``span_dedup`` — remove *duplicated spans* across documents (the
+  paragraph-dedup pass: exact repeated pieces survive doc-level near-dup
+  detection when the containing docs differ elsewhere);
+- ``boilerplate_flags`` — per-document ratio of spans shared with other
+  documents (CCNet-style boilerplate signal: nav bars, license headers);
+- ``semantic_dedup`` — SemDeDup-style: coarse-cluster embeddings, then
+  drop near-cosine duplicates within each cluster only, so the pairwise
+  cosine work is O(sum cluster²) ≪ O(N²).
+
+All four are pure DataFrame compositions (no Python in the hot path)
+and oracle-checkable; deterministic seeding uses the engine's LCG hash
+(`chunking.id_hash_frac` constants) so the SQL oracle can reproduce it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from review_engine_spark.functions.vector import cosine_similarity
+from review_engine_spark.operators.chunking import chunk_documents, chunk_tokens
+
+__all__ = [
+    "top_tokens",
+    "span_dedup",
+    "boilerplate_flags",
+    "semantic_dedup",
+]
+
+
+def top_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Top-k corpus vocabulary: (token, n_docs, n_total, rank).
+
+    explode → groupBy(token) gets map-side partial aggregation for the
+    total count; the final top-k is a single ordered window over the
+    *vocabulary* (≪ corpus; Heaps' law), not the token stream. At
+    trillion-token scale, pre-filter the vocabulary with a min-count
+    threshold before the global window so the ordered pass sees only
+    plausible candidates.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(chunk_tokens(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_total"),
+    )
+    w = Window.orderBy(F.desc("n_total"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 16,
+) -> DataFrame:
+    """Remove spans duplicated across the corpus; first occurrence wins.
+
+    Documents are cut into non-overlapping ``span``-token pieces; a span
+    is kept iff it is the (min doc_id, min chunk_idx) occurrence of its
+    exact text. Returns one row per non-empty document:
+    (id, n_chunks, n_kept, text_dedup).
+
+    The winner election groups by the span *text* (the oracle-checkable
+    exact semantic). At 100 TB, shuffle ``xxhash64(chunk_text)`` instead
+    of the text bytes and resolve the (negligible-probability) collisions
+    with one narrow recheck join — same plan shape, 8-byte shuffle keys.
+    """
+    ch = chunk_documents(docs, text_col, id_col, chunk_size=span, stride=span)
+    w = Window.partitionBy("chunk_text").orderBy(id_col, "chunk_idx")
+    flagged = ch.withColumn("keep", F.row_number().over(w) == 1)
+    kept_piece = F.when(
+        F.col("keep"), F.struct("chunk_idx", "chunk_text")
+    )  # collect_list drops the nulls of non-kept spans
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_piece)), lambda s: s.chunk_text
+            ),
+        ).alias("text_dedup"),
+    )
+
+
+def boilerplate_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 8,
+    min_docs: int = 2,
+    max_ratio: float = 0.3,
+) -> DataFrame:
+    """Per-document boilerplate signal from cross-document span sharing:
+    (id, n_spans, n_boiler, boiler_ratio, keep).
+
+    A span is boilerplate iff it occurs in ≥ ``min_docs`` distinct
+    documents; a document fails (keep = false) when more than
+    ``max_ratio`` of its spans are boilerplate. The span doc-frequency
+    table is itself a grouped aggregate (vocabulary-sized), joined back
+    to the span stream on the span key — the same hash-vs-text shuffle
+    trade as ``span_dedup`` applies at scale.
+    """
+    ch = chunk_documents(
+        docs, text_col, id_col, chunk_size=span, stride=span
+    ).select(F.col(id_col), "chunk_text")
+    span_df = ch.groupBy("chunk_text").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    out = (
+        ch.join(span_df, "chunk_text")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum((F.col("df") >= min_docs).cast("int"))
+            .cast("long")
+            .alias("n_boiler"),
+        )
+    )
+    ratio = F.round(F.col("n_boiler") / F.col("n_spans"), 6)
+    return out.select(
+        F.col(id_col),
+        "n_spans",
+        "n_boiler",
+        ratio.alias("boiler_ratio"),
+        (ratio <= max_ratio).alias("keep"),
+    )
+
+
+def _lcg_bucket(id_col: str, k: int):
+    """(LCG(id) mod k) with the ANSI-C constants — deterministic,
+    engine-portable cluster seeding (mirrors chunking.id_hash_frac)."""
+    m = 2147483648  # 2^31
+    h = F.pmod(
+        F.pmod(F.col(id_col), F.lit(m)) * F.lit(1103515245) + F.lit(12345),
+        F.lit(m),
+    )
+    return F.pmod(h, F.lit(k))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: (id, cluster_id, keep).
+
+    1. k coarse centroids: per LCG-hash bucket, the min-id row's vector
+       (deterministic, SQL-reproducible — no iterative fit, which is the
+       point: the oracle can replay it).
+    2. Every vector joins its argmax-cosine centroid (broadcast of k
+       rows; ties to the lower cluster_id; cosine rounded to 6 so the
+       argmax cut is engine-stable).
+    3. Within a cluster only, a vector is dropped iff some *lower-id*
+       cluster-mate has cosine ≥ ``threshold`` — the greedy keep-first
+       rule. Pairwise work is O(sum cluster²); scale k with the corpus
+       (k ≈ N / target cluster size) to bound it, exactly the IVF
+       trade-off ``similarity.ivf_topk`` makes for search.
+    """
+    cents = (
+        emb.withColumn("_b", _lcg_bucket(id_col, k))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_b").orderBy(id_col)),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_b").alias("cluster_id"), F.col(vec_col).alias("_cvec"))
+    )
+    aw = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cluster_id"))
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "cluster_id",
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("_cvec")), 6
+            ).alias("_sim"),
+        )
+        .withColumn("_r", F.row_number().over(aw))
+        .filter(F.col("_r") == 1)
+        .drop("_r", "_sim")
+    )
+    hi = assigned.select(
+        "cluster_id", F.col(id_col).alias("_i"), F.col(vec_col).alias("_a")
+    )
+    lo = assigned.select(
+        "cluster_id", F.col(id_col).alias("_j"), F.col(vec_col).alias("_b_v")
+    )
+    dropped = (
+        hi.join(lo, "cluster_id")
+        .filter(F.col("_i") > F.col("_j"))
+        .filter(
+            F.round(cosine_similarity(F.col("_a"), F.col("_b_v")), 6)
+            >= threshold
+        )
+        .select(F.col("_i").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "cluster_id")
+        .join(
+            dropped.withColumn("_dropped", F.lit(True)), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )

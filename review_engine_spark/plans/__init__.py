@@ -35,6 +35,7 @@ from review_engine_spark.plans import roster_vector  # noqa: E402,F401
 from review_engine_spark.plans import roster_rank  # noqa: E402,F401
 from review_engine_spark.plans import roster_ext  # noqa: E402,F401
 from review_engine_spark.plans import roster_recsys  # noqa: E402,F401
+from review_engine_spark.plans import roster_curation  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-facing ordering. The round-1 harness checked only the FIRST 50

@@ -1,0 +1,180 @@
+"""Corpus-curation roster queries (SURVEY §2.K family, round-2 widening):
+vocabulary building, duplicated-span removal, boilerplate filtering, and
+semantic (embedding-space) dedup — the standard pretraining-pipeline
+passes not covered by doc-level dedup. All four are oracle-checked; the
+deterministic LCG seeding keeps even the clustering step SQL-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from review_engine_spark.operators.curation import (
+    boilerplate_flags,
+    semantic_dedup,
+    span_dedup,
+    top_tokens,
+)
+from review_engine_spark.plans import declared
+from review_engine_spark.sources.io import read_parquet_table
+
+_TOKS = (
+    r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+)
+
+
+@declared(
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    v AS (
+        SELECT token,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM t GROUP BY token
+    )
+    SELECT token, n_docs, n_total, rank FROM (
+        SELECT *, CAST(row_number() OVER (ORDER BY n_total DESC, token) AS BIGINT) AS rank
+        FROM v
+    ) WHERE rank <= 50
+    """
+)
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-50 tokens by corpus frequency with doc
+    frequencies — the wordcount that seeds tokenizer training. Partial
+    (map-side) aggregation on the token stream; the global ordered
+    window sees only the vocabulary."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return top_tokens(docs, "text", "doc_id", k=50)
+
+
+@declared(
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks, unnest(range(0, n, 16)) AS start FROM s),
+    ch AS (
+        SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_idx,
+               array_to_string(toks[start + 1:start + 16], ' ') AS chunk_text
+        FROM c
+    ),
+    flagged AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY chunk_text ORDER BY doc_id, chunk_idx
+               ) = 1 AS keep
+        FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(
+               string_agg(CASE WHEN keep THEN chunk_text END, ' ' ORDER BY chunk_idx),
+               ''
+           ) AS text_dedup
+    FROM flagged GROUP BY doc_id
+    """
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal (paragraph dedup): non-overlapping
+    16-token spans, first occurrence (min doc_id, chunk_idx) wins,
+    documents reassembled from surviving spans."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return span_dedup(docs, "text", "doc_id", span=16)
+
+
+@declared(
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks, unnest(range(0, n, 8)) AS start FROM s),
+    ch AS (
+        SELECT doc_id, array_to_string(toks[start + 1:start + 8], ' ') AS chunk_text
+        FROM c
+    ),
+    sdf AS (SELECT chunk_text, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk_text),
+    agg AS (
+        SELECT ch.doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN sdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        FROM ch JOIN sdf USING (chunk_text)
+        GROUP BY ch.doc_id
+    )
+    SELECT doc_id, n_spans, n_boiler,
+           round(n_boiler / n_spans, 6) AS boiler_ratio,
+           round(n_boiler / n_spans, 6) <= 0.3 AS keep
+    FROM agg
+    """
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate signal: fraction of a document's 8-token
+    spans shared with ≥2 distinct documents; docs over 30% fail."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return boilerplate_flags(
+        docs, "text", "doc_id", span=8, min_docs=2, max_ratio=0.3
+    )
+
+
+@declared(
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 8 AS bkt
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT bkt AS cluster_id, embedding AS cvec FROM (
+            SELECT *, row_number() OVER (PARTITION BY bkt ORDER BY vec_id) AS rn
+            FROM b
+        ) WHERE rn = 1
+    ),
+    xp AS (
+        SELECT e.vec_id, c.cluster_id,
+               unnest(e.embedding)::DOUBLE AS _x, unnest(c.cvec)::DOUBLE AS _y
+        FROM embeddings e, cents c
+    ),
+    sims AS (
+        SELECT vec_id, cluster_id,
+               round(sum(_x * _y) / (sqrt(sum(_x * _x)) * sqrt(sum(_y * _y)) + 1e-9), 6) AS sim
+        FROM xp GROUP BY vec_id, cluster_id
+    ),
+    assigned AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cluster_id
+            ) AS rn FROM sims
+        ) WHERE rn = 1
+    ),
+    ae AS (
+        SELECT a.vec_id, a.cluster_id, e.embedding
+        FROM assigned a JOIN embeddings e USING (vec_id)
+    ),
+    cu AS (
+        SELECT x.vec_id AS i, y.vec_id AS j,
+               unnest(x.embedding)::DOUBLE AS _x, unnest(y.embedding)::DOUBLE AS _y
+        FROM ae x JOIN ae y
+          ON x.cluster_id = y.cluster_id AND x.vec_id > y.vec_id
+    ),
+    cs AS (
+        SELECT i, round(sum(_x * _y) / (sqrt(sum(_x * _x)) * sqrt(sum(_y * _y)) + 1e-9), 6) AS sim
+        FROM cu GROUP BY i, j
+    ),
+    dropped AS (SELECT DISTINCT i AS vec_id FROM cs WHERE sim >= 0.3)
+    SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
+           d.vec_id IS NULL AS keep
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding corpus: 8
+    deterministic coarse clusters (LCG-seeded, so the oracle replays
+    them), greedy keep-lowest-id within-cluster near-dup drop at cosine
+    ≥ 0.3 (the synthetic space's near-dup range — its max pairwise
+    cosine is ≈0.39). Pairwise work confined within clusters."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "embedding", "vec_id", k=8, threshold=0.3)

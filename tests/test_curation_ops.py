@@ -1,0 +1,133 @@
+"""Tests: vocabulary, span dedup, boilerplate flags, semantic dedup."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from review_engine_spark.operators.curation import (
+    boilerplate_flags,
+    semantic_dedup,
+    span_dedup,
+    top_tokens,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_top_tokens_counts_and_rank_ties(spark):
+    df = _docs(
+        spark,
+        [(1, "a a b c"), (2, "a b b"), (3, "c")],
+    )
+    rows = {
+        r["token"]: (r["n_docs"], r["n_total"], r["rank"])
+        for r in top_tokens(df, k=10).collect()
+    }
+    # a: 3 total in 2 docs; b: 3 total in 2 docs; tie broken by token asc
+    assert rows["a"] == (2, 3, 1)
+    assert rows["b"] == (2, 3, 2)
+    assert rows["c"] == (2, 2, 3)
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    # span=2: doc 1 = [a b][c d]; doc 2 = [a b][x y]; doc 3 = [c d]
+    df = _docs(spark, [(1, "a b c d"), (2, "a b x y"), (3, "c d")])
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_dedup"])
+        for r in span_dedup(df, span=2).collect()
+    }
+    assert out[1] == (2, 2, "a b c d")  # first occurrence of both spans
+    assert out[2] == (2, 1, "x y")      # "a b" lost to doc 1
+    assert out[3] == (1, 0, "")         # "c d" lost to doc 1
+
+
+def test_span_dedup_within_doc_duplicates_also_collapse(spark):
+    df = _docs(spark, [(7, "a b a b")])
+    (row,) = span_dedup(df, span=2).collect()
+    assert (row["n_chunks"], row["n_kept"], row["text_dedup"]) == (2, 1, "a b")
+
+
+def test_boilerplate_flags_ratio_and_keep(spark):
+    # span=2, min_docs=2: "a b" shared by all three docs is boilerplate
+    df = _docs(
+        spark,
+        [(1, "a b c d"), (2, "a b x y"), (3, "a b")],
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_boiler"], r["boiler_ratio"], r["keep"])
+        for r in boilerplate_flags(
+            df, span=2, min_docs=2, max_ratio=0.5
+        ).collect()
+    }
+    assert out[1] == (2, 1, 0.5, True)
+    assert out[2] == (2, 1, 0.5, True)
+    assert out[3] == (1, 1, 1.0, False)
+
+
+def test_semantic_dedup_drops_higher_id_near_duplicate(spark):
+    # ids chosen so the LCG buckets don't matter: vectors 1/2 identical
+    # (cos 1.0), vector 3 orthogonal to both
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup(df, k=1, threshold=0.9).collect()
+    }
+    # k=1: everything lands in one cluster; 2 is dropped as 1's dup
+    assert out[1][1] is True
+    assert out[2][1] is False
+    assert out[3][1] is True
+
+
+def test_semantic_dedup_cluster_isolation(spark):
+    # identical vectors in different coarse clusters must BOTH survive —
+    # the within-cluster-only contract (recall bounded by clustering,
+    # exactly the SemDeDup trade)
+    import random
+
+    rng = random.Random(3)
+    base = [rng.gauss(0, 1) for _ in range(8)]
+    rows = [(i, base) for i in range(40)]  # all identical
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, k=4, threshold=0.9).collect()
+    kept = [r for r in out if r["keep"]]
+    clusters = {r["cluster_id"] for r in out}
+    # one survivor per occupied cluster, everything else dropped
+    assert len(kept) == len(clusters)
+    assert all(not r["keep"] for r in out if r not in kept)
+
+
+def test_semantic_dedup_keep_flag_matches_pairwise_definition(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, k=3, threshold=0.5).collect()
+    cluster = {r["vec_id"]: r["cluster_id"] for r in out}
+    keep = {r["vec_id"]: r["keep"] for r in out}
+    vecs = dict(rows)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return round(d / (na * nb + 1e-9), 6)
+
+    for i in cluster:
+        expected = not any(
+            cluster[j] == cluster[i] and cos(vecs[i], vecs[j]) >= 0.5
+            for j in cluster
+            if j < i
+        )
+        assert keep[i] == expected, f"vec {i}"
