@@ -99,6 +99,26 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
     "q_domain_cap": [
         (True, r"Window", "two-stage capped ranking (both windows bounded)"),
     ],
+    "q_top_tokens": [
+        (True, r"partial_count|HashAggregate", "token counts collapse map-side"),
+        (False, r"CartesianProduct", "no cartesian product"),
+    ],
+    "q_span_dedup": [
+        (False, r"CartesianProduct", "winner election is a keyed window"),
+        (False, r"BatchEvalPython|ArrowEvalPython", "pure Catalyst — no Python"),
+    ],
+    "q_boilerplate": [
+        (True, r"HashAggregate", "span doc-frequency aggregates map-side"),
+        (False, r"CartesianProduct", "span join is a hash equi-join"),
+    ],
+    "q_semantic_dedup": [
+        (True, r"BroadcastExchange", "k centroids broadcast to the corpus scan"),
+        (False, r"CartesianProduct", "within-cluster pairs come from an equi-join"),
+    ],
+    "q_dedup_clusters": [
+        (True, r"FlatMapGroupsInPandas", "per-block union-find, no iterative rounds"),
+        (False, r"CartesianProduct", "blocked edges are an equi-join"),
+    ],
 }
 
 
