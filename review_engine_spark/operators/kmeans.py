@@ -1,0 +1,135 @@
+"""Lloyd's k-means over an embedding column — deterministic, oracle-
+replayable iterative clustering.
+
+The other iterative ops (``cluster.pagerank``, MLlib ALS) are rows-only
+checked; this one is built so a SQL oracle can replay it exactly:
+
+- seeding is the engine's LCG bucket hash (ANSI-C constants, pure
+  integer arithmetic — same expression runs in DuckDB), min-id row per
+  bucket, NOT a random sample;
+- a FIXED number of Lloyd iterations (no data-dependent convergence
+  test, which SQL could not replay without knowing the iteration count);
+- squared distances and updated centroid means are rounded to 6 decimals
+  each round, so double summation-order differences between engines
+  cannot flip an argmin.
+
+Scale shape per iteration (the part that matters at 100 TB):
+assignment is ONE narrow pass — centroids arrive as a k-row broadcast,
+the argmin is a per-row expression over ``zip_with`` squared
+differences; the update shuffles only (cluster, pos, partial-sum) pairs
+after map-side partial aggregation — k·dim rows reach the reducers
+regardless of corpus size; the k·dim new centroids come back to the
+driver (trivially small). Empty clusters keep their previous centroid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_fit", "lcg_bucket"]
+
+
+def lcg_bucket(id_col: str, k: int):
+    """(LCG(id) mod k) — deterministic, engine-portable bucket hash
+    (the ``chunking.id_hash_frac`` constants)."""
+    m = 2147483648  # 2^31
+    h = F.pmod(
+        F.pmod(F.col(id_col), F.lit(m)) * F.lit(1103515245) + F.lit(12345),
+        F.lit(m),
+    )
+    return F.pmod(h, F.lit(k))
+
+
+def _sq_dist(vec, cvec):
+    return F.round(
+        F.aggregate(
+            F.zip_with(vec, cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means: (id, cluster_id, sq_dist).
+
+    ``cluster_id`` is the 0..k-1 seed-bucket index of the final
+    assignment; ``sq_dist`` the (rounded) squared euclidean distance to
+    that centroid. Ties in the argmin break to the lower cluster id.
+    """
+    doubled = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    seeds = (
+        doubled.withColumn("_b", lcg_bucket(id_col, k))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_b").orderBy(id_col)),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_b").alias("cluster_id"), F.col("_v").alias("_cvec"))
+    )
+    # centroids live on the driver between rounds: k·dim doubles
+    cents: dict[int, list[float]] = {
+        r["cluster_id"]: list(r["_cvec"]) for r in seeds.collect()
+    }
+
+    def _assign(centroids: dict[int, list[float]]) -> DataFrame:
+        cdf = F.broadcast(
+            emb.sparkSession.createDataFrame(
+                [(cid, v) for cid, v in sorted(centroids.items())],
+                "cluster_id int, _cvec array<double>",
+            )
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.asc("sq_dist"), F.asc("cluster_id")
+        )
+        return (
+            doubled.join(cdf)
+            .select(
+                F.col(id_col),
+                F.col("_v"),
+                "cluster_id",
+                _sq_dist(F.col("_v"), F.col("_cvec")).alias("sq_dist"),
+            )
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
+
+    for _ in range(iters):
+        assigned = _assign(cents)
+        means = (
+            assigned.select(
+                "cluster_id", F.posexplode("_v").alias("pos", "x")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("_cvec")
+            )
+        )
+        new_cents = {
+            r["cluster_id"]: list(r["_cvec"]) for r in means.collect()
+        }
+        # an empty cluster keeps its previous centroid
+        cents = {cid: new_cents.get(cid, v) for cid, v in cents.items()}
+
+    return _assign(cents).select(
+        F.col(id_col),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "sq_dist",
+    )

@@ -15,8 +15,75 @@ from review_engine_spark.operators.curation import (
     span_dedup,
     top_tokens,
 )
+from review_engine_spark.operators.kmeans import kmeans_fit
 from review_engine_spark.plans import declared
 from review_engine_spark.sources.io import read_parquet_table
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled-CTE replay of ``kmeans_fit(k, iters)``: seeds from the
+    LCG bucket hash, then per round a distance/argmin/mean/coalesce CTE
+    quartet; a final assignment against the last centroids. Rounding to
+    6 decimals on distances and means mirrors the Spark side so float
+    summation order can never flip an argmin."""
+    parts = [
+        """e AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    )""",
+        f"""c0 AS (
+        SELECT bkt AS cid, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding)::DOUBLE AS v
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY bkt ORDER BY vec_id) AS rn
+            FROM (
+                SELECT vec_id, embedding,
+                       ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648 % {k} AS bkt
+                FROM embeddings
+            )
+        ) WHERE rn = 1
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"""d{i} AS (
+        SELECT e.vec_id, c.cid, round(sum((e.x - c.v) * (e.x - c.v)), 6) AS sq_dist
+        FROM e JOIN c{i - 1} c USING (pos) GROUP BY e.vec_id, c.cid
+    )""",
+            f"""a{i} AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sq_dist, cid) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    )""",
+            f"""m{i} AS (
+        SELECT a.cid, e.pos, round(avg(e.x), 6) AS v
+        FROM a{i} a JOIN e ON a.vec_id = e.vec_id GROUP BY a.cid, e.pos
+    )""",
+            f"""c{i} AS (
+        SELECT c0.cid, c0.pos, coalesce(m.v, cp.v) AS v
+        FROM c0
+        JOIN c{i - 1} cp ON c0.cid = cp.cid AND c0.pos = cp.pos
+        LEFT JOIN m{i} m ON c0.cid = m.cid AND c0.pos = m.pos
+    )""",
+        ]
+    parts.append(
+        f"""df AS (
+        SELECT e.vec_id, c.cid, round(sum((e.x - c.v) * (e.x - c.v)), 6) AS sq_dist
+        FROM e JOIN c{iters} c USING (pos) GROUP BY e.vec_id, c.cid
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, sq_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sq_dist, cid) AS rn
+        FROM df
+    ) WHERE rn = 1
+    """
+    )
 
 _TOKS = (
     r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
@@ -178,3 +245,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine is ≈0.39). Pairwise work confined within clusters."""
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, "embedding", "vec_id", k=8, threshold=0.3)
+
+
+@declared(oracle=_kmeans_oracle(8, 3))
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, 8 clusters × 3 fixed iterations, LCG-seeded.
+    Iterative ML whose every round the DuckDB oracle replays via
+    unrolled CTEs — the only iterative op in the roster with a full
+    value-level oracle (ALS/PageRank are rows-only). Per round:
+    broadcast centroids + narrow argmin pass; mean update shuffles only
+    k·dim partial sums (map-side combine)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return kmeans_fit(emb, "embedding", "vec_id", k=8, iters=3)

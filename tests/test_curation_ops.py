@@ -131,3 +131,50 @@ def test_semantic_dedup_keep_flag_matches_pairwise_definition(spark):
             if j < i
         )
         assert keep[i] == expected, f"vec {i}"
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """kmeans_fit must replay exactly: LCG seeding, rounded argmin with
+    low-cluster ties, rounded means, empty clusters keeping centroids."""
+    import numpy as np
+
+    from review_engine_spark.operators.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(5)
+    k, iters, dim, n = 3, 2, 5, 40
+    vecs = {i: rng.normal(size=dim).round(3).tolist() for i in range(n)}
+    df = spark.createDataFrame(
+        list(vecs.items()), "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["sq_dist"])
+        for r in kmeans_fit(df, k=k, iters=iters).collect()
+    }
+
+    def bucket(i):
+        return ((i % 2**31) * 1103515245 + 12345) % 2**31 % k
+
+    cents = {}
+    for i in sorted(vecs):
+        cents.setdefault(bucket(i), list(vecs[i]))
+
+    def assign(cs):
+        out = {}
+        for i, v in vecs.items():
+            dists = sorted(
+                (round(sum((a - b) * (a - b) for a, b in zip(v, c)), 6), cid)
+                for cid, c in cs.items()
+            )
+            out[i] = dists[0][::-1]  # (cid, sq_dist)
+        return out
+
+    for _ in range(iters):
+        a = assign(cents)
+        for cid in cents:
+            members = [vecs[i] for i, (c, _) in a.items() if c == cid]
+            if members:
+                cents[cid] = [
+                    round(sum(col) / len(col), 6) for col in zip(*members)
+                ]
+    want = assign(cents)
+    assert got == want

@@ -115,6 +115,10 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
         (True, r"BroadcastExchange", "k centroids broadcast to the corpus scan"),
         (False, r"CartesianProduct", "within-cluster pairs come from an equi-join"),
     ],
+    "q_kmeans": [
+        (True, r"BroadcastExchange|BroadcastNestedLoopJoin", "k centroids broadcast; corpus never shuffles for assignment"),
+        (False, r"CartesianProduct", "no unbroadcast cartesian"),
+    ],
     "q_dedup_clusters": [
         (True, r"FlatMapGroupsInPandas", "per-block union-find, no iterative rounds"),
         (False, r"CartesianProduct", "blocked edges are an equi-join"),
