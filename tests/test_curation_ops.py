@@ -178,3 +178,79 @@ def test_kmeans_matches_numpy_reference(spark):
                 ]
     want = assign(cents)
     assert got == want
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _doc = st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=2), min_size=0, max_size=24
+    ).map(" ".join)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(_doc, min_size=1, max_size=6), st.integers(1, 5))
+    def test_span_dedup_properties(spark, docs, span):
+        """Invariants for any corpus: each distinct span text survives in
+        exactly one (doc, position); kept counts bound chunk counts; the
+        reassembled text is the in-order concatenation of kept spans and
+        the union of kept spans equals the corpus's distinct span set."""
+        from review_engine_spark.operators.curation import span_dedup
+
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in span_dedup(df, span=span).collect()}
+        all_spans = set()
+        n_docs_nonempty = 0
+        kept_spans = []
+        for i, doc in enumerate(docs):
+            toks = [t for t in doc.lower().split() if t]
+            spans = [
+                " ".join(toks[s:s + span]) for s in range(0, len(toks), span)
+            ]
+            if not spans:
+                assert i not in out
+                continue
+            n_docs_nonempty += 1
+            all_spans.update(spans)
+            r = out[i]
+            assert r["n_chunks"] == len(spans)
+            assert 0 <= r["n_kept"] <= r["n_chunks"]
+            pieces = r["text_dedup"].split() if r["text_dedup"] else []
+            # kept text must be a subsequence of the original token stream
+            it = iter(toks)
+            assert all(any(t == u for u in it) for t in pieces)
+            kept_spans.extend(
+                [r["text_dedup"]] if r["n_kept"] == r["n_chunks"] else []
+            )
+        assert len(out) == n_docs_nonempty
+        # every distinct span survives exactly once corpus-wide
+        total_kept = sum(r["n_kept"] for r in out.values())
+        assert total_kept == len(all_spans)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(_doc, min_size=1, max_size=6))
+    def test_top_tokens_matches_python_counts(spark, docs):
+        from collections import Counter
+
+        from review_engine_spark.operators.curation import top_tokens
+
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        got = {
+            r["token"]: (r["n_docs"], r["n_total"])
+            for r in top_tokens(df, k=1000).collect()
+        }
+        totals: Counter = Counter()
+        in_docs: Counter = Counter()
+        for doc in docs:
+            toks = [t for t in doc.lower().split() if t]
+            totals.update(toks)
+            in_docs.update(set(toks))
+        assert got == {
+            t: (in_docs[t], totals[t]) for t in totals
+        }
+
+except ImportError:  # pragma: no cover - hypothesis always in container
+    pass
