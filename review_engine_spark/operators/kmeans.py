@@ -65,10 +65,14 @@ def kmeans_fit(
     assignment; ``sq_dist`` the (rounded) squared euclidean distance to
     that centroid. Ties in the argmin break to the lower cluster id.
     """
+    from pyspark import StorageLevel
+
+    # every round's assignment job re-reads the corpus otherwise:
+    # iters+1 assignment passes + the seed scan all share this table
     doubled = emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     seeds = (
         doubled.withColumn("_b", lcg_bucket(id_col, k))
         .withColumn(
@@ -84,26 +88,35 @@ def kmeans_fit(
     }
 
     def _assign(centroids: dict[int, list[float]]) -> DataFrame:
-        cdf = F.broadcast(
-            emb.sparkSession.createDataFrame(
-                [(cid, v) for cid, v in sorted(centroids.items())],
-                "cluster_id int, _cvec array<double>",
+        # centroids enter the plan as a literal array of structs and the
+        # argmin is array_min over (distance, cid) structs — struct
+        # ordering IS (d, then cid), so ties resolve to the lower
+        # cluster id. A NARROW per-row pass with zero exchanges (a
+        # join+window argmin would shuffle N·k rows per iteration — 8×
+        # the corpus per round at k=8).
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in v]).alias("cvec"),
+                )
+                for cid, v in sorted(centroids.items())
+            ]
+        )
+        best = F.array_min(
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(
+                    _sq_dist(F.col("_v"), c.cvec).alias("d"),
+                    c.cid.alias("cid"),
+                ),
             )
         )
-        w = Window.partitionBy(id_col).orderBy(
-            F.asc("sq_dist"), F.asc("cluster_id")
-        )
-        return (
-            doubled.join(cdf)
-            .select(
-                F.col(id_col),
-                F.col("_v"),
-                "cluster_id",
-                _sq_dist(F.col("_v"), F.col("_cvec")).alias("sq_dist"),
-            )
-            .withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .drop("_r")
+        return doubled.select(
+            F.col(id_col),
+            F.col("_v"),
+            best.getField("cid").alias("cluster_id"),
+            best.getField("d").alias("sq_dist"),
         )
 
     for _ in range(iters):

@@ -116,7 +116,7 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
         (False, r"CartesianProduct", "within-cluster pairs come from an equi-join"),
     ],
     "q_kmeans": [
-        (True, r"BroadcastExchange|BroadcastNestedLoopJoin", "k centroids broadcast; corpus never shuffles for assignment"),
+        (False, r"Exchange", "assignment is a narrow literal-centroid argmin — zero shuffles"),
         (False, r"CartesianProduct", "no unbroadcast cartesian"),
     ],
     "q_dedup_clusters": [
