@@ -80,7 +80,11 @@ def quality_score(text: Column, n_chars: Column | None = None) -> Column:
     n_tok = F.size(toks).cast("double")
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
     stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
-    length = F.coalesce(n_chars, F.length(text)).cast("double")
+    length = (
+        F.length(text)
+        if n_chars is None
+        else F.coalesce(n_chars, F.length(text))
+    ).cast("double")
     punct = (length - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))).cast("double")
     punct_ratio = F.when(length > 0, punct / length).otherwise(F.lit(0.0))
     raw = (
