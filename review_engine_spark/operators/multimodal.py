@@ -37,6 +37,8 @@ __all__ = [
     "decode_image_meta",
     "image_features",
     "sample_video_frames",
+    "resize_images",
+    "audio_fingerprint",
     "DECODED_META_SCHEMA",
 ]
 
@@ -151,3 +153,89 @@ def sample_video_frames(df: DataFrame, id_col: str = "media_id", content_col: st
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return df.select(id_col, content_col).mapInPandas(sample, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("content", StringType()),  # stub: digest; real: binary
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Resize stage shape (stubbed): binary → resized payload at the
+    model's input resolution — the standard pre-embedding normalization
+    pass. Production swaps the digest stub for
+    ``PIL.Image.open(...).resize((width, height))`` re-encoded per
+    batch; schema, Arrow batch iteration, and per-row error skipping
+    are the real contract. Dirty payloads are dropped, not fatal."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                if payload is None:
+                    continue
+                digest = hashlib.md5(
+                    bytes(payload) + f"{width}x{height}".encode()
+                ).hexdigest()
+                rows.append((str(mid), digest, width, height))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "width", "height"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(resize, RESIZED_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("fingerprint", ArrayType(LongType())),
+        StructField("n_windows", IntegerType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    window_bytes: int = 16,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Audio fingerprint stage shape (stubbed chromaprint analog): the
+    payload is windowed and each window hashes to one code — the
+    audio-dedup key (near-dup audio joins on banded fingerprint codes,
+    exactly like MinHash bands join for text). Production decodes PCM
+    and computes spectral peaks per window; the windowing, schema, and
+    per-row skip contract are real."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                codes = []
+                for s in range(0, len(b), window_bytes):
+                    win = b[s:s + window_bytes]
+                    codes.append(
+                        int.from_bytes(
+                            hashlib.md5(win).digest()[:8], "big", signed=True
+                        )
+                    )
+                rows.append((str(mid), codes, len(codes)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "fingerprint", "n_windows"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(fp, AUDIO_FP_SCHEMA)

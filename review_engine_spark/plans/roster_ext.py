@@ -751,6 +751,42 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(fetched)
 
 
+@declared()
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K resize-to-model-input stage: cap → fetch(binary) →
+    mapInPandas resize (stubbed resample; real Arrow batch contract),
+    placed after the limit like every media UDF."""
+    from review_engine_spark.operators.multimodal import (
+        attach_media_binary,
+        resize_images,
+    )
+
+    part = read_parquet_table(spark, sf_dir, "part").limit(100)
+    media = part.select(
+        F.col("p_partkey").cast("string").alias("media_id"),
+        F.concat(F.lit("img://part/"), F.col("p_partkey")).alias("url"),
+    )
+    return resize_images(attach_media_binary(media, "url"))
+
+
+@declared()
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K audio-dedup key build: windowed payload → fingerprint codes
+    (chromaprint-shaped stub) — the banded-join dedup key for audio,
+    mirroring MinHash bands for text."""
+    from review_engine_spark.operators.multimodal import (
+        attach_media_binary,
+        audio_fingerprint,
+    )
+
+    part = read_parquet_table(spark, sf_dir, "part").limit(100)
+    media = part.select(
+        F.col("p_partkey").cast("string").alias("media_id"),
+        F.concat(F.lit("aud://part/"), F.col("p_partkey")).alias("url"),
+    )
+    return audio_fingerprint(attach_media_binary(media, "url"))
+
+
 # ---------------------------------------------------------------------------
 # §2.K ANN scale path (rows-only: probabilistic recall)
 # ---------------------------------------------------------------------------
