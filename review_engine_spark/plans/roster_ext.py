@@ -1084,6 +1084,66 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars
+    FROM documents
+    """
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of the same table
+    (v1 lacks the later ``n_chars`` column) merged by ``mergeSchema`` —
+    the standard posture for a 100 TB lake written over months, where
+    old partitions never get rewritten. Rows from the old generation
+    surface NULL for the added column; the oracle models exactly that.
+    """
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    v1.write.mode("overwrite").parquet(f"{tmp}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{tmp}/gen=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{tmp}/gen=1", f"{tmp}/gen=2")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@declared(
+    oracle="""
+    WITH sharded AS (
+        SELECT doc_id, doc_id % 32 AS shard,
+               row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, CAST(shard * 1099511627776 + rn AS BIGINT) AS uid
+    FROM sharded
+    """
+)
+def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global unique-id assignment without a global sort: ids are
+    (shard << 40) + per-shard ordinal, 32 independent window sorts —
+    the scale-safe replacement for both ``monotonically_increasing_id``
+    (unstable across reruns/partitionings) and a single-reducer
+    ``row_number() OVER (ORDER BY ...)``. Deterministic for a given key
+    column, engine-portable."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    return (
+        docs.select("doc_id", F.pmod("doc_id", F.lit(32)).alias("shard"))
+        .withColumn(
+            "uid",
+            (F.col("shard").cast("long") * F.lit(1 << 40))
+            + F.row_number().over(w),
+        )
+        .select("doc_id", "uid")
+    )
+
+
+@declared(
+    oracle="""
     SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS qty,
            round(l_extendedprice, 4) AS price, l_returnflag
     FROM lineitem
