@@ -24,7 +24,7 @@ from review_engine_spark.functions.vector import (
     l2_normalize_rows,
 )
 
-__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk"]
+__all__ = ["brute_force_topk", "brute_force_topk_batch", "lsh_topk", "ivf_topk"]
 
 
 def brute_force_topk(
@@ -204,5 +204,77 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= k
+    )
+
+
+def brute_force_topk_batch(
+    corpus: DataFrame,
+    query_vecs: list[list[float]],
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact batch k-NN on the numpy fast path: (query_idx, neighbor_id,
+    cos_sim, rn).
+
+    The expression-form cosine (``brute_force_topk``) is O(dim) of
+    interpreted-expression work per (row, query); past a few hundred
+    dimensions the Arrow-batched matmul wins an order of magnitude:
+    each partition computes ``M @ Q.T`` against the (pickled, tiny)
+    query matrix and emits only its LOCAL top-k per query — the shuffle
+    then carries ≤ partitions·k·q rows into the global top-k window,
+    never the corpus. Cosine matches the expression kernel exactly:
+    dot/(|a|·|b| + 1e-9), rounded to 6; ties break to the lower id.
+    No self-exclusion — external queries don't have corpus ids.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField as SF,
+        StructType as ST,
+    )
+
+    q_mat = np.asarray(query_vecs, dtype=np.float64)
+    q_norms = np.linalg.norm(q_mat, axis=1)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
+            ids = pdf[corpus_id].to_numpy()
+            norms = np.linalg.norm(mat, axis=1)
+            sims = np.round(
+                (mat @ q_mat.T) / (norms[:, None] * q_norms[None, :] + 1e-9),
+                6,
+            )
+            for qi in range(q_mat.shape[0]):
+                order = np.lexsort((ids, -sims[:, qi]))[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_idx": qi,
+                        "neighbor_id": ids[order],
+                        "cos_sim": sims[order, qi],
+                    }
+                )
+
+    schema = ST(
+        [
+            SF("query_idx", IntegerType()),
+            SF("neighbor_id", LongType()),
+            SF("cos_sim", DoubleType()),
+        ]
+    )
+    local = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        local_topk, schema
+    )
+    w = Window.partitionBy("query_idx").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return local.withColumn("rn", F.row_number().over(w).cast("long")).filter(
         F.col("rn") <= k
     )

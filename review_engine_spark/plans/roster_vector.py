@@ -212,3 +212,49 @@ def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") > 0.25)
     )
+
+
+@declared(
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_idx, embedding AS qv
+        FROM embeddings WHERE vec_id < 2
+    ),
+    x AS (
+        SELECT q.query_idx, e.vec_id AS neighbor_id,
+               unnest(e.embedding)::DOUBLE AS _x, unnest(q.qv)::DOUBLE AS _y
+        FROM embeddings e, q
+    ),
+    s AS (
+        SELECT query_idx, neighbor_id,
+               round(sum(_x * _y) / (sqrt(sum(_x * _x)) * sqrt(sum(_y * _y)) + 1e-9), 6) AS cos_sim
+        FROM x GROUP BY query_idx, neighbor_id
+    )
+    SELECT CAST(query_idx AS INT) AS query_idx, neighbor_id, cos_sim, rn
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_idx ORDER BY cos_sim DESC, neighbor_id
+        ) AS BIGINT) AS rn
+        FROM s
+    ) WHERE rn <= 10
+    """
+)
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K similarity search, numpy fast path: Arrow-batched matmul
+    per partition with a LOCAL top-k cut before the shuffle — the
+    wide-embedding variant of q_knn_bruteforce (expression cosine is
+    O(dim) interpreted work per pair; the batch matmul wins ~10× past a
+    few hundred dims). Exact, and oracle-checked value-for-value
+    against the same cosine the expression kernel computes; query_idx
+    equals the source vec_id (0, 1) so the oracle can replay it."""
+    from review_engine_spark.operators.similarity import brute_force_topk_batch
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    qv = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 2)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return brute_force_topk_batch(emb, qv, k=10)
