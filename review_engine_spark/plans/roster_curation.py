@@ -7,7 +7,7 @@ deterministic LCG seeding keeps even the clustering step SQL-replayable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from review_engine_spark.operators.curation import (
     boilerplate_flags,
@@ -257,3 +257,89 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     k·dim partial sums (map-side combine)."""
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     return kmeans_fit(emb, "embedding", "vec_id", k=8, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Mixture recipe: per-source token budgeting + deterministic upsampled order
+# ---------------------------------------------------------------------------
+
+_TOKN = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+
+
+@declared(
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum({_TOKN}) AS BIGINT) AS n_tokens,
+               CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0
+                    ELSE 1.0 END AS weight
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(weight) AS w_total FROM s)
+    SELECT source, n_docs, n_tokens, round(weight, 6) AS weight,
+           CAST(floor(20000 * weight / w_total) AS BIGINT) AS target_tokens,
+           round(least(1.0, floor(20000 * weight / w_total) / n_tokens), 6)
+               AS sample_rate,
+           CAST(greatest(1, ceil(floor(20000 * weight / w_total) / n_tokens))
+               AS BIGINT) AS epochs
+    FROM s, t
+    """
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture plan: per-source token counts vs a target
+    recipe (src0 weight 3, src1 weight 2, everything else 1; 20k-token
+    budget) → each source's token target, downsampling rate, and repeat
+    factor. One scan-bound aggregate over ~#sources keys; the
+    normalizing total is a broadcast 1-row agg (§2.D7)."""
+    from review_engine_spark.functions.text import token_count
+    from review_engine_spark.operators.mixture import mixture_plan
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs,
+        "source",
+        token_count(F.col("text")),
+        budget=20000,
+        weights={"src0": 3.0, "src1": 2.0},
+    ).select(
+        "source", "n_docs", "n_tokens", "weight", "target_tokens",
+        "sample_rate", "epochs",
+    )
+
+
+@declared(
+    oracle="""
+    WITH inst AS (
+        SELECT doc_id, unnest(generate_series(1,
+                   CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+                        ELSE 1 END)) AS epoch
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+               (((doc_id * 31 + epoch) % 2147483648) * 1103515245 + 12345)
+                   % 2147483648 AS _h
+        FROM inst
+    )
+    SELECT doc_id, epoch, _h % 8 AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY _h % 8 ORDER BY _h, doc_id, epoch
+           ) AS BIGINT) AS pos
+    FROM h
+    """
+)
+def q_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-aware upsampling + deterministic training order: src0
+    repeats 3×, src1 2× (the `epochs` column q_mixture_weights plans),
+    each instance hashed to an independent stream position so epochs
+    interleave. Narrow explode; ONE exchange on the shard key; no
+    global row_number bottleneck — per-shard ranks only."""
+    from review_engine_spark.operators.mixture import upsample_epochs
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    return upsample_epochs(
+        docs, "doc_id", "source", epochs={"src0": 3, "src1": 2}, n_shards=8
+    ).select("doc_id", "epoch", "shard", "pos")

@@ -1418,3 +1418,58 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incoming.join(marked, "h", "left").select(
         "doc_id", F.coalesce("_hit", F.lit(False)).alias("is_dup")
     )
+
+
+@declared(
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           round(sum(o_totalprice), 4) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈dim join off bucketed storage: both sides are
+    written ``bucketBy(8, custkey)`` and re-read through the catalog, so
+    the SortMergeJoin consumes the buckets directly — NO Exchange on
+    either join input (asserted by tools/plan_audit.py). This is the
+    100 TB posture for repeated joins on a stable key: the shuffle is
+    paid once at write time and amortized over every subsequent join /
+    aggregation on that key (the reference's dict probe, rank.py:21,
+    made disk-resident). The merge hint keeps the demonstration honest —
+    without it AQE would broadcast the small test-scale build side."""
+    from review_engine_spark.sources.bucketing import (
+        read_table,
+        write_bucketed_table,
+    )
+
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="bucketed_join_")
+    write_bucketed_table(
+        cust, "bkt_customer", ["c_custkey"], 8, ["c_custkey"],
+        path=f"{tmp}/customer",
+    )
+    write_bucketed_table(
+        orders, "bkt_orders", ["o_custkey"], 8, ["o_custkey"],
+        path=f"{tmp}/orders",
+    )
+    j = (
+        read_table(spark, "bkt_orders")
+        .hint("merge")
+        .join(
+            read_table(spark, "bkt_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.count_distinct("c_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )

@@ -38,13 +38,19 @@ def write_bucketed_table(
     n_buckets: int = 8,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed (and bucket-sorted) managed table. Sorting
-    within buckets additionally removes the Sort from downstream
-    sort-merge joins on the bucket key."""
+    """Persist as a bucketed (and bucket-sorted) table. Sorting within
+    buckets additionally removes the Sort from downstream sort-merge
+    joins on the bucket key. With ``path`` the table is EXTERNAL (data
+    at the given location, catalog entry carries only the bucketing
+    metadata readers need) — required when the session's warehouse dir
+    is not writable or not the caller's to pollute."""
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 

@@ -123,6 +123,21 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
         (True, r"FlatMapGroupsInPandas", "per-block union-find, no iterative rounds"),
         (False, r"CartesianProduct", "blocked edges are an equi-join"),
     ],
+    "q_bucketed_join": [
+        (True, r"SortMergeJoin", "co-located join is a sort-merge over buckets"),
+        (False, r"hashpartitioning\((o_custkey|c_custkey)",
+         "no shuffle on the join key — buckets are read pre-partitioned"),
+    ],
+    "q_mixture_weights": [
+        (True, r"BroadcastExchange|BroadcastNestedLoopJoin",
+         "1-row normalizing total is broadcast back"),
+        (False, r"SortMergeJoin", "no shuffle join anywhere in the plan"),
+    ],
+    "q_mix_upsample": [
+        (True, r"explode\(sequence", "epoch replication is a narrow explode"),
+        (False, r"hashpartitioning\(doc_id",
+         "ordering shuffles on shard only — never on the raw id"),
+    ],
 }
 
 
