@@ -59,11 +59,26 @@ _TIER1_FIXED = [
 ]
 
 #: Never-driver-checked queries worth a slot ahead of plain registration
-#: order: the recsys surface (the north star's headline direction) and
-#: the round-2 curation compositions.
+#: order, ranked: (a) the queries VERDICT.md round 1 named as wanting a
+#: CORRECTNESS row (flagship q_rank_blend first), (b) the recsys surface
+#: (the north star's headline direction), (c) the curation-pipeline set,
+#: (d) this round's new headliners. With ~100 oracles and a ~50-slot
+#: driver prefix, everything here displaces a query that is either
+#: folded into a checked composite (q_price_fit ⊂ q_rank_blend) or was
+#: already proven green in round 1.
 _TIER2_PRIORITY = [
-    "q_implicit_ratings", "q_cooccur_topk", "q_recsys_eval",
+    "q_rank_blend", "q_cosine_topk", "q_dot", "q_l2norm",
+    "q_knn_bruteforce", "q_implicit_ratings", "q_cooccur_topk",
+    "q_recsys_eval", "q_dedup_clusters", "q_chunk_docs",
+    "q_quantize_embeddings",
     "q_domain_cap", "q_quality_gate", "q_dedup_apply",
+    "q_repetition_stats", "q_sequence_pack", "q_train_split",
+    "q_contamination", "q_pii_scrub", "q_rate_sample",
+    "q_kmeans", "q_semantic_dedup", "q_mixture_weights",
+    "q_mix_upsample", "q_bucketed_join", "q_knn_batch",
+    "q_top_tokens", "q_span_dedup", "q_boilerplate",
+    "q_assign_ids", "q_schema_evolution", "q_incremental_dedup",
+    "q_near_dup_embedding",
 ]
 _R01_GREEN = [
     "q_scan_docs", "q_scan_embeddings", "q_clean_text", "q_token_filter",
