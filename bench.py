@@ -82,6 +82,7 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "sec_per_query": round(sum(timings.values()) / max(len(timings), 1), 3),
     }
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
