@@ -78,7 +78,7 @@ _TIER2_PRIORITY = [
     "q_mix_upsample", "q_bucketed_join", "q_knn_batch",
     "q_top_tokens", "q_span_dedup", "q_boilerplate",
     "q_assign_ids", "q_schema_evolution", "q_incremental_dedup",
-    "q_near_dup_embedding",
+    "q_partitioned_prune",
 ]
 _R01_GREEN = [
     "q_scan_docs", "q_scan_embeddings", "q_clean_text", "q_token_filter",

@@ -1482,3 +1482,83 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("c_custkey").alias("n_customers"),
         F.round(F.sum("o_totalprice"), 4).alias("revenue"),
     )
+
+
+@declared(
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents WHERE lang = 'en'
+    """
+)
+def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-partition pruning: documents written ``partitionBy
+    (lang)`` then read back with a partition-column filter — the scan
+    lists ONLY the lang=en directory (PartitionFilters in the plan,
+    asserted by tools/plan_audit.py), never touching the other
+    partitions' files. At 100 TB this is the difference between reading
+    one language's share and reading everything; the write is cached
+    per (session, sf_dir) like q_bucketed_join's buckets."""
+    import hashlib
+
+    from review_engine_spark.sources.bucketing import write_partitioned
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = f"spark.graft.partprune.{tag}"
+    try:
+        d = spark.conf.get(key)
+    except Exception:
+        d = None
+    if d is None:
+        docs = read_parquet_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars", "lang"
+        )
+        d = tempfile.mkdtemp(prefix="part_prune_")
+        write_partitioned(docs, d, ["lang"])
+        spark.conf.set(key, d)
+    back = spark.read.parquet(d).filter(F.col("lang") == "en")
+    return back.select("doc_id", "lang", "source", "n_chars")
+
+
+@declared(
+    oracle="""
+    SELECT lang,
+           CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS n_valid,
+           CAST(count(*) FILTER (WHERE NOT ok) AS BIGINT) AS n_corrupt
+    FROM (
+        SELECT lang,
+               json_valid(
+                   CASE WHEN doc_id % 10 = 0
+                        THEN '{"id": ' || doc_id || ' BROKEN'
+                        ELSE '{"id": ' || doc_id || ', "lang": "' || lang || '"}'
+                   END
+               ) AS ok
+        FROM documents
+    ) GROUP BY lang
+    """
+)
+def q_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record-tolerant ingest: a JSONL feed where every 10th
+    line is malformed (the permanent condition of a 100 TB web-scrape
+    lake) parsed with PERMISSIVE ``from_json`` — bad rows surface as
+    NULL structs and are counted per language instead of failing the
+    job. The corruption is constructed in-query from the fixture so
+    the DuckDB oracle replays the same byte stream via json_valid."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    payload = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit('{"id": '), F.col("doc_id"), F.lit(" BROKEN")),
+    ).otherwise(
+        F.concat(
+            F.lit('{"id": '), F.col("doc_id"),
+            F.lit(', "lang": "'), F.col("lang"), F.lit('"}'),
+        )
+    )
+    parsed = F.from_json(payload, "id long, lang string")
+    return (
+        docs.select("lang", parsed.alias("p"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.when(F.col("p.id").isNotNull(), 1)).alias("n_valid"),
+            F.count(F.when(F.col("p.id").isNull(), 1)).alias("n_corrupt"),
+        )
+    )

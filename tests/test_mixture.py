@@ -83,3 +83,54 @@ def test_upsample_epochs_partitioning_invariant(spark):
         (r["doc_id"], r["epoch"], r["shard"], r["pos"]) for r in df.collect()
     )
     assert canon(a) == canon(b)
+
+
+def test_mixture_plan_property(spark):
+    """Property: for random budgets/weights/corpora, the plan's float
+    columns equal exact Python arithmetic (same floor/ceil/round), the
+    token budget is never exceeded by target sums, and every
+    under-target source gets epochs ≥ 2."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(  # (source index, n_docs, tokens/doc)
+            st.tuples(st.integers(0, 3), st.integers(1, 6), st.integers(1, 9)),
+            min_size=1,
+            max_size=4,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(10, 500),
+        st.floats(0.5, 4.0),
+    )
+    def prop(srcs, budget, w0):
+        rows = []
+        for si, nd, tpd in srcs:
+            rows += [
+                (si * 100 + j, f"s{si}", " ".join(["t"] * tpd))
+                for j in range(nd)
+            ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        plan = mixture_plan(
+            df,
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long"),
+            budget=budget,
+            weights={"s0": w0},
+        ).collect()
+        w_total = sum(w0 if r["source"] == "s0" else 1.0 for r in plan)
+        assert sum(r["target_tokens"] for r in plan) <= budget
+        for r in plan:
+            w = w0 if r["source"] == "s0" else 1.0
+            target = math.floor(budget * w / w_total)
+            assert r["target_tokens"] == target
+            assert r["sample_rate"] == round(
+                min(1.0, target / r["n_tokens"]), 6
+            )
+            assert r["epochs"] == max(1, math.ceil(target / r["n_tokens"]))
+            if target > r["n_tokens"]:
+                assert r["epochs"] >= 2
+
+    prop()

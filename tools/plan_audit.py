@@ -133,6 +133,12 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
          "1-row normalizing total is broadcast back"),
         (False, r"SortMergeJoin", "no shuffle join anywhere in the plan"),
     ],
+    "q_partitioned_prune": [
+        (True, r"PartitionFilters: \[[^\]]*lang",
+         "partition-column filter prunes directories at planning time"),
+        (False, r"PushedFilters: \[[^\]]*lang",
+         "lang never reaches row-level filtering — it is pruned, not scanned"),
+    ],
     "q_mix_upsample": [
         (True, r"explode\(sequence", "epoch replication is a narrow explode"),
         (False, r"hashpartitioning\(doc_id",
