@@ -1562,3 +1562,66 @@ def q_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("p.id").isNull(), 1)).alias("n_corrupt"),
         )
     )
+
+
+@declared(
+    oracle="""
+    WITH r AS (
+        SELECT o_orderstatus, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_orderstatus ORDER BY o_totalprice
+               ) AS rk
+        FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    SELECT o_orderstatus,
+           round(2.0 * sum(rk * o_totalprice)
+                     / (count(*) * sum(o_totalprice))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM r GROUP BY o_orderstatus
+    """
+)
+def q_gini_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-UDAF surface: revenue concentration (Gini) per order
+    status via an Arrow-batched grouped-agg pandas UDF — the extension
+    path for aggregates Catalyst doesn't ship. The whole group arrives
+    as one Arrow batch (fine for bounded-cardinality groups); the
+    pure-Catalyst twin `gini_expr_frame` is the unbounded-scale form,
+    pinned equal in tests. Tie-order-invariant, so the sorted-rank
+    oracle replays it exactly."""
+    from review_engine_spark.operators.udaf import gini_udaf
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .groupBy("o_orderstatus")
+        .agg(gini_udaf(F.col("o_totalprice")).alias("gini"))
+    )
+
+
+@declared(
+    oracle="""
+    SELECT g AS row_id,
+           CAST(g // 250 AS INT) AS part,
+           round((((g % 2147483648) * 1103515245 + 12345) % 2147483648)
+                 / 2147483648.0, 6) AS val
+    FROM (SELECT unnest(generate_series(0, 999)) AS g)
+    """
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (PySpark 4 extension surface): a
+    registered ``DataSource`` whose InputPartitions generate rows
+    per-task from the engine's LCG — planned and parallelized like any
+    file scan, no driver bottleneck. Deterministic by construction, so
+    the DuckDB oracle replays the full byte stream (sf_dir unused: the
+    source IS the data)."""
+    from review_engine_spark.sources.python_datasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("parts", "4")
+        .option("rows_per_part", "250")
+        .load()
+    )

@@ -1,0 +1,38 @@
+"""Custom Python DataSource: partition-parallel, partitioning-invariant."""
+
+from __future__ import annotations
+
+from review_engine_spark.sources.python_datasource import (
+    register_synthetic_source,
+)
+
+_M = 2147483648
+
+
+def _read(spark, parts, rows_per_part):
+    register_synthetic_source(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("parts", str(parts))
+        .option("rows_per_part", str(rows_per_part))
+        .load()
+    )
+
+
+def test_synthetic_source_matches_lcg_and_parallelizes(spark):
+    df = _read(spark, 3, 40)
+    assert df.rdd.getNumPartitions() == 3  # one task per InputPartition
+    rows = {r["row_id"]: (r["part"], r["val"]) for r in df.collect()}
+    assert len(rows) == 120
+    for g in (0, 39, 40, 119):
+        h = ((g % _M) * 1103515245 + 12345) % _M
+        assert rows[g] == (g // 40, round(h / _M, 6))
+
+
+def test_synthetic_source_value_set_invariant_to_partitioning(spark):
+    """(row_id, val) pairs depend only on the global row index — carving
+    the same 120 rows into 3 or 6 partitions changes nothing but
+    parallelism."""
+    a = {(r["row_id"], r["val"]) for r in _read(spark, 3, 40).collect()}
+    b = {(r["row_id"], r["val"]) for r in _read(spark, 6, 20).collect()}
+    assert a == b
