@@ -1625,3 +1625,14 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rows_per_part", "250")
         .load()
     )
+
+
+@declared()
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.I streaming MERGE: foreachBatch copy-on-write upsert of the
+    latest row per (user_id, event_type), run incrementally over 3
+    micro-batches; rows-only — equality with the batch latest-per-key
+    window is pinned in tests."""
+    from review_engine_spark.streaming.jobs import run_stream_upsert
+
+    return run_stream_upsert(spark, sf_dir)

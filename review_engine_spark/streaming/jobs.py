@@ -28,6 +28,7 @@ __all__ = [
     "run_stream_dedup",
     "run_stream_stream_join",
     "run_stream_to_parquet",
+    "run_stream_upsert",
 ]
 
 from contextlib import contextmanager
@@ -411,4 +412,87 @@ def run_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(30)
     out = spark.read.parquet(out_dir)
     # snapshot: the temp dir outlives this call only until process exit
+    return spark.createDataFrame(out.toPandas(), out.schema)
+
+
+def run_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE/upsert via ``foreachBatch`` — the streaming-CDC
+    landing pattern: each micro-batch's latest row per (user_id,
+    event_type) is merged into a keyed target, superseding older
+    versions. Plain parquet has no transactional in-place merge, so the
+    merge is copy-on-write: every batch writes a NEW versioned snapshot
+    and flips a pointer — the same shape a Delta/Iceberg MERGE
+    executes, made explicit. The merge condition is VERSION-aware
+    (``WHEN MATCHED AND s.ts > t.ts``): micro-batch arrival order is
+    not event order, so an older event in a later batch must lose to
+    the newer row already landed. The events fixture is split into 3
+    files and streamed with ``maxFilesPerTrigger=1``, so the merge
+    genuinely runs incrementally across micro-batches.
+
+    Scale: per batch the target read is pruned to the merge keys'
+    partitions in a real table format; the within-batch winner pick is
+    one keyed aggregate; ties break (ts, event_id)-deterministic, so
+    the final table equals the batch `q_upsert_latest` semantics over
+    the full feed — pinned in tests.
+    """
+    from review_engine_spark.sources.io import read_parquet_table
+
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src_dir = tempfile.mkdtemp(prefix="upsert_src_")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src_dir}/chunk={i}")
+
+    target_dir = tempfile.mkdtemp(prefix="upsert_target_")
+    state = {"version": -1}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        winners = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if state["version"] >= 0:
+            # Conditional MERGE (WHEN MATCHED AND s.ts > t.ts THEN
+            # UPDATE): arrival order is NOT version order — a later
+            # micro-batch can carry an older event, which must not
+            # clobber the newer row already in the target. Re-resolve
+            # the winner per key across target ∪ batch.
+            cur = spark.read.parquet(f"{target_dir}/v={state['version']}")
+            merged = (
+                cur.unionByName(winners)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            merged = winners
+        state["version"] += 1
+        merged.write.mode("overwrite").parquet(
+            f"{target_dir}/v={state['version']}"
+        )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/chunk=*")
+    )
+    with _state_partitions(spark, 8), tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    out = spark.read.parquet(f"{target_dir}/v={state['version']}")
     return spark.createDataFrame(out.toPandas(), out.schema)

@@ -1,0 +1,31 @@
+"""Streaming upsert (foreachBatch MERGE) equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_stream_upsert_equals_batch_latest(spark, sf_dir):
+    """The incremental foreachBatch merge over 3 micro-batches lands
+    exactly the batch latest-row-per-key result (ts desc, event_id desc
+    tie-break) — upserts genuinely supersede earlier batches' rows."""
+    from pyspark.sql.window import Window
+
+    from review_engine_spark.sources.io import read_parquet_table
+    from review_engine_spark.streaming.jobs import run_stream_upsert
+
+    got = {
+        (r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+        for r in run_stream_upsert(spark, sf_dir).collect()
+    }
+    ev = read_parquet_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    want = {
+        (r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+        for r in ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    assert got == want
