@@ -1309,3 +1309,41 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
     )
+
+
+@declared(
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(amount, 6) AS amount
+    FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               l_quantity AS amount FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        FROM lineitem WHERE l_orderkey < 1000
+    )
+    """
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (`unpivot`/melt — the inverse of q_pivot): the
+    four lineitem measures become (measure, amount) rows. Narrow,
+    zero-shuffle — each input row expands to 4 output rows in place, so
+    at 100 TB it runs at scan speed and the measure filter prunes
+    columns at the scan. The oracle replays it as a 4-way UNION ALL."""
+    li = read_parquet_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 1000
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "_amt",
+    ).select(
+        "l_orderkey", "l_linenumber", "measure",
+        F.round(F.col("_amt"), 6).alias("amount"),
+    )
