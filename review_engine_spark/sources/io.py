@@ -105,12 +105,17 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     ~1.7e18 ns values), truncating toward microseconds exactly like
     DuckDB's ns → µs read of the same file.
 
-    The conf is set here at runtime (it is runtime-settable) rather than
-    only at session build: callers — including an external harness — may
-    hand in a SparkSession built without it, and without the conf the
-    read itself dies with PARQUET_TYPE_ILLEGAL before the ts fixup runs.
+    The confs are set here at runtime (both are runtime-settable) rather
+    than only at session build: callers — including an external harness —
+    may hand in a SparkSession built without them. Without nanosAsLong
+    the read dies with PARQUET_TYPE_ILLEGAL before the ts fixup runs;
+    without a pinned UTC session timezone every timestamp/date output
+    (date_trunc buckets, window frames, funnel ordering) would shift
+    with the harness JVM's default zone and hash-mismatch the TZ-naive
+    DuckDB oracle.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -836,3 +836,17 @@ def test_winnow_fingerprints_matches_python_reference(spark):
 
     for doc_id, text in texts.items():
         assert got[doc_id] == ref(text), f"doc {doc_id}"
+
+
+def test_read_parquet_table_pins_result_critical_confs(spark, sf_dir):
+    """Harness-parity guard: reading a fixture table must pin BOTH
+    result-critical session confs at runtime (nanos-as-long and UTC
+    session timezone), so correctness never depends on who built the
+    SparkSession — the round-1 failure mode."""
+    from review_engine_spark.sources.io import read_parquet_table
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    df = read_parquet_table(spark, sf_dir, "events")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert dict(df.dtypes)["ts"] == "timestamp"
