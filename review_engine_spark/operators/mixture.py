@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["mixture_plan", "upsample_epochs"]
+__all__ = ["mixture_plan", "upsample_epochs", "apply_mixture"]
 
 #: 2^31 — modulus shared with chunking.id_hash_frac so every sampling /
 #: ordering decision in the engine draws from the same LCG family.
@@ -130,4 +130,31 @@ def upsample_epochs(
     return (
         inst.withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_h")
+    )
+
+
+def apply_mixture(
+    docs: DataFrame,
+    plan: DataFrame,
+    id_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Materialize a mixture plan: per-source rate-downsample (LCG id
+    hash vs the plan's ``sample_rate``) and epoch-replicate (explode to
+    the plan's ``epochs``) in ONE narrow pass — the plan (~#sources
+    rows) broadcasts, so at 100 TB this composes with scan pushdown and
+    shuffles nothing. Emits one row per kept training instance
+    (id, source, epoch).
+    """
+    from pyspark.sql.functions import broadcast
+
+    keyed = docs.join(
+        broadcast(plan.select(source_col, "sample_rate", "epochs")),
+        source_col,
+    )
+    frac = _lcg(F.col(id_col)).cast("double") / F.lit(float(_M))
+    return (
+        keyed.filter(frac < F.col("sample_rate"))
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("epochs"))))
+        .select(id_col, source_col, F.col("epoch").cast("long"))
     )

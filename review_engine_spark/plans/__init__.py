@@ -75,7 +75,7 @@ _TIER2_PRIORITY = [
     "q_repetition_stats", "q_sequence_pack", "q_train_split",
     "q_contamination", "q_pii_scrub", "q_rate_sample",
     "q_kmeans", "q_semantic_dedup", "q_mixture_weights",
-    "q_mix_upsample", "q_bucketed_join", "q_knn_batch",
+    "q_mix_upsample", "q_mixture_apply", "q_bucketed_join", "q_knn_batch",
     "q_top_tokens", "q_span_dedup", "q_boilerplate",
     "q_assign_ids", "q_schema_evolution", "q_incremental_dedup",
     "q_partitioned_prune",

@@ -343,3 +343,53 @@ def q_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsample_epochs(
         docs, "doc_id", "source", epochs={"src0": 3, "src1": 2}, n_shards=8
     ).select("doc_id", "epoch", "shard", "pos")
+
+
+@declared(
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               CAST(sum({_TOKN}) AS BIGINT) AS n_tokens,
+               CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0
+                    ELSE 1.0 END AS weight
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(weight) AS w_total FROM s),
+    p AS (
+        SELECT source,
+               round(least(1.0, floor(20000 * weight / w_total) / n_tokens), 6)
+                   AS sample_rate,
+               CAST(greatest(1, ceil(floor(20000 * weight / w_total) / n_tokens))
+                   AS BIGINT) AS epochs
+        FROM s, t
+    )
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+    FROM (
+        SELECT d.doc_id, d.source,
+               unnest(generate_series(1, CAST(p.epochs AS INT))) AS epoch
+        FROM documents d JOIN p USING (source)
+        WHERE (((d.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
+                  / 2147483648.0 < p.sample_rate
+    )
+    """
+)
+def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mixture materialization: the q_mixture_weights plan
+    joined back (broadcast — it is ~#sources rows) and executed in one
+    narrow pass — over-represented sources rate-sampled by id-hash,
+    under-represented ones epoch-replicated. The full recipe the other
+    two mixture queries plan and order."""
+    from review_engine_spark.functions.text import token_count
+    from review_engine_spark.operators.mixture import (
+        apply_mixture,
+        mixture_plan,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    plan = mixture_plan(
+        docs, "source", token_count(F.col("text")),
+        budget=20000, weights={"src0": 3.0, "src1": 2.0},
+    )
+    return apply_mixture(
+        docs.select("doc_id", "source"), plan, "doc_id", "source"
+    )
