@@ -1636,3 +1636,39 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from review_engine_spark.streaming.jobs import run_stream_upsert
 
     return run_stream_upsert(spark, sf_dir)
+
+
+@declared()
+def q_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 lake-native variant: ``binaryFile`` source — the built-in
+    reader for image/audio/video blobs already landed in the lake (the
+    HTTP-fetch path covers live acquisition; this is how a 100 TB
+    multimodal corpus is actually scanned). Each file becomes (path,
+    length, content: binary); pathGlobFilter prunes non-media files at
+    listing time, and the decode stays behind mapInPandas exactly as in
+    q_media_decode. Rows-only: the fixture blobs are generated into a
+    temp dir from part-table bytes (deterministic content, but paths
+    are temp-dir-local)."""
+    from review_engine_spark.operators.multimodal import decode_image_meta
+
+    src = tempfile.mkdtemp(prefix="binfiles_")
+    part = read_parquet_table(spark, sf_dir, "part").limit(20)
+    for r in part.select("p_partkey", "p_name").collect():
+        with open(f"{src}/part_{r['p_partkey']}.img", "wb") as fh:
+            fh.write((r["p_name"] * 3).encode())
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.img")
+        .load(src)
+        .select(
+            F.regexp_extract(F.col("path"), r"part_(\d+)\.img", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("length"),
+            F.col("content"),
+        )
+    )
+    meta = decode_image_meta(
+        files.select(F.col("media_id").cast("string").alias("media_id"), "content")
+    )
+    return meta.orderBy("media_id")

@@ -91,3 +91,25 @@ def test_image_features_fixed_dim(spark):
     assert len(out) == 5
     assert all(len(r["features"]) == 8 for r in out)
     assert all(0.0 <= x <= 1.0 for r in out for x in r["features"])
+
+
+def test_observed_metrics_on_pipeline(spark):
+    """Production instrumentation: `Observation` counters ride the job
+    (no second pass) — rows in, nulls seen, bytes decoded are collected
+    as a side effect of the action, the Spark-native form of the
+    reference's progress prints (embed.py:64-71)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, None), (3, b"xyzzy")], "media_id long, content binary"
+    )
+    obs = Observation("ingest")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("content").isNull(), 1)).alias("n_null"),
+        F.sum(F.length("content")).alias("n_bytes"),
+    )
+    assert observed.filter(F.col("content").isNotNull()).count() == 2
+    assert obs.get == {"n_rows": 3, "n_null": 1, "n_bytes": 8}
