@@ -1652,7 +1652,7 @@ def q_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from review_engine_spark.operators.multimodal import decode_image_meta
 
     src = tempfile.mkdtemp(prefix="binfiles_")
-    part = read_parquet_table(spark, sf_dir, "part").limit(20)
+    part = read_parquet_table(spark, sf_dir, "part").orderBy("p_partkey").limit(20)
     for r in part.select("p_partkey", "p_name").collect():
         with open(f"{src}/part_{r['p_partkey']}.img", "wb") as fh:
             fh.write((r["p_name"] * 3).encode())
