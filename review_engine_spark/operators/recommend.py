@@ -284,3 +284,59 @@ def evaluate_cooccur_recommender(
             F.round(F.avg("hit"), 6).alias("hit_rate"),
         )
     )
+
+
+def negative_sample(
+    positives: DataFrame,
+    items_max: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    k: int = 3,
+) -> DataFrame:
+    """Deterministic negative sampling for retrieval/recsys training:
+    for every positive (user, item) pair, k candidate negatives drawn
+    by the engine's LCG over (user, item, j), then TRUE positives of
+    the same user anti-joined away (a sampled "negative" the user
+    actually interacted with would poison the loss). Emits
+    (user, item, j, neg_item).
+
+    Determinism (vs the usual ``rand()`` sampler) makes training data
+    reproducible across reruns/partitionings and lets a SQL oracle
+    replay the draw. Scale: candidate generation is a narrow explode;
+    the only shuffle is the (user, neg_item) anti-join against the
+    positives — keys only, hash-joined. Collisions with positives are
+    dropped, not resampled (bounded one-pass cost; at catalog sizes ≫ k
+    the expected loss is negligible).
+
+    ``items_max`` is a 1-row (max_item,) frame (broadcast) bounding the
+    catalog id range; sampled ids are 1..max_item.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from review_engine_spark.operators.mixture import _lcg
+
+    cand = (
+        positives.select(user_col, item_col)
+        .withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(int(k)))))
+        .crossJoin(broadcast(items_max))
+        .withColumn(
+            "neg_item",
+            F.pmod(
+                _lcg(
+                    F.col(user_col) * F.lit(7919)
+                    + F.col(item_col) * F.lit(31)
+                    + F.col("j")
+                ),
+                F.col("max_item"),
+            )
+            + F.lit(1),
+        )
+        .drop("max_item")
+    )
+    return cand.join(
+        positives.select(
+            F.col(user_col), F.col(item_col).alias("neg_item")
+        ).distinct(),
+        [user_col, "neg_item"],
+        "left_anti",
+    )

@@ -10,7 +10,7 @@ oracle-checked; ALS itself is iterative MLlib → rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from review_engine_spark.operators.recommend import (
     als_recommend,
@@ -194,3 +194,53 @@ def q_recsys_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_parquet_table(spark, sf_dir, "customer"),
         k=5,
     )
+
+
+@declared(
+    oracle="""
+    WITH pos AS (
+        SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey % 10 = 0
+    ),
+    mx AS (SELECT max(p_partkey) AS max_item FROM part),
+    cand AS (
+        SELECT user_id, item_id, CAST(j AS BIGINT) AS j,
+               (((user_id * 7919 + item_id * 31 + j) % 2147483648)
+                 * 1103515245 + 12345) % 2147483648 % max_item + 1 AS neg_item
+        FROM pos, mx, unnest(generate_series(1, 3)) AS t(j)
+    )
+    SELECT c.user_id, c.item_id, c.j, c.neg_item
+    FROM cand c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pos p
+        WHERE p.user_id = c.user_id AND p.item_id = c.neg_item
+    )
+    """
+)
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-training negative sampling: 3 LCG-drawn negatives per
+    positive (user, item) pair (10% user slice), true positives
+    anti-joined away. Deterministic — reruns, partitionings, and the
+    SQL oracle reproduce the exact draw; the anti-join is the only
+    shuffle and carries ids only."""
+    from review_engine_spark.operators.recommend import negative_sample
+
+    orders = read_parquet_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 10 == 0
+    )
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    pos = (
+        li.select("l_orderkey", "l_partkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+    )
+    mx = read_parquet_table(spark, sf_dir, "part").agg(
+        F.max("p_partkey").alias("max_item")
+    )
+    return negative_sample(pos, mx, "user_id", "item_id", k=3)

@@ -258,3 +258,65 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return brute_force_topk_batch(emb, qv, k=10)
+
+
+@declared(
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < 3
+    ),
+    x AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+               unnest(q.qv)::DOUBLE AS a,
+               unnest(e.embedding)::DOUBLE AS b
+        FROM q CROSS JOIN embeddings e
+        WHERE e.label <> q.qlabel
+    ),
+    s AS (
+        SELECT query_id, neighbor_id, neg_label,
+               round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b)) + 1e-9), 6) AS cos_sim
+        FROM x GROUP BY query_id, neighbor_id, neg_label
+    ),
+    r AS (
+        SELECT query_id, neighbor_id, neg_label, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS BIGINT) AS rn
+        FROM s
+    )
+    SELECT query_id, neighbor_id, neg_label, cos_sim, rn FROM r WHERE rn <= 5
+    """
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K contrastive-training hard-negative mining: for each anchor
+    (vec_id < 3), the 5 most-similar vectors with a DIFFERENT label —
+    the near-miss examples a retrieval model learns the most from
+    (random negatives are trivially separable; these sit at the
+    decision boundary). Same exact-kNN plan as q_knn_bruteforce with a
+    label-disagreement predicate fused into the scan; the ANN path
+    (q_knn_lsh / q_knn_batch) is the drop-in at corpus scale."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    pairs = queries.join(emb, F.col("label") != F.col("qlabel"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.round(cosine_similarity(F.col("qv"), F.col("embedding")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+    )
