@@ -125,3 +125,34 @@ def test_eval_no_test_leakage(spark):
     # recs from TRAIN graph = {11} only (99 never trains). Customer 100's
     # test basket {10, 99} has no 11 → miss; customer 200's test {11} → hit.
     assert r["n_users"] == 2 and r["n_hits"] == 1 and r["hit_rate"] == 0.5
+
+
+def test_negative_sample_excludes_positives_and_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from review_engine_spark.operators.recommend import negative_sample
+
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 12)], "user_id long, item_id long"
+    )
+    mx = spark.createDataFrame([(12,)], "max_item long")
+    out = negative_sample(pos, mx, k=3)
+    rows = [
+        (r["user_id"], r["item_id"], r["j"], r["neg_item"])
+        for r in out.collect()
+    ]
+    # sampled range respected
+    assert all(1 <= n <= 12 for *_, n in rows)
+    # no emitted negative collides with ANY positive of that user
+    pos_set = {(1, 10), (1, 11), (2, 10), (3, 12)}
+    assert all((u, n) not in pos_set for u, _, _, n in rows)
+    # at most k per positive pair, and the draw is reproducible
+    from collections import Counter
+
+    per_pair = Counter((u, i) for u, i, _, _ in rows)
+    assert all(c <= 3 for c in per_pair.values())
+    again = [
+        (r["user_id"], r["item_id"], r["j"], r["neg_item"])
+        for r in negative_sample(pos.repartition(4), mx, k=3).collect()
+    ]
+    assert sorted(rows) == sorted(again)

@@ -133,6 +133,14 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
          "1-row normalizing total is broadcast back"),
         (False, r"SortMergeJoin", "no shuffle join anywhere in the plan"),
     ],
+    "q_negative_sample": [
+        (True, r"LeftAnti", "true positives removed by anti-join, not a collect"),
+        (False, r"CartesianProduct", "candidate generation is a narrow explode"),
+    ],
+    "q_hard_negatives": [
+        (True, r"BroadcastNestedLoopJoin|BroadcastExchange",
+         "3-row anchor side broadcasts; corpus never shuffles for the scan"),
+    ],
     "q_partitioned_prune": [
         (True, r"PartitionFilters: \[[^\]]*lang",
          "partition-column filter prunes directories at planning time"),
