@@ -228,3 +228,54 @@ def semantic_dedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_k: int = 1000,
+) -> DataFrame:
+    """KenLM-proxy quality score, SQL-replayable: mean unigram
+    log-probability per document under the corpus's own top-``vocab_k``
+    vocabulary; out-of-vocabulary tokens take the floor probability
+    ``1/total``. Low scores flag gibberish / non-language documents —
+    the model-based quality filter of a pretraining pipeline reduced to
+    its deterministic core.
+
+    Scale shape: the vocabulary (top-k of the token counts, ≪ corpus by
+    Heaps' law) BROADCASTS; the token stream joins it map-side and
+    never shuffles strings — the only exchanges are the vocab count agg
+    and the per-doc mean (map-side combined). Returns
+    (id, n_tokens, logprob) with logprob rounded to 6.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from review_engine_spark.operators.chunking import chunk_tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(chunk_tokens(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    vocab = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= vocab_k)
+        .select("token", "n")
+    )
+    scored = (
+        toks.join(broadcast(vocab), "token", "left")
+        .crossJoin(broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(
+                F.coalesce(F.col("n"), F.lit(1)).cast("double")
+                / F.col("_total")
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("_lp"), 6).alias("logprob"),
+    )

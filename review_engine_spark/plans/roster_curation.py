@@ -393,3 +393,33 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_mixture(
         docs.select("doc_id", "source"), plan, "doc_id", "source"
     )
+
+
+@declared(
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token),
+    tot AS (SELECT sum(n) AS total FROM c),
+    v AS (
+        SELECT token, n FROM (
+            SELECT *, row_number() OVER (ORDER BY n DESC, token) AS rk FROM c
+        ) WHERE rk <= 1000
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(coalesce(v.n, 1) / tot.total)), 6) AS logprob
+    FROM t LEFT JOIN v USING (token), tot
+    GROUP BY t.doc_id
+    """
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, deterministic core: mean unigram
+    log-prob per doc under the corpus's own top-1000 vocabulary (OOV →
+    floor 1/total) — the KenLM-perplexity proxy of pretraining
+    pipelines. Vocabulary broadcasts; the token stream never
+    shuffles strings."""
+    from review_engine_spark.operators.curation import unigram_logprob
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "text", "doc_id", vocab_k=1000)
