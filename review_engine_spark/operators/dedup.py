@@ -181,14 +181,23 @@ def minhash_lsh_pairs(
     bucket_sizes = banded.groupBy("band", "band_hash").agg(
         F.count("*").alias("bucket_n")
     )
+    # bucket_sizes is O(#buckets) ≈ O(N) — NEVER broadcastable. The
+    # explicit shuffle_hash hint pins the physical strategy: a size
+    # threshold that happens to admit it at some corpus size would
+    # broadcast an O(corpus) table and OOM the driver (observed at 100k
+    # docs with a 64 MB threshold).
     banded = banded.join(
-        bucket_sizes.filter(F.col("bucket_n") <= max_bucket_size),
+        bucket_sizes.filter(F.col("bucket_n") <= max_bucket_size).hint(
+            "shuffle_hash"
+        ),
         ["band", "band_hash"],
     ).select("band", "band_hash", id_col)
     left = banded.select("band", "band_hash", F.col(id_col).alias("left_id"))
     right = banded.select("band", "band_hash", F.col(id_col).alias("right_id"))
+    # both banding sides scale with the corpus — pin shuffle_hash (see
+    # bucket_sizes note above)
     cand = (
-        left.join(right, ["band", "band_hash"])
+        left.join(right.hint("shuffle_hash"), ["band", "band_hash"])
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
@@ -204,9 +213,12 @@ def minhash_lsh_pairs(
         )
         / F.size("left_sig")
     ).alias("est_jaccard")
+    # The signature tables are O(corpus); hint them shuffle_hash for the
+    # same reason as bucket_sizes above — the verification join must
+    # shuffle on ids, never broadcast signatures.
     return (
-        cand.join(lsig, "left_id")
-        .join(rsig, "right_id")
+        cand.join(lsig.hint("shuffle_hash"), "left_id")
+        .join(rsig.hint("shuffle_hash"), "right_id")
         .select("left_id", "right_id", est)
         .filter(F.col("est_jaccard") >= min_jaccard)
     )
@@ -341,8 +353,10 @@ def simhash_near_dups(
     right = banded.select(
         "blk", "blk_val", F.col(id_col).alias("right_id"), F.col("sig").alias("rsig")
     )
+    # both banding sides scale with the corpus — pin shuffle_hash so no
+    # size threshold ever broadcasts an O(N) table
     return (
-        left.join(right, ["blk", "blk_val"])
+        left.join(right.hint("shuffle_hash"), ["blk", "blk_val"])
         .filter(F.col("left_id") < F.col("right_id"))
         .dropDuplicates(["left_id", "right_id"])
         .select(
@@ -482,8 +496,10 @@ def embedding_near_dups(
     )
     left = banded.select("blk", "blk_val", F.col(id_col).alias("left_id"))
     right = banded.select("blk", "blk_val", F.col(id_col).alias("right_id"))
+    # banding sides and the vector join-backs all scale with the corpus —
+    # pin shuffle_hash so no size threshold ever broadcasts an O(N) table
     cand = (
-        left.join(right, ["blk", "blk_val"])
+        left.join(right.hint("shuffle_hash"), ["blk", "blk_val"])
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
@@ -491,8 +507,8 @@ def embedding_near_dups(
     lv = df.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("lv"))
     rv = df.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("rv"))
     return (
-        cand.join(lv, "left_id")
-        .join(rv, "right_id")
+        cand.join(lv.hint("shuffle_hash"), "left_id")
+        .join(rv.hint("shuffle_hash"), "right_id")
         .select(
             "left_id",
             "right_id",
