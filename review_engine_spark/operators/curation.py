@@ -125,8 +125,10 @@ def boilerplate_flags(
     span_df = ch.groupBy("chunk_text").agg(
         F.countDistinct(id_col).alias("df")
     )
+    # span_df is O(distinct spans) ≈ O(corpus) — pin shuffle_hash so no
+    # size threshold ever broadcasts it (see SCALING.md)
     out = (
-        ch.join(span_df, "chunk_text")
+        ch.join(span_df.hint("shuffle_hash"), "chunk_text")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_spans"),
@@ -207,8 +209,9 @@ def semantic_dedup(
     lo = assigned.select(
         "cluster_id", F.col(id_col).alias("_j"), F.col(vec_col).alias("_b_v")
     )
+    # both within-cluster sides scale with the corpus — pin shuffle_hash
     dropped = (
-        hi.join(lo, "cluster_id")
+        hi.join(lo.hint("shuffle_hash"), "cluster_id")
         .filter(F.col("_i") > F.col("_j"))
         .filter(
             F.round(cosine_similarity(F.col("_a"), F.col("_b_v")), 6)
@@ -220,7 +223,9 @@ def semantic_dedup(
     return (
         assigned.select(id_col, "cluster_id")
         .join(
-            dropped.withColumn("_dropped", F.lit(True)), id_col, "left"
+            dropped.withColumn("_dropped", F.lit(True)).hint("shuffle_hash"),
+            id_col,
+            "left",
         )
         .select(
             F.col(id_col),

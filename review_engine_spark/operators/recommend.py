@@ -48,8 +48,10 @@ def implicit_ratings(
     standard implicit-preference strength signal (Hu/Koren/Volinsky 2008).
     Only the three needed columns survive to the shuffle.
     """
+    # fact⋈fact: the orders side scales with the corpus — pin
+    # shuffle_hash so no size threshold ever broadcasts it (SCALING.md)
     joined = lineitem.select("l_orderkey", "l_partkey", "l_quantity").join(
-        orders.select("o_orderkey", "o_custkey"),
+        orders.select("o_orderkey", "o_custkey").hint("shuffle_hash"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return joined.groupBy(
@@ -333,10 +335,13 @@ def negative_sample(
         )
         .drop("max_item")
     )
+    # the positives side is O(interactions) — pin shuffle_hash
     return cand.join(
         positives.select(
             F.col(user_col), F.col(item_col).alias("neg_item")
-        ).distinct(),
+        )
+        .distinct()
+        .hint("shuffle_hash"),
         [user_col, "neg_item"],
         "left_anti",
     )
