@@ -88,3 +88,25 @@ def test_zorder_sort_clusters_files(spark):
     out = zorder_sort(df, "a", "b", bits=8)
     assert out.columns == ["a", "b"]
     assert out.count() == 1000
+
+
+def test_corpus_scaled_joins_never_broadcast(spark, sf_dir):
+    """SCALING.md rule: joins whose build side is O(corpus) must pin a
+    shuffle strategy — a size threshold that admits them at some scale
+    broadcasts an O(N) table and OOMs (observed at 100k docs). Guard the
+    three near-dup pipelines' plans against broadcast regressions."""
+    from review_engine_spark.operators.dedup import (
+        embedding_near_dups,
+        minhash_lsh_pairs,
+        simhash_near_dups,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for df in (
+        minhash_lsh_pairs(docs, "text", "doc_id", min_jaccard=0.3),
+        simhash_near_dups(docs, "text", "doc_id"),
+        embedding_near_dups(emb, "embedding", "vec_id", min_cosine=0.2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
