@@ -210,3 +210,45 @@ def stratified_sample(
     for value, r in rates.items():
         rate = F.when(F.col(stratum_col) == value, F.lit(float(r))).otherwise(rate)
     return df.filter(id_hash_frac(id_col) < rate)
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    bucket_width: int = 16,
+    batch_size: int = 8,
+) -> DataFrame:
+    """Length-bucketed batch assembly — the padding-minimizing trainer
+    feed: rows bucket by ``floor(n_tokens / bucket_width)`` so each
+    batch holds similarly-sized sequences (padding waste bounded by
+    ``bucket_width - 1`` tokens/row), then get deterministic
+    ``batch_id`` / ``pos_in_batch`` from an id-ordered rank within the
+    bucket. Complements ``pack_sequences`` (greedy budget fill): packing
+    concatenates into fixed contexts, bucketing preserves one-doc-per-
+    row training.
+
+    One exchange on the bucket key; ranks are per-bucket (buckets are
+    bounded by max_len/width, so no global-window bottleneck — same
+    sharding posture as assign_global_ids).
+    """
+    from pyspark.sql import Window
+
+    bucket = F.floor(F.col(n_tokens_col) / F.lit(int(bucket_width))).cast(
+        "long"
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    ranked = df.select(
+        F.col(id_col), F.col(n_tokens_col), bucket.alias("bucket")
+    ).withColumn("_rk", F.row_number().over(w) - 1)
+    return ranked.select(
+        id_col,
+        n_tokens_col,
+        "bucket",
+        (F.col("_rk") / F.lit(int(batch_size)))
+        .cast("long")
+        .alias("batch_id"),
+        F.pmod(F.col("_rk"), F.lit(int(batch_size))).cast("long").alias(
+            "pos_in_batch"
+        ),
+    )

@@ -423,3 +423,92 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_parquet_table(spark, sf_dir, "documents")
     return unigram_logprob(docs, "text", "doc_id", vocab_k=1000)
+
+
+@declared(
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKN} AS n_tokens,
+               CAST({_TOKN} // 16 AS BIGINT) AS bucket
+        FROM documents
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS rk
+        FROM t
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST(rk // 8 AS BIGINT) AS batch_id,
+           CAST(rk % 8 AS BIGINT) AS pos_in_batch
+    FROM r
+    """
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly: similarly-sized docs batched
+    together (16-token buckets, batch of 8) so per-batch padding waste
+    is bounded — the trainer-feed layout when packing isn't wanted.
+    One bucket-key exchange; per-bucket ranks only."""
+    from review_engine_spark.functions.text import token_count
+    from review_engine_spark.operators.chunking import length_bucket_batches
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return length_bucket_batches(
+        docs, "doc_id", "n_tokens", bucket_width=16, batch_size=8
+    )
+
+
+@declared(
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               list_filter(string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '
+               ), t -> t <> '') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+               ))) AS g
+        FROM norm
+    ),
+    c AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0),
+    p AS (SELECT doc_id AS probe_id, g FROM grams WHERE doc_id % 97 = 0),
+    pn AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS probe_n
+           FROM p GROUP BY 1),
+    sh AS (
+        SELECT c.doc_id, p.probe_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM c JOIN p ON c.g = p.g GROUP BY 1, 2
+    ),
+    contaminated AS (
+        SELECT DISTINCT sh.doc_id
+        FROM sh JOIN pn USING (probe_id)
+        WHERE n_shared / CAST(probe_n AS DOUBLE) >= 0.5
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = d.doc_id)
+    """
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination APPLY: training docs sharing ≥50% of any probe
+    document's 3-grams (q_contamination's scan) are anti-joined out of
+    the corpus — the materialized form, closing the loop the way
+    q_dedup_apply does for dedup. The contaminated-id set is tiny
+    (broadcast anti-join); the corpus never reshuffles."""
+    from review_engine_spark.operators.dedup import contamination_check
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    hits = contamination_check(corpus, probes, "text", "doc_id", k=3)
+    contaminated = (
+        hits.filter(F.col("overlap_frac") >= 0.5).select("doc_id").distinct()
+    )
+    return corpus.join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    ).select("doc_id", "lang", "source")
