@@ -36,59 +36,52 @@ from review_engine_spark.plans import roster_rank  # noqa: E402,F401
 from review_engine_spark.plans import roster_ext  # noqa: E402,F401
 from review_engine_spark.plans import roster_recsys  # noqa: E402,F401
 from review_engine_spark.plans import roster_curation  # noqa: E402,F401
+from review_engine_spark.plans import roster_tpch  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-facing ordering. The round-1 harness checked only the FIRST 50
-# oracle entries in registration order, so the dicts are re-ordered to put
-# the highest-verification-value queries first:
-#   tier 1 — fixed since round 1 (events-read conf, array serialization,
-#            oracle dtype casts); need a green driver row to prove the fix;
-#   tier 2 — never driver-checked in round 1 (registry position > 50);
-#   tier 3 — any oracle query not in the two lists (i.e., newly added this
-#            round) — naturally lands after tier 2;
-#   tier 4 — the 33 queries the driver already proved green in round 1;
-#   tier 5 — rows-only queries (no oracle; bench covers execution).
+# Driver-facing ordering. The harness checks only the FIRST 50 oracle
+# entries in registration order, so the dicts are re-ordered to put the
+# highest-verification-value queries first:
+#   tier 1 — fixed this round (events.ts fixture changed from
+#            TIMESTAMP(NANOS) to TIMESTAMP_NTZ between rounds 2 and 3;
+#            sources/io.py now normalizes both); need a green driver row
+#            to prove the fix;
+#   tier 2 — oracle-bearing queries never driver-checked in rounds 1–2
+#            (registry position > 50 both times), plus anything newly
+#            added this round — both fall out of "not in _DRIVER_GREEN";
+#   tier 3 — the queries the driver already proved green in r01/r02;
+#   tier 4 — rows-only queries (no oracle; bench covers execution).
 # ---------------------------------------------------------------------------
 
 _TIER1_FIXED = [
-    "q_window_lag", "q_window_running", "q_range_join", "q_asof_join",
-    "q_window_range", "q_hop_window", "q_json_extract", "q_date_trunc",
-    "q_ts_window", "q_window_analytics", "q_funnel", "q_cohort_retention",
-    "q_tokenize", "q_group_collect", "q_meanpool", "q_salted_collect",
-    "q_text_stats",
+    "q_range_join", "q_window_range", "q_hop_window",
 ]
 
-#: Never-driver-checked queries worth a slot ahead of plain registration
-#: order, ranked: (a) the queries VERDICT.md round 1 named as wanting a
-#: CORRECTNESS row (flagship q_rank_blend first), (b) the recsys surface
-#: (the north star's headline direction), (c) the curation-pipeline set,
-#: (d) this round's new headliners. With ~100 oracles and a ~50-slot
-#: driver prefix, everything here displaces a query that is either
-#: folded into a checked composite (q_price_fit ⊂ q_rank_blend) or was
-#: already proven green in round 1.
-_TIER2_PRIORITY = [
-    "q_rank_blend", "q_cosine_topk", "q_dot", "q_l2norm",
-    "q_knn_bruteforce", "q_implicit_ratings", "q_cooccur_topk",
-    "q_recsys_eval", "q_dedup_clusters", "q_chunk_docs",
-    "q_quantize_embeddings",
-    "q_domain_cap", "q_quality_gate", "q_dedup_apply",
-    "q_repetition_stats", "q_sequence_pack", "q_train_split",
-    "q_contamination", "q_pii_scrub", "q_rate_sample",
-    "q_kmeans", "q_semantic_dedup", "q_mixture_weights",
-    "q_mix_upsample", "q_mixture_apply", "q_bucketed_join", "q_knn_batch",
-    "q_top_tokens", "q_span_dedup", "q_boilerplate",
-    "q_assign_ids", "q_schema_evolution", "q_incremental_dedup",
-    "q_partitioned_prune",
-]
-_R01_GREEN = [
-    "q_scan_docs", "q_scan_embeddings", "q_clean_text", "q_token_filter",
-    "q_tfidf", "q_parse_budget", "q_extract_summary", "q_dedup_exact",
-    "q_fingerprint", "q_join_meta", "q_join_anti", "q_group_count",
-    "q_price_stats", "q_percentile_norm", "q_distinct_count", "q_rollup",
-    "q_topk_window", "q_union", "q_intersect", "q_except", "q_semi_join",
-    "q_cube", "q_star_join", "q_salted_join", "q_pivot", "q_grouping_sets",
-    "q_skew_profile", "q_stats_agg", "q_group_percentiles", "q_histogram",
-    "q_zorder_key", "q_data_profile", "q_ri_check",
+#: Union of driver-green rows from CORRECTNESS_r01.json + CORRECTNESS_r02.json
+#: (rows_match & schema_match & hash_match). These keep their oracles but
+#: yield their first-50 slots to unproven queries.
+_DRIVER_GREEN = [
+    "q_asof_join", "q_assign_ids", "q_boilerplate", "q_bucketed_join",
+    "q_chunk_docs", "q_clean_text", "q_cohort_retention", "q_contamination",
+    "q_cooccur_topk", "q_cosine_topk", "q_cube", "q_data_profile",
+    "q_date_trunc", "q_dedup_apply", "q_dedup_clusters", "q_dedup_exact",
+    "q_distinct_count", "q_domain_cap", "q_dot", "q_except",
+    "q_extract_summary", "q_fingerprint", "q_funnel", "q_group_collect",
+    "q_group_count", "q_group_percentiles", "q_grouping_sets", "q_histogram",
+    "q_implicit_ratings", "q_incremental_dedup", "q_intersect", "q_join_anti",
+    "q_join_meta", "q_json_extract", "q_kmeans", "q_knn_batch",
+    "q_knn_bruteforce", "q_l2norm", "q_meanpool", "q_mix_upsample",
+    "q_mixture_apply", "q_mixture_weights", "q_parse_budget",
+    "q_percentile_norm", "q_pii_scrub", "q_pivot", "q_price_stats",
+    "q_quality_gate", "q_quantize_embeddings", "q_rank_blend",
+    "q_rate_sample", "q_recsys_eval", "q_repetition_stats", "q_ri_check",
+    "q_rollup", "q_salted_collect", "q_salted_join", "q_scan_docs",
+    "q_scan_embeddings", "q_schema_evolution", "q_semantic_dedup",
+    "q_semi_join", "q_sequence_pack", "q_skew_profile", "q_span_dedup",
+    "q_star_join", "q_stats_agg", "q_text_stats", "q_tfidf",
+    "q_token_filter", "q_tokenize", "q_top_tokens", "q_topk_window",
+    "q_train_split", "q_ts_window", "q_union", "q_window_analytics",
+    "q_window_lag", "q_window_running", "q_zorder_key",
 ]
 
 
@@ -102,9 +95,9 @@ def _driver_order() -> list[str]:
                 seen.add(n)
                 ordered.append(n)
 
+    green = set(_DRIVER_GREEN)
     take(_TIER1_FIXED)
-    take(n for n in _TIER2_PRIORITY if n in ORACLES)
-    take(n for n in QUERIES if n in ORACLES and n not in _R01_GREEN)
+    take(n for n in QUERIES if n in ORACLES and n not in green)
     take(n for n in QUERIES if n in ORACLES)
     take(QUERIES)
     return ordered

@@ -56,6 +56,42 @@ def _state_partitions(spark: SparkSession, n: int):
 
 
 
+def _events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    path_glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Finite-source streaming reader for an events feed, with ``ts``
+    normalized to TIMESTAMP whatever the files store.
+
+    Structured Streaming requires an explicit schema, but the fixture's
+    on-disk type has changed across driver rounds — TIMESTAMP(NANOS)
+    (arriving as ns-longs under nanosAsLong), raw int64 ns (test
+    fixtures), and TIMESTAMP(MICROS, isAdjustedToUTC=false) → NTZ. A
+    cheap batch footer peek of the matching files decides which schema
+    the stream declares and which fixup applies, mirroring
+    sources.io.read_parquet_table.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = spark.read.option("pathGlobFilter", path_glob).parquet(sf_dir)
+    ts_type = dict(batch.dtypes).get("ts")
+    reader = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", path_glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(sf_dir)
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def tumbling_counts(events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
     """Watermarked tumbling-window count/sum per event_type. Works on both
     batch and streaming DataFrames (withWatermark is a no-op in batch)."""
@@ -77,20 +113,8 @@ def run_tumbling_count_batchlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the streaming tumbling aggregate to completion over the
     events parquet (availableNow semantics: finite source, memory sink) —
     the batch-validated form behind q_stream_tumbling."""
-    # events.ts is TIMESTAMP(NANOS) in parquet → read as ns-longs and
-    # convert (see sources.io.read_parquet_table)
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
     # readStream needs a directory: point at sf_dir with a glob filter
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = tumbling_counts(stream)
     name = "stream_tumbling_out"
     with _state_partitions(spark, 8), tempfile.TemporaryDirectory() as ckpt:
@@ -201,22 +225,9 @@ def run_sessionize_stateful(
             }
         )
 
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    reader = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", path_glob)
-    )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = (
-        reader.load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("user_id", "ts", "value")
-    )
+    stream = _events_stream(
+        spark, sf_dir, path_glob=path_glob, max_files_per_trigger=max_files_per_trigger
+    ).select("user_id", "ts", "value")
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
@@ -265,17 +276,7 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the distinct key count, which is what the rows-only check
     pins.
     """
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
@@ -308,19 +309,8 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driven to completion over the finite events source (append mode,
     memory sink).
     """
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-
     def _src():
-        return (
-            spark.readStream.schema(raw_schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return _events_stream(spark, sf_dir)
 
     clicks = (
         _src()
@@ -382,17 +372,7 @@ def run_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval) so files land at ~128 MB, and compaction is a downstream
     batch job over the same directory.
     """
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
