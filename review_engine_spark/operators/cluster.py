@@ -193,32 +193,43 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
-    deg = e.groupBy("a").agg(F.count("*").alias("out_deg")).localCheckpoint()
+    deg = e.groupBy("a").agg(F.count("*").alias("out_deg"))
+    # Hoist the per-round static work out of the loop: the edge⋈degree
+    # join never changes (materialize edge weights once), and the SET of
+    # dangling nodes is static — only their rank mass varies. When the
+    # graph has no dangling nodes at all (always true for the symmetric
+    # near-dup graphs this engine builds), the whole redistribution
+    # branch — an anti-join, an agg, and a broadcast crossJoin per
+    # round — disappears.
+    ew = (
+        e.join(deg, "a")
+        .select("a", "b", (1.0 / F.col("out_deg")).alias("w"))
+        .localCheckpoint()
+    )
+    dang = (
+        nodes.join(deg.withColumnRenamed("a", "node"), "node", "left_anti")
+        .localCheckpoint()
+    )
+    has_dangling = bool(dang.head(1))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(max_iter):
         contribs = (
-            e.join(deg, "a")
-            .join(ranks.withColumnRenamed("node", "a"), "a")
-            .select(F.col("b").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            ew.join(ranks.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"), (F.col("rank") * F.col("w")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
-        # dangling nodes (no out-edges) leak their rank; redistribute
-        dangling = (
-            ranks.join(deg.withColumnRenamed("a", "node"), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        new_rank = F.lit((1.0 - damping) / n) + damping * F.coalesce(
+            "in_sum", F.lit(0.0)
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + damping
-                    * (F.coalesce("in_sum", F.lit(0.0)) + F.col("dm") / n)
-                ).alias("rank"),
+        out = nodes.join(contribs, "node", "left")
+        if has_dangling:
+            # dangling nodes (no out-edges) leak their rank; redistribute
+            dangling = (
+                ranks.join(dang.select("node"), "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
             )
-            .localCheckpoint()
-        )
+            out = out.crossJoin(F.broadcast(dangling))
+            new_rank = new_rank + damping * F.col("dm") / n
+        ranks = out.select("node", new_rank.alias("rank")).localCheckpoint()
     return ranks.select("node", F.round("rank", 9).alias("rank"))

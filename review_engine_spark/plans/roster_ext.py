@@ -499,33 +499,83 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@declared()
+@declared(
+    oracle="""
+    SELECT to_timestamp(floor(epoch(ts) / 600) * 600) AS ws,
+           to_timestamp(floor(epoch(ts) / 600) * 600 + 600) AS we,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_v
+    FROM events GROUP BY ws, we, event_type
+    """
+)
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window aggregate driven to completion
-    over the finite events source (memory sink). Batch-equivalent to
-    q_ts_window's grouping — the oracle-checked twin."""
+    over the finite events source (memory sink). Oracle-checked: in
+    complete output mode over a finite source every window is emitted
+    final, so the streaming result equals the batch GROUP BY the oracle
+    runs (the q_ts_window twin through the streaming engine)."""
     from review_engine_spark.streaming.jobs import run_tumbling_count_batchlike
 
     return run_tumbling_count_batchlike(spark, sf_dir)
 
 
-@declared()
+#: Gap-sessionization islands oracle: a session breaks where the gap to
+#: the previous same-user event is >= 30 min (session_window's half-open
+#: [start, last+gap) boundary — an event at exactly last+gap starts a new
+#: session); session_end = last event + gap.
+_SESSIONIZE_ORACLE = """
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ),
+    numbered AS (
+        SELECT *, sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts, value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sid
+        FROM marked
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_v
+    FROM numbered GROUP BY user_id, sid
+"""
+
+
+@declared(oracle=_SESSIONIZE_ORACLE)
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization via session_window (batch mode)."""
+    """Gap-based sessionization via session_window (batch mode),
+    oracle-checked against the classic lag/cumsum islands SQL."""
     from review_engine_spark.streaming.jobs import sessionize
 
     ev = read_parquet_table(spark, sf_dir, "events")
     return sessionize(ev, gap="30 minutes")
 
 
-@declared()
+@declared(oracle=_SESSIONIZE_ORACLE)
 def q_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming sessionization via applyInPandasWithState
-    (SURVEY §2.I stretch goal) — asserted equal to q_sessionize's
-    session_window result in tests."""
+    (SURVEY §2.I stretch goal), oracle-checked against the same islands
+    SQL as q_sessionize. Update-mode emits provisional open-session rows
+    superseded by later batches; the final form per (user_id,
+    session_start) key is the widest one, so reduce to it before
+    comparing (a no-op when the finite source lands in one micro-batch)."""
     from review_engine_spark.streaming.jobs import run_sessionize_stateful
 
-    return run_sessionize_stateful(spark, sf_dir, gap_minutes=30)
+    raw = run_sessionize_stateful(spark, sf_dir, gap_minutes=30)
+    w = Window.partitionBy("user_id", "session_start").orderBy(
+        F.desc("n_events"), F.desc("session_end")
+    )
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("session_start", "session_end", "user_id", "n_events", "total_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1166,11 +1216,17 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_orc(spark, tmp)
 
 
-@declared()
+@declared(
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """
+)
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest dedup: dropDuplicatesWithinWatermark over the
-    finite events source (rows-only; row count = distinct keys, pinned
-    against the batch distinct in tests)."""
+    finite events source. Oracle-checked: first-arrival-per-key over a
+    finite source emits exactly the distinct key set (the watermark only
+    bounds state retention; nothing is late in a single availableNow
+    pass), so the streaming result must equal the batch DISTINCT."""
     from review_engine_spark.streaming.jobs import run_stream_dedup
 
     return run_stream_dedup(spark, sf_dir)
@@ -1207,11 +1263,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(100)
 
 
-@declared()
+@declared(
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS p_user, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """
+)
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (click→purchase
-    attribution within 1 hour); rows-only, asserted equal to the batch
-    interval join in tests."""
+    attribution within 1 hour). Oracle-checked: an append-mode inner
+    join over a finite source emits the full interval-join result (the
+    2-hour watermarks bound state, and nothing arrives later than the
+    state horizon in a single pass), so it must equal the batch theta
+    join the oracle runs."""
     from review_engine_spark.streaming.jobs import run_stream_stream_join
 
     return run_stream_stream_join(spark, sf_dir)
@@ -1370,12 +1438,16 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey")
 
 
-@declared()
+@declared(
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """
+)
 def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.I sink path: streaming ingest dedup landed in an exactly-once
     parquet file sink (transaction-logged), read back through the batch
-    reader; rows-only — equality with the batch distinct is pinned in
-    tests."""
+    reader. Oracle-checked against the batch DISTINCT — same argument as
+    q_stream_dedup, plus the parquet round-trip must be lossless."""
     from review_engine_spark.streaming.jobs import run_stream_to_parquet
 
     return run_stream_to_parquet(spark, sf_dir)
@@ -1627,12 +1699,22 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared()
+@declared(
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """
+)
 def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.I streaming MERGE: foreachBatch copy-on-write upsert of the
     latest row per (user_id, event_type), run incrementally over 3
-    micro-batches; rows-only — equality with the batch latest-per-key
-    window is pinned in tests."""
+    micro-batches. Oracle-checked: the version-aware merge condition
+    makes the final table equal the batch latest-per-key window
+    whatever order the micro-batches land in."""
     from review_engine_spark.streaming.jobs import run_stream_upsert
 
     return run_stream_upsert(spark, sf_dir)

@@ -152,6 +152,51 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
         (False, r"hashpartitioning\(doc_id",
          "ordering shuffles on shard only — never on the raw id"),
     ],
+    "q_tpch_q1": [
+        (True, r"PushedFilters: \[[^\]]*l_shipdate", "date filter reaches the scan"),
+        (True, r"partial_", "map-side partial aggregation"),
+    ],
+    "q_tpch_q3": [
+        (False, r"CartesianProduct", "3-way join stays equi-keyed"),
+        (True, r"TakeOrderedAndProject", "top-10 never globally sorts"),
+    ],
+    "q_tpch_q4": [
+        (True, r"LeftSemi", "EXISTS decorrelates to a semi-join"),
+        (False, r"CartesianProduct", "inequality rides the orderkey equi-join"),
+    ],
+    "q_tpch_q5": [
+        (True, r"BroadcastHashJoin", "nation⋈region dims broadcast"),
+        (False, r"CartesianProduct", "6-way star stays equi-keyed"),
+    ],
+    "q_tpch_q6": [
+        (True, r"PushedFilters: \[[^\]]*l_shipdate", "all predicates reach the scan"),
+        (False, r"Exchange hashpartitioning", "scalar agg needs no keyed shuffle"),
+    ],
+    "q_tpch_q7": [
+        (True, r"BroadcastHashJoin", "nation maps broadcast before the spine"),
+        (False, r"CartesianProduct", "nation-pair filter is a residual, not a product"),
+    ],
+    "q_tpch_q10": [
+        (True, r"PushedFilters: \[[^\]]*l_returnflag", "returnflag prunes lineitem at the scan"),
+        (True, r"TakeOrderedAndProject", "top-20 never globally sorts"),
+    ],
+    "q_tpch_q13": [
+        (False, r"CartesianProduct", "outer join stays equi-keyed"),
+        (True, r"partial_count", "order counts collapse map-side"),
+    ],
+    "q_tpch_q17": [
+        (False, r"CartesianProduct", "per-part avg joins back on partkey"),
+        (False, r"Window", "decorrelated via aggregate-join, not a window over lineitem"),
+    ],
+    "q_tpch_q18": [
+        (True, r"TakeOrderedAndProject", "top-100 never globally sorts"),
+        (False, r"CartesianProduct", "joins stay equi-keyed"),
+    ],
+    "q_tpch_q19": [
+        (True, r"PushedFilters: \[[^\]]*p_brand|PushedFilters: \[[^\]]*Or",
+         "disjunctive brand/size predicate pushes into the part scan"),
+        (False, r"CartesianProduct", "partkey equi-conjunct stays the join key"),
+    ],
 }
 
 
