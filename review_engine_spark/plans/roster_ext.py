@@ -481,10 +481,16 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared()
+@declared(
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    """
+)
 def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: gzip-JSONL sink + re-scan round trip (embed.py:84-86). Writes
-    to a temp dir; returns the re-read rows (driver checks row count)."""
+    to a temp dir; returns the re-read rows. Oracle-checked: the
+    projected columns are integers/strings only, so the JSON round trip
+    must be lossless and equal the source projection."""
     docs = read_parquet_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
@@ -1754,3 +1760,65 @@ def q_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         files.select(F.col("media_id").cast("string").alias("media_id"), "content")
     )
     return meta.orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 graph addition: triangle counting over the fuzzy near-dup graph.
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    oracle="""
+    WITH e AS (
+        SELECT a.p_partkey AS l, b.p_partkey AS r
+        FROM part a
+        JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 8
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.r = e2.l
+    JOIN e e3 ON e3.l = e1.l AND e3.r = e2.r
+    """
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph motif counting (clustering-coefficient numerator) over the
+    blocked fuzzy near-dup graph — the standard diagnostic for whether a
+    dedup pair graph is clique-y (true dup clusters) or chain-y
+    (lexical drift).
+
+    Canonical-orientation triangle join: edges kept only as l < r, so
+    each triangle is counted exactly once as (e1: a→b, e2: b→c,
+    e3: a→c). The edge list is materialized once (localCheckpoint) —
+    three self-join arms of one tiny keyed table, never a re-derive of
+    the levenshtein block join. Scale: with edges oriented by degree
+    (low→high) instead of id the same plan is the O(m^1.5)
+    wedge-counting algorithm; id orientation suffices for the
+    block-bounded fixture graph.
+    """
+    part = read_parquet_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("l"), F.col("p_name").alias("lname"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("r"), F.col("p_name").alias("rname"),
+    )
+    e = (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("l") < F.col("r"))
+        .filter(F.levenshtein("lname", "rname") <= 8)
+        .select("l", "r")
+        .localCheckpoint()
+    )
+    e1 = e.select(F.col("l").alias("x"), F.col("r").alias("y"))
+    e2 = e.select(F.col("l").alias("y"), F.col("r").alias("z"))
+    e3 = e.select(F.col("l").alias("x"), F.col("r").alias("z"))
+    return (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count("*").alias("n_triangles"))
+    )

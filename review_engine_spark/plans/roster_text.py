@@ -354,3 +354,61 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(F.trim(F.lower(F.col("text")))).alias("fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 text-quality addition: character-entropy scoring.
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, substr(lower(text), 1, 512) AS s
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    chars AS (
+        SELECT doc_id, unnest(string_split(s, '')) AS ch FROM docs
+    ),
+    freq AS (
+        SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+        FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id)
+    SELECT f.doc_id, round(-sum((c / n) * ln(c / n)), 6) AS entropy
+    FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+    GROUP BY f.doc_id
+    """
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (training-data curation: low
+    entropy ⇒ repetitive/boilerplate text, high ⇒ noise/binary junk —
+    the cheap stand-in for a compression-ratio filter).
+
+    Computed over the first 512 chars so the explode is bounded at
+    ≤512 rows/doc regardless of document length — at 100 TB the cost is
+    one bounded narrow explode plus one shuffle on doc_id (the (doc_id,
+    ch) partial counts collapse map-side; the per-doc total reuses the
+    same partitioning via a window, no second exchange). Pure Catalyst:
+    no Python in the loop.
+    """
+    from pyspark.sql import Window
+
+    docs = (
+        read_parquet_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", F.substring(F.lower("text"), 1, 512).alias("s"))
+    )
+    chars = docs.select(
+        "doc_id", F.explode(F.split("s", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    w = Window.partitionBy("doc_id")
+    p = F.col("c") / F.col("n")
+    return (
+        freq.withColumn("n", F.sum("c").over(w))
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )
