@@ -1,0 +1,112 @@
+"""TPC-H-suite stress run: do the classic-warehouse plans scale linearly?
+
+Replicates the sf0.1 fixture star schema K× (default 20×) into a temp
+parquet dir — each copy gets a disjoint key space (all join keys shifted
+by copy_index * stride), so per-copy join selectivity and group
+cardinalities are preserved and the corpus behaves like K independent
+shards of one big warehouse (~12M lineitem rows at 20×). Then times each
+TPC-H roster query on the original and the scaled corpus and reports the
+time ratio vs the input ratio: a plan whose ratio tracks the input ratio
+(after ~1s fixed per-query overhead amortizes) is scan/shuffle-linear —
+the property that matters at 100 TB; a super-linear ratio exposes an
+accidental O(n²) (unblocked self-join, broadcast of a corpus-scaled
+table, single-reducer sort).
+
+Usage: python tools/stress_tpch.py [K] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = "/root/testdata/sf0.1"
+
+#: table → columns that carry entity keys (shifted per copy; every join
+#: stays within its copy). Non-key columns are left untouched.
+KEY_COLS = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+}
+STRIDE = 10_000_000
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    wanted = sys.argv[2:]
+
+    from pyspark.sql import functions as F
+
+    from review_engine_spark.session import get_spark
+    from review_engine_spark.sources.io import read_parquet_table
+
+    # 24 g heap (same as the round-2 SCALING experiment): the default 1 g
+    # local-mode heap cannot hold 32 concurrent sort-task buffers over a
+    # 12M-row shuffle — that is an environment limit, not a plan property.
+    spark = get_spark("stress-tpch", extra_conf={"spark.driver.memory": "24g"})
+    out_dir = tempfile.mkdtemp(prefix="stress_tpch_")
+    print(f"# replicating {SF_DIR} {k}x -> {out_dir}")
+    for name, keys in KEY_COLS.items():
+        base = read_parquet_table(spark, SF_DIR, name)
+        if keys:
+            copies = base.crossJoin(
+                spark.range(k).select(F.col("id").alias("_copy"))
+            )
+            for c in keys:
+                copies = copies.withColumn(
+                    c, F.col(c) + F.col("_copy") * F.lit(STRIDE)
+                )
+            scaled = copies.drop("_copy")
+        else:
+            scaled = base  # dims shared across copies (broadcast at any K)
+        scaled.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+    # events/documents/embeddings aren't used by the TPC-H suite; symlink
+    # reads to the originals so read_parquet_table still resolves them.
+    for name in ("events", "documents", "embeddings"):
+        Path(f"{out_dir}/{name}.parquet").symlink_to(f"{SF_DIR}/{name}.parquet")
+
+    import __spark_entry__ as entrymod
+
+    qs = {
+        n: fn
+        for n, fn in entrymod.queries().items()
+        if n.startswith("q_tpch_") and (not wanted or n in wanted)
+    }
+    print(f"# {len(qs)} queries, input ratio {k}x on fact tables")
+    rows = []
+    for name, fn in qs.items():
+        t_small = t_big = None
+        for sf_dir in (SF_DIR, out_dir):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            if sf_dir == SF_DIR:
+                t_small = best
+            else:
+                t_big = best
+        ratio = t_big / max(t_small, 1e-9)
+        rows.append((name, t_small, t_big, ratio))
+        print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s  ({ratio:.1f}x)")
+    worst = max(rows, key=lambda r: r[3])
+    print(
+        f"# worst ratio {worst[0]} {worst[3]:.1f}x vs input {k}x — "
+        + ("OK (sub-linear)" if worst[3] <= k * 1.5 else "SUPER-LINEAR: investigate")
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
