@@ -115,11 +115,13 @@ def cooccurrence_topk(
         pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "c")
     )
 
+    # per-item counts are CATALOG-scaled — never force a broadcast; AQE
+    # converts these joins to broadcast at runtime when actually small
     ci = item_cnt.select(F.col("l_partkey").alias("i"), F.col("n").alias("ni"))
     cj = item_cnt.select(F.col("l_partkey").alias("j"), F.col("n").alias("nj"))
     scored = (
-        sym.join(F.broadcast(ci), "i")
-        .join(F.broadcast(cj), "j")
+        sym.join(ci, "i")
+        .join(cj, "j")
         .select(
             F.col("i").alias("item_id"),
             F.col("j").alias("rec_item_id"),

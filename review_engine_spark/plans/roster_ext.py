@@ -968,7 +968,7 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("c")
     )
     tot = uni.agg(F.sum("c").alias("n_tok")).crossJoin(
-        bi.agg(F.sum("c").alias("n_bi"))
+        F.broadcast(bi.agg(F.sum("c").alias("n_bi")))
     )
     ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("cx"))
     uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
@@ -976,8 +976,8 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi.filter(F.col("c") >= 5)
         .withColumn("x", F.split("bigram", " ").getItem(0))
         .withColumn("y", F.split("bigram", " ").getItem(1))
-        .join(F.broadcast(ux), "x")
-        .join(F.broadcast(uy), "y")
+        .join(ux, "x")
+        .join(uy, "y")
         .crossJoin(F.broadcast(tot))
         .select(
             "bigram",

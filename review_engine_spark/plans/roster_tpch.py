@@ -109,8 +109,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
     )
     return (
-        orders.hint("merge").join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
-        .join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -154,7 +154,7 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
     )
     return (
-        orders.join(li.hint("merge"), cond, "left_semi")
+        orders.join(li, cond, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
@@ -200,10 +200,10 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("n_nationkey", "n_name")
     )
     return (
-        orders.hint("merge").join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
-        .join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            supp.hint("merge"),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -290,9 +290,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
-        li.join(supp.hint("merge"), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust.hint("merge"), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -336,8 +336,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        orders.hint("merge").join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust.hint("merge"), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(
             F.round(
@@ -376,7 +376,7 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority") != "4-NOT SPECIFIED"
     )
     per_cust = (
-        cust.join(orders.hint("merge"), cust.c_custkey == orders.o_custkey, "left")
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("c_count"))
     )
@@ -408,7 +408,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(part.hint("merge"), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -456,7 +456,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("total_revenue") == F.col("_max"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return supp.join(
-        top.hint("merge"), F.col("s_suppkey") == F.col("supplier_no")
+        top, F.col("s_suppkey") == F.col("supplier_no")
     ).select("s_suppkey", "s_name", "total_revenue")
 
 
@@ -493,8 +493,8 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.2 * F.avg("l_quantity")).alias("qty_thresh")
     )
     return (
-        li.join(part.hint("merge"), F.col("l_partkey") == F.col("p_partkey"))
-        .join(avg_qty.hint("merge"), F.col("l_partkey") == F.col("a_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
@@ -537,8 +537,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        big.hint("merge").join(orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust.hint("merge"), F.col("o_custkey") == F.col("c_custkey"))
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",
             "o_totalprice", "sum_qty",
@@ -589,7 +589,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(part.hint("merge"), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(band)
         .agg(
             F.round(

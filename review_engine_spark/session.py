@@ -44,9 +44,17 @@ DEFAULT_CONF: dict[str, str] = {
     # --- Arrow everywhere Python touches data ---
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
-    # --- broadcast threshold: dims (region/nation/supplier/part at small
-    # SF) broadcast; AQE re-checks at runtime with actual sizes ---
-    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # --- broadcast doctrine (SCALING.md, both stress experiments): the
+    # STATIC planner may never guess-broadcast — its file-size estimates
+    # under-count filtered/aggregated corpus-scaled tables, which works
+    # at fixture scale and OOMs the driver at real scale. Static
+    # auto-broadcast is OFF; AQE converts shuffle joins to broadcast at
+    # RUNTIME from actual shuffle sizes (always safe — a side that is
+    # really big never converts). Provably bounded sides (dims, 1-row
+    # aggregates, probe sets) declare themselves with explicit
+    # F.broadcast, which bypasses the threshold ---
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "64MB",
     # quiet progress bars in test logs
     "spark.ui.showConsoleProgress": "false",
 }

@@ -1,0 +1,158 @@
+"""Broadcast-build audit: no corpus-scaled table may be a broadcast build.
+
+The two stress experiments (SCALING.md) both found the same failure
+class: Catalyst statically picks a broadcast hash join because the
+*estimated* size of a filtered/aggregated corpus-scaled table sits under
+``autoBroadcastJoinThreshold`` — a plan that works at fixture scale and
+OOMs the driver at real scale. This audit sweeps EVERY declared query's
+physical plan, finds each Broadcast(Hash|NestedLoop)Join build subtree,
+and reports which fixture tables feed it, so corpus-scaled broadcasts
+are caught at review time instead of at 20× stress time.
+
+A broadcast build is acceptable when its subtree is:
+- a dim table scan (``region``, ``nation``) — bounded at any scale;
+- a global/scalar aggregate (1-row totals, k centroids, global max);
+- an explicitly bounded derived set documented at the call site
+  (top-k candidates, ≤200-row probe sets, dropped-id lists where the
+  dup rate is the bound) — these are whitelisted per query below.
+
+Usage: python tools/broadcast_audit.py [sf_dir]   (exit 1 on new flags)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+CORPUS_TABLES = {
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+}
+DIM_TABLES = {"region", "nation"}
+
+#: plan construction executes the job (streaming runners, stateful ops,
+#: driver-side loops) — their returned DataFrame is a materialized
+#: snapshot with no join plan left to audit.
+SKIP_PREFIXES = ("q_stream_", "q_sessionize_state")
+
+#: query → reason the corpus-table broadcast under it is BOUNDED (reviewed
+#: by hand; the bound is in the query's own docstring).
+WHITELIST: dict[str, str] = {
+    "q_mmr": "collected ≤200-row candidate set (reference semantics)",
+    "q_dot": "1-row query vector (vec_id=0 filtered slice)",
+    "q_knn_ivf": "≤2 query vectors + k centroid rows (both bounded)",
+    "q_star_join": "deliberate broadcast-star demo over catalog dims; "
+    "the bucketed/salted variants cover the shuffled-fact case",
+    "q_negative_sample": "1-row max-item bound (anti-join side already "
+    "pins shuffle_hash)",
+    "q_mmr_grouped": "per-group ≤200-row candidate sets",
+    "q_knn_bruteforce": "≤8 query vectors broadcast against the corpus",
+    "q_knn_batch": "≤8 query vectors broadcast against the corpus",
+    "q_cosine_topk": "single query vector",
+    "q_hard_negatives": "3-row anchor set",
+    "q_near_dup_embedding": "vec_id<100 capped slice (documented cap)",
+    "q_contamination": "benchmark probe set — fixed-size by definition",
+    "q_decontaminate": "benchmark probe set — fixed-size by definition",
+    "q_semantic_dedup": "k=8 centroid rows",
+    "q_kmeans": "k=8 centroid rows",
+    "q_mixture_weights": "per-source recipe rows (|sources| ≪ corpus)",
+    "q_mixture_apply": "per-source recipe rows",
+    "q_mix_upsample": "per-source recipe rows",
+    "q_dedup_apply": "dropped-id set, bounded by dup rate (documented)",
+    "q_percentile_norm": "1-row global percentile aggregate",
+    "q_skew_profile": "1-row global total",
+    "q_stats_agg": "1-row global moments",
+    "q_train_split": "1-row split thresholds",
+    "q_recsys_eval": "per-user top-k recommendation set (k·|eval users|)",
+    "q_rank_blend": "1-row global normalization bounds",
+    "q_price_fit": "1-row global price stats",
+    "q_rate_sample": "per-stratum rate rows",
+    "q_stratified_sample": "per-stratum count rows",
+    "q_domain_cap": "per-source cap rows",
+    "q_quality_gate": "1-row global thresholds",
+    "q_length_buckets": "bucket-boundary rows (fixed bucket count)",
+    "q_unigram_logprob": "vocab-total 1-row aggregate",
+    "q_top_tokens": "global top-k vocabulary (fixed k)",
+    "q_boilerplate": "shared-span top set, bounded by span df threshold",
+    "q_funnel": "per-step first-touch aggregates keyed small",
+    "q_pmi_bigrams": "1-row corpus totals",
+    "q_tfidf": "1-row doc-count aggregate",
+    "q_text_stats": "1-row corpus totals",
+    "q_histogram": "1-row min/max bounds",
+    "q_data_profile": "single-scan profile rows (|columns|-bounded)",
+    "q_zorder_key": "1-row global bounds",
+    "q_resample_ffill": "per-key time-grid rows (bounded grid)",
+    "q_cohort_retention": "per-cohort first-touch rows",
+}
+
+
+def _subtree_tables(lines: list[str], start: int) -> tuple[set[str], bool]:
+    """Tables scanned and aggregate-presence inside the subtree rooted at
+    ``start`` in a toString() physical-plan tree."""
+
+    def indent(ln: str) -> int:
+        m = re.search(r"[+:]-", ln)
+        return m.start() if m else -1
+
+    base = indent(lines[start])
+    tables: set[str] = set()
+    has_agg = False
+    for ln in lines[start + 1 :]:
+        ind = indent(ln)
+        if ind >= 0 and ind <= base:
+            break
+        m = re.search(r"(\w+)\.parquet", ln)
+        if m:
+            tables.add(m.group(1))
+        if "Aggregate" in ln:
+            has_agg = True
+    return tables, has_agg
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entrymod
+    from review_engine_spark.session import get_spark
+
+    spark = get_spark("broadcast-audit")
+    qs = entrymod.queries()
+    flags: list[str] = []
+    n_broadcasts = 0
+    for name, fn in qs.items():
+        if name.startswith(SKIP_PREFIXES):
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            # executedPlan (not sparkPlan): BroadcastExchange nodes are
+            # inserted by EnsureRequirements during plan preparation
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"skip      {name}: plan unavailable ({repr(e)[:80]})")
+            continue
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" not in ln:
+                continue
+            n_broadcasts += 1
+            tables, has_agg = _subtree_tables(lines, i)
+            corpus = tables & CORPUS_TABLES
+            if not corpus:
+                continue  # dim-only build: always fine
+            if name in WHITELIST:
+                print(f"ok(wl)    {name}: broadcast over {sorted(corpus)} — "
+                      f"{WHITELIST[name]}")
+                continue
+            detail = "aggregated" if has_agg else "RAW SCAN"
+            flags.append(name)
+            print(f"FLAG      {name}: broadcast build reads corpus table(s) "
+                  f"{sorted(corpus)} ({detail}) — bound it or pin merge/shuffle_hash")
+    print(f"\n{n_broadcasts} broadcast builds audited; {len(flags)} flagged")
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

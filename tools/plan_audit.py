@@ -211,6 +211,14 @@ def main() -> int:
     sections: list[str] = []
     for name, rules in RULES.items():
         df = qs[name](spark, sf_dir)
+        # Execute BEFORE explaining: static auto-broadcast is disabled
+        # session-wide (session.py doctrine), so join strategies are
+        # finalized by AQE at runtime from actual sizes — the audit must
+        # read the final adaptive plan, which is what a cluster ran.
+        # collect() (not count()) so THIS Dataset's own AdaptiveSparkPlan
+        # finalizes — count() spawns a separate execution and leaves the
+        # audited plan isFinalPlan=false.
+        df.collect()
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
