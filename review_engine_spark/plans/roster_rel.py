@@ -1347,3 +1347,46 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "measure",
         F.round(F.col("_amt"), 6).alias("amount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3: DataFrameStatFunctions surface (df.stat.*) — the exploratory
+# API a warehouse user reaches for first; crosstab is exact (oracled),
+# freqItems is the one-pass Karp/Misra-Gries sketch (rows-only, pinned
+# against exact counts in tests).
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    oracle="""
+    SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag_l_linestatus,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """
+)
+def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via ``df.stat.crosstab`` — exact pairwise counts
+    (one pivot-style aggregate; the column-per-value output bounds it to
+    low-cardinality pairs, which is the documented contract)."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    return ct.select(
+        "l_returnflag_l_linestatus",
+        F.col("F").cast("long").alias("F"),
+        F.col("O").cast("long").alias("O"),
+    )
+
+
+@declared()
+def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via ``df.stat.freqItems`` (single-pass Karp
+    counting — the streaming-friendly frequent-element sketch; support
+    1% on the Zipf-ish part keys). Rows-only: the sketch admits false
+    positives by design; tests pin that every truly-frequent key is
+    contained (no false negatives — the algorithm's guarantee)."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    out = li.stat.freqItems(["l_suppkey"], support=0.01)
+    return out.select(
+        F.explode(F.sort_array(F.col("l_suppkey_freqItems"))).alias("candidate")
+    )

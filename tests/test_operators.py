@@ -850,3 +850,35 @@ def test_read_parquet_table_pins_result_critical_confs(spark, sf_dir):
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_session_broadcast_doctrine(spark):
+    """Scale guard (SCALING.md round-3): the static planner must never
+    guess-broadcast (estimates under-count filtered corpus tables, the
+    cause of both stress-run OOMs); AQE converts at runtime from actual
+    shuffle sizes instead."""
+    from review_engine_spark.session import DEFAULT_CONF
+
+    assert DEFAULT_CONF["spark.sql.autoBroadcastJoinThreshold"] == "-1"
+    assert DEFAULT_CONF["spark.sql.adaptive.autoBroadcastJoinThreshold"] == "64MB"
+    assert DEFAULT_CONF["spark.sql.adaptive.enabled"] == "true"
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+
+
+def test_freq_items_contains_all_truly_frequent(spark, sf_dir):
+    """freqItems' one-pass sketch guarantee: no false NEGATIVES — every
+    key with true frequency >= support must be in the candidate set
+    (false positives are allowed and expected)."""
+    from review_engine_spark.plans.roster_rel import q_freq_items
+    from review_engine_spark.sources.io import read_parquet_table
+
+    candidates = {r["candidate"] for r in q_freq_items(spark, sf_dir).collect()}
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    truly_frequent = {
+        r["l_suppkey"]
+        for r in li.groupBy("l_suppkey").count()
+        .filter(F.col("count") >= 0.01 * n)
+        .collect()
+    }
+    assert truly_frequent <= candidates
