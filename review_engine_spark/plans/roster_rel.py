@@ -1390,3 +1390,88 @@ def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.explode(F.sort_array(F.col("l_suppkey_freqItems"))).alias("candidate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3: Spark 4 modern-surface coverage — VARIANT (semi-structured),
+# native XML, and SQL LATERAL subqueries.
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    oracle=r"""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+    FROM events
+    """
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    path access via ``try_variant_get`` — the open-table-format pattern
+    for schema-on-read columns (vs q_json_extract's per-access string
+    parse; at 100 TB the variant parse happens once per row, not once
+    per extracted path)."""
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+    )
+
+
+@declared(
+    oracle="""
+    SELECT p_partkey AS id, p_retailprice AS price FROM part
+    """
+)
+def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML parsing (Spark 4 ``from_xml``): serialize each part
+    row to an XML fragment, parse it back with an explicit schema, and
+    emit the typed fields — a lossless round trip the oracle checks by
+    selecting the source columns directly. The ingest pattern for
+    XML-bearing feeds without a Python UDF in the loop."""
+    part = read_parquet_table(spark, sf_dir, "part")
+    xml = part.select(
+        F.concat(
+            F.lit('<p id="'), F.col("p_partkey"),
+            F.lit('"><price>'), F.col("p_retailprice"),
+            F.lit("</price></p>"),
+        ).alias("x")
+    )
+    return xml.select(
+        F.from_xml("x", "_id long, price double").alias("r")
+    ).select(F.col("r._id").alias("id"), F.col("r.price").alias("price"))
+
+
+@declared(
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE orders.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o
+    """
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL surface): per customer, the 2
+    highest-value orders. Catalyst decorrelates the lateral into a
+    ranked window over the orders side — one shuffle on the correlation
+    key, the same plan the hand-written window form produces (DuckDB
+    executes the LATERAL directly; results must match exactly)."""
+    read_parquet_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer"
+    )
+    read_parquet_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_orders"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM v_customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM v_orders
+            WHERE v_orders.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        """
+    )
