@@ -1475,3 +1475,93 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) o
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3: multiset set ops, bitmap distinct counting, try_* arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics, §2.G remainder): a key appears
+    min(n_left, n_right) times — Spark plans it as a row_number-tagged
+    equi-join, one shuffle, no distinct collapse."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersectAll(low)
+
+
+@declared(
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics): each key survives
+    max(0, n_left - n_right) times."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return open_.exceptAll(urgent)
+
+
+@declared(
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+    FROM lineitem GROUP BY l_returnflag
+    """
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via roaring-style bitmaps
+    (bitmap_bit_position → bitmap_construct_agg → bitmap_count): the
+    warehouse pattern for MERGEABLE exact distincts — per-partition
+    bitmaps OR together map-side, so the shuffle carries fixed-size
+    bitmap segments instead of every distinct value (vs count(distinct)
+    which expands to a two-phase aggregate on the raw keys). The oracle
+    pins it to the exact count."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            # bitmap_bit_position is 1-based; fixture keys start at 0
+            F.bitmap_bit_position(F.col("l_suppkey") + 1).alias("pos"),
+        )
+        .groupBy("l_returnflag", F.bitmap_bucket_number("pos").alias("bucket"))
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_supp"))
+    )
+
+
+@declared(
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice = 0 THEN NULL
+                ELSE round(o_totalprice / nullif(o_totalprice, 0), 4) END AS unit,
+           CASE WHEN o_custkey = 0 THEN NULL
+                ELSE CAST(o_orderkey // nullif(o_custkey, 0) AS BIGINT) END AS ratio
+    FROM orders
+    """
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data arithmetic via the try_* family (ANSI-mode-safe:
+    errors become NULL instead of task failures — the H-guard pattern
+    of the reference's None-tolerant kernels, expressed as engine
+    builtins)."""
+    o = read_parquet_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide("o_totalprice", "o_totalprice"), 4).alias("unit"),
+        F.try_divide("o_orderkey", "o_custkey").cast("long").alias("ratio"),
+    )
