@@ -200,6 +200,28 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
 }
 
 
+def final_plan_only(plan: str) -> str:
+    """Reduce a formatted AQE explain to the FINAL plan: drop the
+    `== Initial Plan ==` tree and the detail blocks of initial-only
+    nodes, so rules match what actually executed, not the pre-adaptive
+    guess (the initial plan of every join is SortMergeJoin under the
+    static-broadcast-off doctrine)."""
+    marker = "+- == Initial Plan =="
+    if marker not in plan:
+        return plan
+    head, rest = plan.split(marker, 1)
+    # details start after the initial tree, at the first blank line
+    parts = rest.split("\n\n", 1)
+    details = parts[1] if len(parts) > 1 else ""
+    final_ids = set(re.findall(r"\((\d+)\)", head))
+    kept: list[str] = []
+    for block in details.split("\n\n"):
+        m = re.match(r"\((\d+)\)", block.strip())
+        if m is None or m.group(1) in final_ids:
+            kept.append(block)
+    return head + "\n\n" + "\n\n".join(kept)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as entrymod
@@ -219,8 +241,10 @@ def main() -> int:
         # finalizes — count() spawns a separate execution and leaves the
         # audited plan isFinalPlan=false.
         df.collect()
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
+        plan = final_plan_only(
+            df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
         )
         sections.append(f"## {name}\n\n```\n{plan.strip()}\n```\n")
         for must, pat, why in rules:
