@@ -1565,3 +1565,44 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide("o_totalprice", "o_totalprice"), 4).alias("unit"),
         F.try_divide("o_orderkey", "o_custkey").cast("long").alias("ratio"),
     )
+
+
+@declared(
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 4) AS total_price,
+           CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+               AS n_discounted
+    FROM lineitem
+    """
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline instrumentation via the Observation API: metrics are
+    accumulated ON the task path while the query runs (no second scan —
+    the production pattern for row-count/quality counters on an ETL
+    write). The observed values are exact aggregates, so the oracle
+    checks them like any other query."""
+    from pyspark.sql import Observation
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    obs = Observation("etl_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+    # drive the observed plan (the "ETL") to completion, then emit the
+    # collected metrics as a 1-row DataFrame
+    observed.write.format("noop").mode("overwrite").save()
+    row = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n_rows"]),
+                float(row["total_price"]),
+                int(row["n_discounted"]),
+            )
+        ],
+        "n_rows long, total_price double, n_discounted long",
+    )
