@@ -45,11 +45,11 @@ def top_tokens(
     """Top-k corpus vocabulary: (token, n_docs, n_total, rank).
 
     explode → groupBy(token) gets map-side partial aggregation for the
-    total count; the final top-k is a single ordered window over the
-    *vocabulary* (≪ corpus; Heaps' law), not the token stream. At
-    trillion-token scale, pre-filter the vocabulary with a min-count
-    threshold before the global window so the ordered pass sees only
-    plausible candidates.
+    total count; the top-k cut is orderBy+limit (TakeOrderedAndProject:
+    per-partition top-k, then a k·P-row merge) over the *vocabulary*
+    (≪ corpus; Heaps' law), not the token stream — no global window
+    ever sees the full vocabulary. Ranks are assigned on the bounded
+    k-row result.
     """
     toks = docs.select(
         F.col(id_col), F.explode(chunk_tokens(F.col(text_col))).alias("token")
@@ -58,11 +58,9 @@ def top_tokens(
         F.countDistinct(id_col).cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_total"),
     )
+    top = counts.orderBy(F.desc("n_total"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("n_total"), F.asc("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def span_dedup(
@@ -263,10 +261,11 @@ def unigram_logprob(
     )
     counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
     total = counts.agg(F.sum("n").alias("_total"))
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    # Vocabulary cut via orderBy+limit (distributed top-k) — no global
+    # window over the full vocabulary.
     vocab = (
-        counts.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= vocab_k)
+        counts.orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_k)
         .select("token", "n")
     )
     scored = (

@@ -42,46 +42,64 @@ from review_engine_spark.plans import roster_tpch  # noqa: E402,F401
 # Driver-facing ordering. The harness checks only the FIRST 50 oracle
 # entries in registration order, so the dicts are re-ordered to put the
 # highest-verification-value queries first:
-#   tier 1 — fixed this round (events.ts fixture changed from
-#            TIMESTAMP(NANOS) to TIMESTAMP_NTZ between rounds 2 and 3;
-#            sources/io.py now normalizes both); need a green driver row
-#            to prove the fix;
-#   tier 2 — oracle-bearing queries never driver-checked in rounds 1–2
-#            (registry position > 50 both times), plus anything newly
-#            added this round — both fall out of "not in _DRIVER_GREEN";
-#   tier 3 — the queries the driver already proved green in r01/r02;
+#   tier 1 — fixed this round (r03 red rows: both oracles used DuckDB
+#            to_timestamp() which returns TIMESTAMP WITH TIME ZONE; now
+#            CAST ... AS TIMESTAMP), plus the 15 oracle queries that have
+#            NEVER been driver-checked (TPC-H suite registered last and
+#            fell outside the 50-slot window in r02 and r03);
+#   tier 2 — any other oracle-bearing query not yet driver-green
+#            (newly added this round falls out of "not in _DRIVER_GREEN");
+#   tier 3 — the queries the driver already proved green in r01–r03;
 #   tier 4 — rows-only queries (no oracle; bench covers execution).
 # ---------------------------------------------------------------------------
 
 _TIER1_FIXED = [
-    "q_range_join", "q_window_range", "q_hop_window",
+    "q_hop_window", "q_stream_tumbling",
+    "q_tpch_q1", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
+    "q_tpch_q7", "q_tpch_q10", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q17", "q_tpch_q18", "q_tpch_q19",
+    "q_length_buckets", "q_decontaminate",
 ]
 
-#: Union of driver-green rows from CORRECTNESS_r01.json + CORRECTNESS_r02.json
+#: Union of driver-green rows from CORRECTNESS_r01..r03.json
 #: (rows_match & schema_match & hash_match). These keep their oracles but
 #: yield their first-50 slots to unproven queries.
 _DRIVER_GREEN = [
-    "q_asof_join", "q_assign_ids", "q_boilerplate", "q_bucketed_join",
+    "q_asof_cogroup", "q_asof_join", "q_assign_ids", "q_bayes_rating",
+    "q_bitmap_distinct", "q_boilerplate", "q_bucketed_join", "q_char_entropy",
     "q_chunk_docs", "q_clean_text", "q_cohort_retention", "q_contamination",
-    "q_cooccur_topk", "q_cosine_topk", "q_cube", "q_data_profile",
-    "q_date_trunc", "q_dedup_apply", "q_dedup_clusters", "q_dedup_exact",
-    "q_distinct_count", "q_domain_cap", "q_dot", "q_except",
-    "q_extract_summary", "q_fingerprint", "q_funnel", "q_group_collect",
-    "q_group_count", "q_group_percentiles", "q_grouping_sets", "q_histogram",
-    "q_implicit_ratings", "q_incremental_dedup", "q_intersect", "q_join_anti",
-    "q_join_meta", "q_json_extract", "q_kmeans", "q_knn_batch",
-    "q_knn_bruteforce", "q_l2norm", "q_meanpool", "q_mix_upsample",
-    "q_mixture_apply", "q_mixture_weights", "q_parse_budget",
-    "q_percentile_norm", "q_pii_scrub", "q_pivot", "q_price_stats",
-    "q_quality_gate", "q_quantize_embeddings", "q_rank_blend",
-    "q_rate_sample", "q_recsys_eval", "q_repetition_stats", "q_ri_check",
-    "q_rollup", "q_salted_collect", "q_salted_join", "q_scan_docs",
+    "q_cooccur_topk", "q_corrupt_records", "q_cosine_topk", "q_crosstab",
+    "q_csv_roundtrip", "q_cube", "q_data_profile", "q_date_trunc",
+    "q_dedup_apply", "q_dedup_clusters", "q_dedup_exact", "q_distinct_count",
+    "q_domain_cap", "q_dot", "q_except", "q_except_all",
+    "q_extract_summary", "q_fingerprint", "q_full_outer", "q_funnel",
+    "q_fuzzy_pairs", "q_gini_udaf", "q_group_collect", "q_group_count",
+    "q_group_percentiles", "q_grouping_sets", "q_hard_negatives",
+    "q_histogram", "q_implicit_ratings", "q_incremental_dedup",
+    "q_intersect", "q_intersect_all", "q_join_anti", "q_join_meta",
+    "q_json_extract", "q_kmeans", "q_knn_batch", "q_knn_bruteforce",
+    "q_l2norm", "q_lang_id", "q_lateral_topk", "q_map_explode",
+    "q_meanpool", "q_mix_upsample", "q_mixture_apply", "q_mixture_weights",
+    "q_near_dup_embedding", "q_negative_sample", "q_ngram_jaccard",
+    "q_null_safe_join", "q_observe_metrics", "q_orc_roundtrip",
+    "q_parse_budget", "q_partitioned_prune", "q_percentile_norm",
+    "q_pii_scrub", "q_pivot", "q_pmi_bigrams", "q_popularity",
+    "q_price_fit", "q_price_stats", "q_python_datasource",
+    "q_quality_gate", "q_quality_score", "q_quantize_embeddings",
+    "q_range_join", "q_rank_blend", "q_rate_sample", "q_recsys_eval",
+    "q_repetition_stats", "q_resample_ffill", "q_ri_check", "q_rollup",
+    "q_salted_collect", "q_salted_join", "q_scan_docs",
     "q_scan_embeddings", "q_schema_evolution", "q_semantic_dedup",
-    "q_semi_join", "q_sequence_pack", "q_skew_profile", "q_span_dedup",
-    "q_star_join", "q_stats_agg", "q_text_stats", "q_tfidf",
+    "q_semi_join", "q_sentence_udtf", "q_sequence_pack", "q_sessionize",
+    "q_sessionize_state", "q_sink_roundtrip", "q_skew_profile",
+    "q_span_dedup", "q_star_join", "q_stats_agg", "q_stratified_sample",
+    "q_stream_dedup", "q_stream_sink_parquet", "q_stream_stream_join",
+    "q_stream_upsert", "q_text_stats", "q_tfidf", "q_token_count_bpe",
     "q_token_filter", "q_tokenize", "q_top_tokens", "q_topk_window",
-    "q_train_split", "q_ts_window", "q_union", "q_window_analytics",
-    "q_window_lag", "q_window_running", "q_zorder_key",
+    "q_train_split", "q_triangle_count", "q_try_arithmetic", "q_ts_window",
+    "q_unigram_logprob", "q_union", "q_unpivot", "q_upsert_latest",
+    "q_variant_json", "q_window_analytics", "q_window_lag",
+    "q_window_range", "q_window_running", "q_xml_extract", "q_zorder_key",
 ]
 
 

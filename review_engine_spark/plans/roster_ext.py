@@ -507,8 +507,8 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     oracle="""
-    SELECT to_timestamp(floor(epoch(ts) / 600) * 600) AS ws,
-           to_timestamp(floor(epoch(ts) / 600) * 600 + 600) AS we,
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS ws,
+           CAST(to_timestamp(floor(epoch(ts) / 600) * 600 + 600) AS TIMESTAMP) AS we,
            event_type, count(*) AS n, round(sum(value), 4) AS total_v
     FROM events GROUP BY ws, we, event_type
     """
@@ -991,10 +991,12 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    # Top-20 via orderBy+limit (distributed TakeOrderedAndProject), then
+    # rank the bounded 20-row result — never a global window over the
+    # full bigram vocabulary.
+    top = scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(20)
     w = Window.orderBy(F.desc("pmi"), F.asc("bigram"))
-    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
-        F.col("rn") <= 20
-    )
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))
 
 
 @declared(

@@ -698,9 +698,11 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     oracle="""
     WITH x AS (
-        SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) AS ws, value FROM events
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS ws,
+               value FROM events
         UNION ALL
-        SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS ws, value FROM events
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP) AS ws,
+               value FROM events
     )
     SELECT ws, ws + INTERVAL 1 HOUR AS we,
            count(*) AS n, round(sum(value), 4) AS total_v
@@ -869,17 +871,21 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_parquet_table(spark, sf_dir, "lineitem")
     c = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
     t = c.agg(F.sum("n").alias("total"))
-    w = Window.orderBy(F.desc("n"), F.asc("l_partkey"))
-    return (
+    # Top-20 via orderBy+limit (TakeOrderedAndProject: per-partition
+    # top-k, merge of 20·P rows) — the rank window then runs over the
+    # bounded 20-row result, never the full |keys| aggregate.
+    top = (
         c.crossJoin(F.broadcast(t))
         .select(
             "l_partkey",
             "n",
             F.round(F.col("n") / F.col("total"), 6).alias("share"),
-            F.row_number().over(w).cast("long").alias("rn"),
         )
-        .filter(F.col("rn") <= 20)
+        .orderBy(F.desc("n"), F.asc("l_partkey"))
+        .limit(20)
     )
+    w = Window.orderBy(F.desc("n"), F.asc("l_partkey"))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))
 
 
 @declared(

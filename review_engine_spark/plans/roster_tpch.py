@@ -24,7 +24,7 @@ nation names are fixture-specific), implemented Spark-first:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from review_engine_spark.plans import declared
@@ -422,9 +422,10 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q15 — top supplier by quarterly revenue. The correlated max subquery is
-# decorrelated: aggregate once per supplier, then a GLOBAL max over the
-# (tiny, |suppliers|-sized) aggregate via an empty-frame window — the
-# single-partition shuffle touches only the aggregate, never lineitem.
+# decorrelated: aggregate once per supplier, then the SURVEY §2.D7 pattern
+# for a global scalar — a 1-row agg(max) cross-joined back (AQE broadcasts
+# the single row), so no stage ever collapses the per-supplier aggregate
+# to one partition the way an empty-frame window would.
 # ---------------------------------------------------------------------------
 @declared(
     oracle="""
@@ -451,9 +452,10 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    top = rev.withColumn(
-        "_max", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("_max"))
+    gmax = rev.agg(F.max("total_revenue").alias("_max"))
+    top = rev.join(F.broadcast(gmax)).filter(
+        F.col("total_revenue") == F.col("_max")
+    )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return supp.join(
         top, F.col("s_suppkey") == F.col("supplier_no")

@@ -124,6 +124,25 @@ def main() -> int:
                     ok = False
                     msgs.append(f"{side} returns array cells (driver canonicalizer would crash)")
                     break
+        # Driver-hazard replication: the harness compares the DuckDB result
+        # TYPE against the Spark schema before hashing, while canon_cell
+        # below strips tzinfo. A DuckDB `to_timestamp(...)` (TIMESTAMP WITH
+        # TIME ZONE) vs Spark TimestampType mismatch passed here but failed
+        # the driver in r02/r03 (q_hop_window, q_stream_tumbling). Flag any
+        # tz-awareness split between the two sides as a hard failure.
+        if ok:
+            import pandas as _pd
+
+            for c in sdf.columns:
+                stz = isinstance(sdf[c].dtype, _pd.DatetimeTZDtype)
+                otz = isinstance(odf[c].dtype, _pd.DatetimeTZDtype)
+                if stz != otz:
+                    ok = False
+                    msgs.append(
+                        f"timezone-awareness mismatch on '{c}': spark={sdf[c].dtype} "
+                        f"oracle={odf[c].dtype} (driver schema compare would fail; "
+                        f"CAST oracle to TIMESTAMP for NTZ)"
+                    )
         if ok and len(sdf) and len(odf):
             num = {"i", "u", "f"}
             for c in sdf.columns:

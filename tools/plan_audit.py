@@ -184,6 +184,10 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
         (False, r"CartesianProduct", "outer join stays equi-keyed"),
         (True, r"partial_count", "order counts collapse map-side"),
     ],
+    "q_tpch_q15": [
+        (False, r"Window", "global max is a 1-row agg cross-join, not an empty-frame window"),
+        (True, r"BroadcastNestedLoopJoin|BroadcastExchange", "1-row max broadcasts back"),
+    ],
     "q_tpch_q17": [
         (False, r"CartesianProduct", "per-part avg joins back on partkey"),
         (False, r"Window", "decorrelated via aggregate-join, not a window over lineitem"),
@@ -201,25 +205,64 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
 
 
 def final_plan_only(plan: str) -> str:
-    """Reduce a formatted AQE explain to the FINAL plan: drop the
-    `== Initial Plan ==` tree and the detail blocks of initial-only
-    nodes, so rules match what actually executed, not the pre-adaptive
-    guess (the initial plan of every join is SortMergeJoin under the
-    static-broadcast-off doctrine)."""
-    marker = "+- == Initial Plan =="
-    if marker not in plan:
+    """Reduce a formatted AQE explain to the FINAL plan(s): drop every
+    `== Initial Plan ==` tree — the main plan's AND each subquery's
+    (a `===== Subqueries =====` section repeats the adaptive structure
+    per subquery) — then drop detail blocks whose node ids appear only
+    in initial trees. Rules then match what actually executed, not the
+    pre-adaptive guess (the initial plan of every join is SortMergeJoin
+    under the static-broadcast-off doctrine)."""
+    if "== Initial Plan ==" not in plan:
         return plan
-    head, rest = plan.split(marker, 1)
-    # details start after the initial tree, at the first blank line
-    parts = rest.split("\n\n", 1)
-    details = parts[1] if len(parts) > 1 else ""
-    final_ids = set(re.findall(r"\((\d+)\)", head))
+    lines = plan.split("\n")
     kept: list[str] = []
-    for block in details.split("\n\n"):
+    i = 0
+    while i < len(lines):
+        if "== Initial Plan ==" in lines[i]:
+            # skip the marker and its contiguous (non-blank) tree lines
+            i += 1
+            while i < len(lines) and lines[i].strip():
+                i += 1
+            continue
+        kept.append(lines[i])
+        i += 1
+    text = "\n".join(kept)
+    # Tree lines END with their node id (`+- HashAggregate (5)`); detail
+    # headers START with it (`(5) HashAggregate [codegen id : 1]`), so
+    # anchoring at end-of-line collects exactly the surviving tree ids
+    # across the main final tree and every subquery final tree.
+    final_ids = set(re.findall(r"\((\d+)\)\s*$", text, flags=re.M))
+    out: list[str] = []
+    for block in text.split("\n\n"):
         m = re.match(r"\((\d+)\)", block.strip())
         if m is None or m.group(1) in final_ids:
-            kept.append(block)
-    return head + "\n\n" + "\n\n".join(kept)
+            out.append(block)
+    return "\n\n".join(out)
+
+
+def source_sweep() -> list[str]:
+    """Repo-wide static invariant: no empty-partition window anywhere.
+    `Window.partitionBy()` with no keys moves the whole input to ONE
+    partition (WindowExec warns at runtime) — the D7 pattern (1-row agg
+    cross-joined back) is always the scale-safe form."""
+    bad: list[str] = []
+    for p in sorted((REPO / "review_engine_spark").rglob("*.py")):
+        lines = p.read_text().splitlines()
+        for ln_no, ln in enumerate(lines, 1):
+            if re.search(r"Window\.partitionBy\(\s*\)", ln):
+                bad.append(f"{p.relative_to(REPO)}:{ln_no}: empty-partition Window")
+            # Global Window.orderBy is the same single-partition shape;
+            # allowed only when the input is provably bounded — a .limit(
+            # within the 6 preceding lines (rank-the-top-k pattern) or an
+            # explicit `bounded` note on the definition line.
+            elif re.search(r"Window\.orderBy\(", ln) and "partitionBy" not in ln:
+                ctx = "\n".join(lines[max(0, ln_no - 7): ln_no])
+                if ".limit(" not in ctx and "bounded" not in ln:
+                    bad.append(
+                        f"{p.relative_to(REPO)}:{ln_no}: unbounded global "
+                        f"Window.orderBy (rank after .limit(k), or mark bounded)"
+                    )
+    return bad
 
 
 def main() -> int:
@@ -229,7 +272,9 @@ def main() -> int:
 
     spark = get_spark("plan-audit")
     qs = entrymod.queries()
-    failures: list[str] = []
+    failures: list[str] = source_sweep()
+    for f in failures:
+        print(f"VIOLATION {f}")
     sections: list[str] = []
     for name, rules in RULES.items():
         df = qs[name](spark, sf_dir)
