@@ -32,70 +32,89 @@ __all__ = [
 
 #: Declared entity subset for oracle-checkable unescaping. The reference
 #: uses ``html.unescape`` (full HTML5 entity table, embed.py:31); the
-#: engine's deterministic path covers the named entities that occur in
-#: review text in practice plus EVERY printable-ASCII numeric character
-#: reference — decimal ``&#39;`` and lowercase-hex ``&#x27;`` forms,
-#: semicolon-terminated (html.unescape also accepts unterminated refs and
-#: uppercase hex digits; those stay out of the declared subset).
+#: engine's deterministic path covers
+#:   - ALL 252 HTML4 named entities (``html.entities.entitydefs`` —
+#:     apostrophe/nbsp/Latin-1/Greek/punctuation/math, the set that
+#:     occurs in practice), plus ``&apos;`` (XML, absent from HTML4);
+#:   - numeric character references, decimal ``&#39;`` and either-case
+#:     hex ``&#x27;``/``&#X27;``, for code points 32–126 and 160–255;
+#: all semicolon-terminated (html.unescape additionally accepts
+#: unterminated refs; those stay out of the declared subset).
 #:
-#: Ordering is load-bearing: every entity that DECODES TO ``&`` is
-#: replaced LAST so the chain matches html.unescape's single-pass
-#: semantics on inputs like ``&amp;lt;`` or ``&#38;#60;`` (one pass
-#: yields ``&lt;`` / ``&#60;``, never ``<``).
-_NAMED_ENTITIES: list[tuple[str, str]] = [
-    ("&lt;", "<"),
-    ("&gt;", ">"),
-    ("&quot;", '"'),
-    ("&apos;", "'"),
-    ("&nbsp;", " "),
-]
+#: The decode is SINGLE-PASS by construction — split on ``&`` and decode
+#: at most one reference per segment via map lookup — so html.unescape's
+#: no-rescan semantics hold structurally: ``&amp;lt;`` → ``&lt;``,
+#: ``&#38;amp;`` → ``&amp;`` (a chained-replace formulation double-
+#: decodes the latter), and replacement text is never re-examined.
 
 
-def _printable_numeric_entities() -> list[tuple[str, str]]:
-    ents: list[tuple[str, str]] = []
-    for code in range(32, 127):
-        ch = chr(code)
-        if ch == "&":  # decodes to the entity-start char: amp group, last
-            continue
-        ents.append((f"&#{code};", ch))
-        ents.append((f"&#x{code:x};", ch))
-    return ents
+def _named_entity_items() -> list[tuple[str, str]]:
+    import html.entities as _he
+
+    # HTML4 names, but each resolved through the HTML5 table when present
+    # (html.unescape's behavior): e.g. HTML4 mapped lang/rang to the
+    # deprecated U+2329/232A, HTML5 (and html.unescape) to U+27E8/27E9.
+    table = {
+        name: _he.html5.get(name + ";", char)
+        for name, char in _he.entitydefs.items()
+    }
+    table.setdefault("apos", "'")
+    return sorted(table.items())
 
 
-_NUMERIC_ENTITIES: list[tuple[str, str]] = _printable_numeric_entities()
+#: name → replacement, e.g. ("lt", "<"); the oracle generator walks the
+#: same list so both sides share one table.
+ENTITY_ITEMS: list[tuple[str, str]] = _named_entity_items()
 
-#: Replaced last (see ordering note above).
-_AMP_ENTITIES: list[tuple[str, str]] = [
-    ("&#38;", "&"),
-    ("&#x26;", "&"),
-    ("&amp;", "&"),
-]
+#: Numeric-reference code-point ranges declared decodable (printable
+#: ASCII + Latin-1 supplement; both Spark's char() and DuckDB's chr()
+#: agree with Python chr() on these).
+NUMERIC_RANGES: list[tuple[int, int]] = [(32, 126), (160, 255)]
 
-#: Full declared table (oracle generation walks this in order; the amp
-#: group is last by construction).
-HTML_ENTITIES: list[tuple[str, str]] = (
-    _NAMED_ENTITIES + _NUMERIC_ENTITIES + _AMP_ENTITIES
-)
+
+def _decode_segment(seg: Column) -> Column:
+    """Decode one post-``&`` segment: if it starts with ``name;`` for a
+    declared name (or an in-range numeric reference), emit the
+    replacement plus the rest; otherwise restore the ``&`` verbatim."""
+    semi = F.instr(seg, ";")
+    name = F.substring(seg, F.lit(1), semi - 1)
+    rest = F.substring(seg, semi + 1, F.length(seg))
+    named = F.try_element_at(_entity_map(), name)
+    code = F.when(
+        name.rlike("^#[0-9]{1,7}$"), F.substring(name, 2, 8).cast("int")
+    ).when(
+        name.rlike("^#[xX][0-9a-fA-F]{1,6}$"),
+        F.conv(F.substring(name, 3, 7), 16, 10).cast("int"),
+    )
+    in_range = F.lit(False)
+    for lo, hi in NUMERIC_RANGES:
+        in_range = in_range | ((code >= lo) & (code <= hi))
+    decoded = F.coalesce(named, F.when(in_range, F.char(code)))
+    return F.when(
+        (semi > 0) & decoded.isNotNull(), F.concat(decoded, rest)
+    ).otherwise(F.concat(F.lit("&"), seg))
+
+
+def _entity_map() -> Column:
+    return F.create_map(
+        *[F.lit(s) for name, repl in ENTITY_ITEMS for s in (name, repl)]
+    )
 
 
 def unescape_html_entities(col: Column) -> Column:
     """H1: unescape the declared HTML-entity subset (embed.py:31).
 
-    The 188-step numeric chain is gated behind a ``contains('&#')`` check
-    so rows without numeric refs (the overwhelming majority of a review
-    corpus) pay only the 8 named/amp replaces; CASE WHEN short-circuits
-    per row in codegen, and the oracle SQL mirrors the same gate.
-    """
-    out = col
-    for entity, repl in _NAMED_ENTITIES:
-        out = F.replace(out, F.lit(entity), F.lit(repl))
-    numeric = out
-    for entity, repl in _NUMERIC_ENTITIES:
-        numeric = F.replace(numeric, F.lit(entity), F.lit(repl))
-    out = F.when(out.contains("&#"), numeric).otherwise(out)
-    for entity, repl in _AMP_ENTITIES:
-        out = F.replace(out, F.lit(entity), F.lit(repl))
-    return out
+    ONE pass over the string regardless of table size: split on ``&``,
+    then each segment does an O(1) map lookup — vs a replace-chain's
+    O(|table|) scans per row. The ``contains('&')`` gate keeps
+    entity-free rows (the overwhelming majority of a corpus) on a
+    zero-copy fast path. All JVM-side (higher-order transform), no
+    Python."""
+    segs = F.split(col, "&", -1)
+    head = F.get(segs, F.lit(0))
+    tail = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
+    out = F.concat(head, F.array_join(F.transform(tail, _decode_segment), ""))
+    return F.when(col.contains("&"), out).otherwise(col)
 
 
 def clean_text(col: Column) -> Column:

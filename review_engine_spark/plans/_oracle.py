@@ -11,44 +11,53 @@ regex (Spark) and RE2 (oracle).
 from __future__ import annotations
 
 from review_engine_spark.functions.text import (
-    _AMP_ENTITIES,
-    _NAMED_ENTITIES,
-    _NUMERIC_ENTITIES,
     BUDGET_PATTERNS,
+    ENTITY_ITEMS,
+    NUMERIC_RANGES,
     STOPWORDS,
 )
 
 # --- H1-H7 clean_text chain (embed.py:13-51) -------------------------------
 
 
-def _sql_replace_chain(expr: str, entities) -> str:
-    out = expr
-    for entity, repl in entities:
-        out = f"replace({out}, '{entity}', '{repl.replace(chr(39), chr(39)*2)}')"
-    return out
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
 
 
 def sql_unescape(expr: str) -> str:
-    """Mirrors unescape_html_entities: named chain, then the numeric
-    chain gated behind contains('&#'), then the amp group last (single-
-    pass html.unescape semantics — see functions.text.HTML_ENTITIES).
-
-    The 188-step numeric chain cannot nest as replace(replace(...)) in
-    DuckDB (binder recursion cap 128), so it runs as a flat list_reduce
-    over ``entity<SOH>code`` pair strings — same replacement order as the
-    Spark chain, one bind level.
-    """
-    named = _sql_replace_chain(expr, _NAMED_ENTITIES)
-    elems = ", ".join(
-        f"'{ent}' || chr(1) || '{ord(repl)}'" for ent, repl in _NUMERIC_ENTITIES
+    """Mirrors unescape_html_entities STRUCTURALLY: the same single-pass
+    split-on-``&`` + map-lookup decode, over the same ENTITY_ITEMS table
+    and NUMERIC_RANGES, so the two sides cannot drift independently.
+    Single-element ``list_transform`` calls serve as let-bindings (DuckDB
+    lambdas close over outer variables) so the segment, semicolon
+    position, name, and decoded value are each computed once."""
+    names = ", ".join(_sq(n) for n, _ in ENTITY_ITEMS)
+    vals = ", ".join(_sq(r) for _, r in ENTITY_ITEMS)
+    dec_code = "try_cast(substr(n, 2) AS INT)"
+    hex_code = "try_cast('0x' || substr(n, 3) AS INT)"
+    dec_ok = " OR ".join(f"{dec_code} BETWEEN {lo} AND {hi}" for lo, hi in NUMERIC_RANGES)
+    hex_ok = " OR ".join(f"{hex_code} BETWEEN {lo} AND {hi}" for lo, hi in NUMERIC_RANGES)
+    lookup = (
+        f"COALESCE(map([{names}], [{vals}])[n][1], "
+        f"CASE WHEN regexp_matches(n, '^#[0-9]{{1,7}}$') AND ({dec_ok}) "
+        f"THEN chr({dec_code}) "
+        f"WHEN regexp_matches(n, '^#[xX][0-9a-fA-F]{{1,6}}$') AND ({hex_ok}) "
+        f"THEN chr({hex_code}) END)"
     )
-    numeric = (
-        f"list_reduce(list_prepend({named}, [{elems}]), "
-        "(acc, e) -> replace(acc, string_split(e, chr(1))[1], "
-        "chr(CAST(string_split(e, chr(1))[2] AS INT))))"
+    decode = (
+        "list_transform([strpos(s, ';')], p -> "
+        "CASE WHEN p = 0 THEN '&' || s ELSE "
+        "list_transform([substr(s, 1, p - 1)], n -> "
+        f"list_transform([{lookup}], d -> "
+        "CASE WHEN d IS NULL THEN '&' || s "
+        "ELSE d || substr(s, p + 1) END)[1])[1] END)[1]"
     )
-    gated = f"CASE WHEN contains({named}, '&#') THEN {numeric} ELSE {named} END"
-    return _sql_replace_chain(gated, _AMP_ENTITIES)
+    return (
+        f"CASE WHEN strpos({expr}, '&') = 0 THEN {expr} "
+        f"ELSE string_split({expr}, '&')[1] || "
+        f"array_to_string(list_transform(string_split({expr}, '&')[2:], "
+        f"s -> {decode}), '') END"
+    )
 
 
 def sql_clean_text(expr: str) -> str:

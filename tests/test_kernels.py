@@ -425,13 +425,19 @@ def test_unescape_named_and_numeric_entities(spark):
 try:
     from hypothesis import given, settings, strategies as st
 
-    # The declared subset: semicolon-terminated printable-ASCII numeric
-    # refs (decimal + lowercase hex) and the five named entities + amp
-    # group. html.unescape is the reference behavior (embed.py:31).
+    from review_engine_spark.functions.text import ENTITY_ITEMS
+
+    # The declared subset: semicolon-terminated numeric refs in
+    # NUMERIC_RANGES (decimal + either-case hex) and the full 253-name
+    # table (HTML4 names at HTML5 values). html.unescape is the
+    # reference behavior (embed.py:31); adjacency included — the
+    # single-pass decode must handle back-to-back refs like &#38;amp;.
     _entity = st.one_of(
         st.integers(32, 126).map(lambda c: f"&#{c};"),
+        st.integers(160, 255).map(lambda c: f"&#{c};"),
         st.integers(32, 126).map(lambda c: f"&#x{c:x};"),
-        st.sampled_from(["&lt;", "&gt;", "&quot;", "&apos;", "&amp;"]),
+        st.integers(160, 255).map(lambda c: f"&#X{c:X};"),
+        st.sampled_from([f"&{name};" for name, _ in ENTITY_ITEMS]),
     )
     _plain = st.text(
         alphabet="abcXYZ 019.!?", min_size=0, max_size=6
