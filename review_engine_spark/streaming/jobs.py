@@ -208,7 +208,11 @@ def run_sessionize_stateful(
                 cur = None
             if cur is None:
                 cur = [ts, ts, 0, 0.0]
-            cur[1] = ts
+            # max(): a LATE row older than the open session's end folds in
+            # without regressing the end (else session_end < session_start
+            # could be emitted); late/merge semantics pinned in
+            # tests/test_streaming_late.py
+            cur[1] = max(cur[1], ts)
             cur[2] += 1
             cur[3] += float(v)
         if cur is not None:
@@ -265,7 +269,12 @@ def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 h
     )
 
 
-def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_stream_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    path_glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming exact dedup via ``dropDuplicatesWithinWatermark`` —
     the ingest-time dedup of a training-data pipeline: keep the first
     arrival per (user_id, event_type) key; the watermark bounds how long
@@ -274,9 +283,13 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driven to completion over the finite events source; output row count
     equals the distinct key count, which is what the rows-only check
-    pins.
+    pins. A key re-arriving AFTER the watermark evicted its fingerprint
+    is re-emitted — the bounded-state trade-off, pinned with a late-data
+    fixture in tests/test_streaming_late.py.
     """
-    stream = _events_stream(spark, sf_dir)
+    stream = _events_stream(
+        spark, sf_dir, path_glob=path_glob, max_files_per_trigger=max_files_per_trigger
+    )
     deduped = (
         stream.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
