@@ -1388,13 +1388,29 @@ def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via ``df.stat.freqItems`` (single-pass Karp
     counting — the streaming-friendly frequent-element sketch; support
-    1% on the Zipf-ish part keys). Rows-only: the sketch admits false
-    positives by design; tests pin that every truly-frequent key is
-    contained (no false negatives — the algorithm's guarantee)."""
+    1% on the Zipf-ish part keys), then SKETCH-VERIFIED: the raw
+    candidate set admits merge-order-dependent false positives (the
+    surfaced rows would vary with partitioning/AQE), so an exact count
+    join filters it to the true > support·N items. freqItems guarantees
+    no false negatives, so the verified result is exactly the heavy-
+    hitter set — deterministic rows from a sketch plan. Rows-only (the
+    sketch operator itself has no SQL equivalent); the exact-set
+    containment is also pinned in pytest."""
     li = read_parquet_table(spark, sf_dir, "lineitem")
-    out = li.stat.freqItems(["l_suppkey"], support=0.01)
-    return out.select(
-        F.explode(F.sort_array(F.col("l_suppkey_freqItems"))).alias("candidate")
+    cand = li.stat.freqItems(["l_suppkey"], support=0.01).select(
+        F.explode(F.col("l_suppkey_freqItems")).alias("candidate")
+    )
+    total = li.groupBy().agg(F.count("*").alias("total"))
+    exact = (
+        li.join(F.broadcast(cand), li["l_suppkey"] == cand["candidate"], "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > 0.01 * F.col("total"))
+        .select(F.col("l_suppkey").alias("candidate"))
+        .orderBy("candidate")
     )
 
 

@@ -364,7 +364,8 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     oracle="""
     WITH docs AS (
-        SELECT doc_id, substr(lower(text), 1, 512) AS s
+        SELECT doc_id,
+               substr(lower(regexp_replace(text, '[^ -~]', '', 'g')), 1, 512) AS s
         FROM documents WHERE text IS NOT NULL AND length(text) > 0
     ),
     chars AS (
@@ -391,13 +392,24 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch) partial counts collapse map-side; the per-doc total reuses the
     same partitioning via a window, no second exchange). Pure Catalyst:
     no Python in the loop.
+
+    The signal is restricted to printable ASCII (stripped BEFORE
+    lowercasing) so per-character semantics are engine-portable: JVM
+    split("")/lower() operate on UTF-16 code units and locale case maps,
+    DuckDB on code points — they agree only on ASCII, and entropy over
+    printable ASCII is the same curation signal.
     """
     from pyspark.sql import Window
 
     docs = (
         read_parquet_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
-        .select("doc_id", F.substring(F.lower("text"), 1, 512).alias("s"))
+        .select(
+            "doc_id",
+            F.substring(
+                F.lower(F.regexp_replace("text", "[^ -~]", "")), 1, 512
+            ).alias("s"),
+        )
     )
     chars = docs.select(
         "doc_id", F.explode(F.split("s", "")).alias("ch")

@@ -866,9 +866,11 @@ def test_session_broadcast_doctrine(spark):
 
 
 def test_freq_items_contains_all_truly_frequent(spark, sf_dir):
-    """freqItems' one-pass sketch guarantee: no false NEGATIVES — every
-    key with true frequency >= support must be in the candidate set
-    (false positives are allowed and expected)."""
+    """Sketch-verified heavy hitters are EXACT: freqItems guarantees no
+    false negatives above the support threshold, and the exact-count
+    verification join removes the sketch's merge-order-dependent false
+    positives — so the output equals the true > support·N set (and is
+    therefore deterministic across partitionings)."""
     from review_engine_spark.plans.roster_rel import q_freq_items
     from review_engine_spark.sources.io import read_parquet_table
 
@@ -878,7 +880,7 @@ def test_freq_items_contains_all_truly_frequent(spark, sf_dir):
     truly_frequent = {
         r["l_suppkey"]
         for r in li.groupBy("l_suppkey").count()
-        .filter(F.col("count") >= 0.01 * n)
+        .filter(F.col("count") > 0.01 * n)
         .collect()
     }
-    assert truly_frequent <= candidates
+    assert candidates == truly_frequent

@@ -87,6 +87,8 @@ WHITELIST: dict[str, str] = {
     "q_zorder_key": "1-row global bounds",
     "q_resample_ffill": "per-key time-grid rows (bounded grid)",
     "q_cohort_retention": "per-cohort first-touch rows",
+    "q_tpch_q15": "1-row global max revenue (D7 cross-join-back)",
+    "q_freq_items": "sketch candidate set (≤1/support rows) + 1-row total",
 }
 
 
@@ -95,8 +97,14 @@ def _subtree_tables(lines: list[str], start: int) -> tuple[set[str], bool]:
     ``start`` in a toString() physical-plan tree."""
 
     def indent(ln: str) -> int:
-        m = re.search(r"[+:]-", ln)
-        return m.start() if m else -1
+        """Tree depth from the structural prefix only: the leading run of
+        whitespace and tree-drawing characters (' ', ':', '+', '-'). A
+        '+-'/':-'-looking fragment later in the line (e.g. inside a plan
+        string literal) never counts, and a line with no marker at all is
+        treated as content of the current node, not as depth -1."""
+        m = re.match(r"[ :+\-]*", ln)
+        prefix = m.group(0)
+        return len(prefix) if prefix.rstrip().endswith(("+-", ":-")) else -1
 
     base = indent(lines[start])
     tables: set[str] = set()
@@ -104,7 +112,7 @@ def _subtree_tables(lines: list[str], start: int) -> tuple[set[str], bool]:
     for ln in lines[start + 1 :]:
         ind = indent(ln)
         if ind >= 0 and ind <= base:
-            break
+            break  # structurally shallower tree line: subtree ends
         m = re.search(r"(\w+)\.parquet", ln)
         if m:
             tables.add(m.group(1))

@@ -53,7 +53,17 @@ def main() -> int:
     # 24 g heap (same as the round-2 SCALING experiment): the default 1 g
     # local-mode heap cannot hold 32 concurrent sort-task buffers over a
     # 12M-row shuffle — that is an environment limit, not a plan property.
+    # spark.driver.memory only takes effect at JVM launch, so an already-
+    # running session would silently keep its heap: fail loudly instead.
+    from pyspark.sql import SparkSession
+
+    assert SparkSession.getActiveSession() is None, (
+        "stress_tpch must launch its own JVM to set spark.driver.memory; "
+        "run it in a fresh process"
+    )
     spark = get_spark("stress-tpch", extra_conf={"spark.driver.memory": "24g"})
+    got = spark.conf.get("spark.driver.memory", "unset")
+    assert got == "24g", f"spark.driver.memory={got}; 24g did not take effect"
     out_dir = tempfile.mkdtemp(prefix="stress_tpch_")
     print(f"# replicating {SF_DIR} {k}x -> {out_dir}")
     for name, keys in KEY_COLS.items():
