@@ -599,3 +599,307 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share (faithful: every needed column exists). The
+# 8-way star keeps lineitem as the spine; nation/region broadcast
+# explicitly, part/customer/supplier/orders joins finalized by AQE. The
+# share division happens AFTER the per-year aggregate: two scalar sums
+# per year, never a second pass.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                AND TIMESTAMP '1996-12-31'
+          AND p.p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    """
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey"))
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    vol = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_2", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by (nation, year). ADAPTED: the fixture has no
+# partsupp, so supply cost is proxied as 0.6 * p_retailprice * l_quantity
+# (same join/aggregate SHAPE as the standard query: 5-way join, profit
+# expression per line, two-key aggregate; reference for parity is the
+# standard Q9 plan, not its numbers).
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity AS amount
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    """
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — late-shipment priority split. ADAPTED: no l_shipmode/commitdate/
+# receiptdate in the fixture, so "late" = shipped >60 days after the
+# order date and the group key is l_linestatus — the SHAPE is the
+# standard one: orders⋈lineitem with a date-window filter and two
+# conditional counts per group.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(count(*) FILTER (WHERE o.o_orderpriority IN
+                ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+           CAST(count(*) FILTER (WHERE o.o_orderpriority NOT IN
+                ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    """
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(urgent, 1)).alias("high_line_count"),
+            F.count(F.when(~urgent, 1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting. ADAPTED lateness ("shipped >90
+# days after order date" replaces receiptdate>commitdate), but the SHAPE
+# is the standard double-correlated form: an EXISTS (another supplier
+# contributed to the same order) and a NOT EXISTS (no OTHER supplier was
+# also late), both decorrelated to semi/anti joins on the orderkey with
+# supplier-inequality residuals — never a per-row subquery. Top-20 via
+# orderBy+limit (TakeOrderedAndProject).
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    l1 = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > late_cut)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    exists_other = (F.col("l_orderkey") == F.col("x_orderkey")) & (
+        F.col("l_suppkey") != F.col("x_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("y_orderkey"),
+        F.col("l_suppkey").alias("y_suppkey"),
+        F.col("l_shipdate").alias("y_shipdate"),
+    )
+    other_also_late = (
+        (F.col("l_orderkey") == F.col("y_orderkey"))
+        & (F.col("l_suppkey") != F.col("y_suppkey"))
+        & (F.col("y_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    waited = (
+        l1.join(l2, exists_other, "left_semi")
+        .join(l3, other_also_late, "left_anti")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waited.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — inactive high-balance customers. ADAPTED: the fixture has no
+# c_phone, so the country-code grouping becomes the nation name, and
+# "never ordered" (true for zero fixture customers) becomes "no order
+# since 2000-06-01" — the SHAPE is standard: a global scalar average
+# (1-row broadcast back, D7), an anti-join against a date-pruned orders
+# scan, and a per-group count/sum.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 4) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (
+        SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-06-01'
+      )
+    GROUP BY n.n_name
+    """
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_ab")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )

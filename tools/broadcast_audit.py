@@ -88,6 +88,7 @@ WHITELIST: dict[str, str] = {
     "q_resample_ffill": "per-key time-grid rows (bounded grid)",
     "q_cohort_retention": "per-cohort first-touch rows",
     "q_tpch_q15": "1-row global max revenue (D7 cross-join-back)",
+    "q_tpch_q22": "1-row global average balance (D7 cross-join-back)",
     "q_freq_items": "sketch candidate set (≤1/support rows) + 1-row total",
 }
 

@@ -184,6 +184,30 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
         (False, r"CartesianProduct", "outer join stays equi-keyed"),
         (True, r"partial_count", "order counts collapse map-side"),
     ],
+    "q_tpch_q8": [
+        (True, r"BroadcastHashJoin", "nation/region dims broadcast"),
+        (False, r"CartesianProduct", "8-way star stays equi-keyed"),
+        (True, r"PushedFilters: \[[^\]]*p_type", "p_type filter reaches the part scan"),
+    ],
+    "q_tpch_q9": [
+        (True, r"PushedFilters: \[[^\]]*p_name", "p_name LIKE pushes to the part scan"),
+        (False, r"CartesianProduct", "5-way join stays equi-keyed"),
+    ],
+    "q_tpch_q12": [
+        (True, r"PushedFilters: \[[^\]]*l_shipdate", "date window reaches the lineitem scan"),
+        (True, r"partial_count", "conditional counts collapse map-side"),
+    ],
+    "q_tpch_q21": [
+        (True, r"LeftSemi", "EXISTS(other supplier) is a semi-join"),
+        (True, r"LeftAnti", "NOT EXISTS(other late) is an anti-join"),
+        (False, r"CartesianProduct", "supplier inequality rides the orderkey equi-join"),
+        (True, r"TakeOrderedAndProject", "top-20 never globally sorts"),
+    ],
+    "q_tpch_q22": [
+        (True, r"LeftAnti", "no-recent-order is an anti-join, not a subquery loop"),
+        (True, r"BroadcastNestedLoopJoin|BroadcastExchange", "1-row avg broadcasts back"),
+        (True, r"PushedFilters: \[[^\]]*o_orderdate", "date filter prunes the orders scan"),
+    ],
     "q_tpch_q15": [
         (False, r"Window", "global max is a 1-row agg cross-join, not an empty-frame window"),
         (True, r"BroadcastNestedLoopJoin|BroadcastExchange", "1-row max broadcasts back"),
