@@ -1,0 +1,274 @@
+"""Ranked-retrieval & sketch-verification roster (SURVEY §2.K stretch).
+
+Retrieval ops a training-data/RAG pipeline runs against the document
+corpus, each oracle-checked:
+
+- ``q_bm25``: BM25 ranked retrieval for a fixed query-term set — the
+  lexical-retrieval baseline every RAG evaluation needs (reference
+  rag.py scores candidates by embedding cosine only; BM25 is the
+  standard hybrid partner).
+- ``q_inverted_index``: postings-list build (term → sorted doc ids), the
+  index structure behind lexical retrieval.
+- ``q_minhash_jaccard``: an ORACLE-CHECKED MinHash estimator — the
+  production near-dup path (operators.dedup.minhash_dedup) uses
+  xxhash64, which DuckDB lacks, so its banding pipeline is rows-only;
+  this variant computes the same signature algebra with md5 (identical
+  in both engines), making the min-over-hashed-shingles machinery
+  driver-verifiable end to end.
+
+All tokenization is ``lower → split [^a-z0-9]+ → drop empties`` on both
+sides (JVM and RE2 agree on this pattern; see plans/_oracle.py doctrine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from review_engine_spark.plans import declared
+from review_engine_spark.sources.io import read_parquet_table
+
+#: Fixed retrieval query (terms present in the fixture vocabulary).
+BM25_QUERY_TERMS: list[str] = ["join", "vector", "stream"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: MinHash-oracle parameters: 8 independent hash functions (md5 with a
+#: seed prefix), word 3-shingles, doc set capped for the all-pairs join.
+MINHASH_SEEDS = list(range(8))
+MINHASH_CAP = 32
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+
+@declared(
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d WHERE len(toks) > 0),
+    stats AS (SELECT avg(dl) AS adl, count(*) AS n FROM dl),
+    tf AS (
+        SELECT doc_id, t AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+        WHERE t IN ({_TERMS_SQL})
+        GROUP BY doc_id, t
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           round(sum(
+               ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.adl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT 20
+    """
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the fixed query — Okapi scoring with the
+    standard k1=1.2, b=0.75 and the +1-smoothed idf (always positive).
+
+    Plan shape at scale: one (doc, term) hash agg for tf restricted to
+    the |query| terms (the IN filter collapses the explode BEFORE the
+    shuffle), a |query|-row df aggregate and a 1-row (N, avgdl)
+    aggregate both broadcast back (D7), and top-20 via orderBy+limit
+    (TakeOrderedAndProject) — the corpus shuffles only (doc_id, term,
+    tf) rows for matching terms, never the token stream."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    dl = d.filter(F.size("toks") > 0).select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.avg("dl").alias("adl"), F.count("*").cast("long").alias("n")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    tfn = (
+        F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("adl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tfn), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+@declared(
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    posting AS (SELECT DISTINCT term, doc_id FROM toks)
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           array_to_string((list(CAST(doc_id AS VARCHAR) ORDER BY doc_id))[1:1000], ',')
+               AS postings
+    FROM posting
+    GROUP BY term
+    HAVING count(*) >= 5
+    """
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + sorted postings
+    (serialized as a comma string — the driver canonicalizer rejects
+    array cells). Postings capped at 1000 ids per term on BOTH sides:
+    at corpus scale stop-word postings are unbounded, and a capped (or
+    df-thresholded) list is what a real index shard stores per segment.
+
+    Plan shape: explode → per-(term, doc) distinct (map-side combined)
+    → one term-keyed agg; the vocabulary (≪ corpus, Heaps' law) is the
+    only thing shuffled twice."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    posting = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    return (
+        posting.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda c: c.cast("string"),
+                    ),
+                    1,
+                    1000,
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+def _sig_sql(seed: int) -> str:
+    return (
+        f"list_min(list_transform(sh, x -> md5('{seed}|' || x))) AS sig{seed}"
+    )
+
+
+_SHINGLES_SQL = (
+    "list_transform(range(0, len(toks) - 2), "
+    "i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])"
+)
+_SIGS_SQL = ",\n               ".join(_sig_sql(s) for s in MINHASH_SEEDS)
+_MATCH_SQL = " + ".join(
+    f"CASE WHEN a.sig{s} = b.sig{s} THEN 1 ELSE 0 END" for s in MINHASH_SEEDS
+)
+
+
+@declared(
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        WHERE doc_id < {MINHASH_CAP}
+    ),
+    sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS sh
+        FROM t WHERE len(toks) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_SIGS_SQL}
+        FROM sh
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(({_MATCH_SQL}) / {len(MINHASH_SEEDS)}.0, 6) AS est_jaccard
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    """
+)
+def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard estimates over all pairs of a capped doc set,
+    oracle-checked: md5 (bit-identical in Spark and DuckDB) replaces the
+    production path's xxhash64 so the ENTIRE signature algebra —
+    shingling, per-seed min-hash, component-match estimation — is
+    verified against SQL, not just row counts. The production near-dup
+    operator (operators/dedup.py minhash path) shares this structure
+    with banding instead of all-pairs; the cap ({MINHASH_CAP} docs)
+    bounds the quadratic join exactly like q_near_dup_embedding's
+    declared cap, with LSH banding as the scale route."""
+    docs = (
+        read_parquet_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < MINHASH_CAP)
+        .select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    sh = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+                F.element_at(F.col("toks"), i + 3),
+            ),
+        ).alias("sh"),
+    )
+    def _seed_hash(seed: int):
+        # NB: a `lambda x, s=seed:` would be arity-2 and F.transform would
+        # bind the ELEMENT INDEX to the second parameter — closure factory
+        # keeps the lambda unary.
+        def h(x):
+            return F.md5(F.concat(F.lit(f"{seed}|"), x))
+
+        return h
+
+    sig = sh.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("sh"), _seed_hash(s))).alias(f"sig{s}")
+            for s in MINHASH_SEEDS
+        ],
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"sig{s}").alias(f"a{s}") for s in MINHASH_SEEDS]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"sig{s}").alias(f"b{s}") for s in MINHASH_SEEDS]
+    )
+    matches = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in MINHASH_SEEDS
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / float(len(MINHASH_SEEDS)), 6).alias("est_jaccard"),
+        )
+    )

@@ -89,6 +89,8 @@ WHITELIST: dict[str, str] = {
     "q_cohort_retention": "per-cohort first-touch rows",
     "q_tpch_q15": "1-row global max revenue (D7 cross-join-back)",
     "q_tpch_q22": "1-row global average balance (D7 cross-join-back)",
+    "q_bm25": "|query|-row df aggregate + 1-row (N, avgdl) stats",
+    "q_minhash_jaccard": "signature set capped at 32 docs (declared all-pairs cap)",
     "q_freq_items": "sketch candidate set (≤1/support rows) + 1-row total",
 }
 

@@ -212,6 +212,18 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
         (False, r"Window", "global max is a 1-row agg cross-join, not an empty-frame window"),
         (True, r"BroadcastNestedLoopJoin|BroadcastExchange", "1-row max broadcasts back"),
     ],
+    "q_bm25": [
+        (True, r"TakeOrderedAndProject", "top-20 never globally sorts"),
+        (True, r"BroadcastNestedLoopJoin|BroadcastExchange", "df/stats aggregates broadcast back"),
+        (False, r"CartesianProduct", "scoring joins stay equi-keyed"),
+    ],
+    "q_inverted_index": [
+        (True, r"partial_|HashAggregate", "per-(term,doc) distinct collapses map-side"),
+        (False, r"CartesianProduct", "no cartesian product"),
+    ],
+    "q_minhash_jaccard": [
+        (False, r"SortMergeJoin", "capped 32-row pair join broadcasts, never shuffles"),
+    ],
     "q_tpch_q17": [
         (False, r"CartesianProduct", "per-part avg joins back on partkey"),
         (False, r"Window", "decorrelated via aggregate-join, not a window over lineitem"),
