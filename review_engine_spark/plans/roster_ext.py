@@ -1240,11 +1240,51 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_dedup(spark, sf_dir)
 
 
-@declared()
+@declared(
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.p_partkey AS left_id, b.p_partkey AS right_id
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 8
+    ),
+    e AS (
+        SELECT left_id AS a, right_id AS b FROM pairs
+        UNION ALL
+        SELECT right_id, left_id FROM pairs
+    ),
+    deg AS (SELECT a, count(*) AS out_deg FROM e GROUP BY a),
+    ew AS (SELECT e.a, e.b, 1.0 / deg.out_deg AS w FROM e JOIN deg ON e.a = deg.a),
+    nodes AS (SELECT DISTINCT a AS node FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    pr(node, rank, it) AS (
+        SELECT node, 1.0 / nn.n, 0 FROM nodes, nn
+        UNION ALL
+        SELECT ew.b,
+               0.15 / (SELECT n FROM nn) + 0.85 * sum(pr.rank * ew.w),
+               pr.it + 1
+        FROM pr JOIN ew ON pr.node = ew.a
+        WHERE pr.it < 8
+        GROUP BY ew.b, pr.it
+    )
+    SELECT node, round(rank, 6) AS rank
+    FROM pr WHERE it = 8
+    ORDER BY rank DESC, node
+    LIMIT 100
+    """
+)
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the symmetric fuzzy near-dup part graph (rows-only:
-    iterative fixed-point floats). Returns the top-100 parts by rank —
-    the 'most central boilerplate' view of a dedup pair graph."""
+    """PageRank over the symmetric fuzzy near-dup part graph. Returns the
+    top-100 parts by rank — the 'most central boilerplate' view of a
+    dedup pair graph.
+
+    ORACLE-CHECKED iterative op: the DuckDB mirror runs the same 8
+    damped-power iterations as a recursive CTE (symmetric graph ⇒ no
+    dangling mass on either side), ranks rounded to 6dp BEFORE the
+    top-100 cut so the ordering is float-divergence-proof. The recursive
+    CTE needs RECURSIVE before the first CTE and aggregate-in-recursive
+    support (DuckDB ≥ 0.9)."""
     from review_engine_spark.operators.cluster import pagerank
 
     part = read_parquet_table(spark, sf_dir, "part")
@@ -1267,7 +1307,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("right_id").alias("left_id"), F.col("left_id").alias("right_id")
         )
     )
-    ranks = pagerank(edges, "left_id", "right_id", max_iter=8)
+    ranks = pagerank(edges, "left_id", "right_id", max_iter=8).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(100)
 
 
