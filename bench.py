@@ -84,8 +84,11 @@ def main() -> int:
         "n_queries": len(timings),
         "sec_per_query": round(sum(timings.values()) / max(len(timings), 1), 3),
     }
-    with open(sidecar, "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
+    # subset invocations (explicit query args) must not clobber the
+    # full-roster sidecar the driver/analysis reads
+    if not args.queries:
+        with open(sidecar, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
     for name, dt in timings.items():
         print(f"# timing {name} {dt}", file=sys.stderr)
     # Tail-budget guard: the harness captures a bounded stdout tail, so
