@@ -1384,7 +1384,15 @@ def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared()
+@declared(
+    oracle="""
+    SELECT l_suppkey AS candidate
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING count(*) > 0.01 * (SELECT count(*) FROM lineitem)
+    ORDER BY candidate
+    """
+)
 def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via ``df.stat.freqItems`` (single-pass Karp
     counting — the streaming-friendly frequent-element sketch; support
@@ -1392,10 +1400,10 @@ def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set admits merge-order-dependent false positives (the
     surfaced rows would vary with partitioning/AQE), so an exact count
     join filters it to the true > support·N items. freqItems guarantees
-    no false negatives, so the verified result is exactly the heavy-
-    hitter set — deterministic rows from a sketch plan. Rows-only (the
-    sketch operator itself has no SQL equivalent); the exact-set
-    containment is also pinned in pytest."""
+    no false negatives, so the verified result is EXACTLY the heavy-
+    hitter set — which makes the whole sketch+verify plan oracle-
+    checkable against the plain GROUP BY/HAVING form (the sketch prunes
+    the verify join's build side; the oracle proves the net result)."""
     li = read_parquet_table(spark, sf_dir, "lineitem")
     cand = li.stat.freqItems(["l_suppkey"], support=0.01).select(
         F.explode(F.col("l_suppkey_freqItems")).alias("candidate")
