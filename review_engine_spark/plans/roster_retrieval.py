@@ -272,3 +272,73 @@ def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(matches / float(len(MINHASH_SEEDS)), 6).alias("est_jaccard"),
         )
     )
+
+
+#: SimHash-oracle parameters: 60 bits (a 15-hex-digit md5 prefix fits a
+#: SIGNED 64-bit integer in both engines; 64 bits would overflow DuckDB's
+#: BIGINT cast), capped doc set for bounded output.
+SIMHASH_BITS = 60
+SIMHASH_CAP = 64
+
+_H_SQL = "try_cast('0x' || substr(md5(tok), 1, 15) AS BIGINT)"
+_VOTES_SQL = ",\n               ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIG_SQL = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(SIMHASH_BITS)
+)
+
+
+@declared(
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+        WHERE doc_id < {SIMHASH_CAP}
+    ),
+    h AS (SELECT doc_id, {_H_SQL} AS h FROM toks),
+    votes AS (
+        SELECT doc_id,
+               {_VOTES_SQL}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, {_SIG_SQL} AS sig FROM votes
+    """
+)
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures oracle-checked: the same bit-vote algebra the
+    production path runs (operators/dedup.py simhash_signatures —
+    explode → one hash aggregate with per-bit conditional sums →
+    signature assembly), but with a 60-bit md5-derived token hash so
+    DuckDB can reproduce it bit-for-bit (xxhash64 is Spark-only, which
+    is why the production signatures are rows-only). Ties (vote sum 0)
+    resolve to bit 0 on both sides. The shuffle carries SIMHASH_BITS
+    ints per doc regardless of document length — map-side combine does
+    the token-stream reduction."""
+    docs = (
+        read_parquet_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < SIMHASH_CAP)
+        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    )
+    h = docs.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("sig"))
