@@ -342,3 +342,80 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.alias("sig"))
+
+
+#: Winnowing-oracle parameters (mirror operators/textstats.py defaults):
+#: k-token shingles, min-hash per sliding window of w shingle hashes.
+WINNOW_K = 5
+WINNOW_W = 4
+WINNOW_CAP = 48
+
+
+@declared(
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        WHERE doc_id < {WINNOW_CAP}
+    ),
+    h AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= {WINNOW_K}
+                    THEN list_transform(range(0, len(toks) - {WINNOW_K - 1}),
+                         i -> md5(array_to_string(toks[i + 1 : i + {WINNOW_K}], ' ')))
+                    ELSE [] END AS hashes
+        FROM t
+    ),
+    w AS (
+        SELECT doc_id,
+               CASE WHEN len(hashes) >= {WINNOW_W}
+                    THEN list_transform(range(0, len(hashes) - {WINNOW_W - 1}),
+                         j -> list_min(hashes[j + 1 : j + {WINNOW_W}]))
+                    ELSE [] END AS mins
+        FROM h
+    )
+    SELECT DISTINCT doc_id, unnest(mins) AS fp FROM w
+    """
+)
+def q_winnow_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints oracle-checked: k-token shingle hashes,
+    min per sliding window of w hashes, distinct per doc — with md5 hex
+    strings (lexicographic min) standing in for the production path's
+    xxhash64 so DuckDB reproduces the fingerprint set exactly
+    (operators/textstats.py winnow_fingerprints is the scale operator).
+
+    Row-windowed form: posexplode tokens → shingle via lead() → window
+    min over w ROWS — ONE doc_id-partitioned shuffle, then everything is
+    linear per partition. (The production operator's array-transform
+    form is zero-shuffle but its slice lambdas must never be collapsed
+    into re-evaluating the token split per element — with md5-on-string
+    costs that collapse is catastrophic, measured 260 s for 48 docs, so
+    this twin deliberately uses the shuffle form.)"""
+    w_tok = Window.partitionBy("doc_id").orderBy("pos")
+    toks = (
+        read_parquet_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < WINNOW_CAP)
+        .select(
+            "doc_id",
+            F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"),
+        )
+    )
+    shingle = F.concat_ws(
+        " ", *[F.lead("tok", i).over(w_tok) for i in range(WINNOW_K)]
+    )
+    hashes = toks.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lead("tok", WINNOW_K - 1).over(w_tok).isNotNull(), F.md5(shingle)
+        ).alias("h"),
+    ).filter(F.col("h").isNotNull())
+    win_min = F.min("h").over(
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    )
+    mins = hashes.select(
+        "doc_id",
+        F.when(
+            F.lead("h", WINNOW_W - 1).over(w_tok).isNotNull(), win_min
+        ).alias("fp"),
+    ).filter(F.col("fp").isNotNull())
+    return mins.distinct()
