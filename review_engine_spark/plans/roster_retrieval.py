@@ -419,3 +419,80 @@ def q_winnow_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
     ).filter(F.col("fp").isNotNull())
     return mins.distinct()
+
+
+#: Hamming-pair parameters: pigeonhole banding with max_hamming+1 blocks
+#: over the 60-bit md5 simhash; block widths cover ALL 60 bits (uneven
+#: base/base+1 split, as the production operator does) so the pigeonhole
+#: guarantee holds: hamming ≤ max ⇒ at least one block exactly equal.
+#: max_hamming=10 because the synthetic corpus's closest signature pair
+#: sits at hamming 6 — a threshold of 3 would green-light an empty
+#: result, which verifies nothing.
+HAMMING_MAX = 10
+_N_BLOCKS = HAMMING_MAX + 1
+_BASE, _REM = divmod(SIMHASH_BITS, _N_BLOCKS)
+_WIDTHS = [_BASE + 1 if b < _REM else _BASE for b in range(_N_BLOCKS)]
+_OFFSETS = [sum(_WIDTHS[:b]) for b in range(_N_BLOCKS)]
+
+
+@declared(
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+        WHERE doc_id < {SIMHASH_CAP}
+    ),
+    h AS (SELECT doc_id, {_H_SQL} AS h FROM toks),
+    votes AS (
+        SELECT doc_id,
+               {_VOTES_SQL}
+        FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {_SIG_SQL} AS sig FROM votes)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_MAX}
+    """
+)
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the PRODUCTION candidate strategy,
+    oracle-proven: the Spark side bands each 60-bit signature into
+    max_hamming+1 blocks covering all bits (uneven widths, exactly the
+    pigeonhole route operators/dedup.py simhash_near_dups takes — its
+    candidate shuffle carries small block keys instead of an all-pairs
+    product), then verifies exact hamming. The oracle computes the SAME
+    pair set the naive all-pairs way (bit_count(xor) over the capped doc
+    set), so a green row proves the banding loses no pair the pigeonhole
+    principle promises (and the exact-verify admits no false
+    positive)."""
+    sigs = q_simhash_md5(spark, sf_dir)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftright(F.col("sig"), _OFFSETS[b])
+                .bitwiseAND(F.lit((1 << _WIDTHS[b]) - 1))
+                .alias("blk_val"),
+            )
+            for b in range(_N_BLOCKS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "sig", F.explode(blocks).alias("bb")
+    ).select(
+        "doc_id", "sig", F.col("bb.blk").alias("blk"), F.col("bb.blk_val").alias("blk_val")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "blk", "blk_val"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "blk", "blk_val"
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
