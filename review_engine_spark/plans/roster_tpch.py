@@ -903,3 +903,334 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the fixture ships no partsupp table, so the remaining
+# four TPC-H shapes (Q2/Q11/Q16/Q20 — all partsupp-centric) run against a
+# catalog DERIVED identically on both engines from lineitem:
+#   ps_availqty   = total quantity ever shipped for the (part, supplier)
+#                   pair (integral doubles in the fixture, so the BIGINT
+#                   cast is exact on both engines);
+#   ps_supplycost = cheapest observed unit price, kept as the RAW double:
+#                   IEEE division and min are bit-identical across engines,
+#                   so equality joins and value hashes agree exactly —
+#                   whereas round(x, 4) diverges when the shortest decimal
+#                   repr ends on a tie (DuckDB half-even vs Spark half-up;
+#                   observed on 1265.17025 in the sf0.01 fixture).
+# At 100 TB this derivation is one map-side-combined groupBy over the
+# lineitem scan (8-byte keys), reused per query plan; a real deployment
+# would materialize it once (bucketBy(ps_partkey)) — noted in SCALING.md.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+    partsupp AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               CAST(sum(l_quantity) AS BIGINT) AS ps_availqty,
+               min(l_extendedprice / l_quantity) AS ps_supplycost
+        FROM lineitem GROUP BY 1, 2
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum("l_quantity").cast("long").alias("ps_availqty"),
+        F.min(
+            F.col("l_extendedprice") / F.col("l_quantity")
+        ).alias("ps_supplycost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier per part in a region. The correlated
+# min-supplycost subquery is decorrelated into an aggregate-join: eligible
+# (part, supplier) rows in EUROPE → per-part min cost → equality join back
+# on (partkey, cost). Both joins shuffle on ps_partkey so AQE can reuse
+# the exchange; region/nation are broadcast (bounded dims at any scale).
+# LIMIT determinism: the ORDER BY key set (acctbal, nation, supplier,
+# part) is total over the output rows, so the top-100 cut is stable
+# across engines.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    eligible AS (
+        SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+               s.s_name, round(s.s_acctbal, 4) AS s_acctbal, n.n_name
+        FROM partsupp ps
+        JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    mn AS (
+        SELECT ps_partkey, min(ps_supplycost) AS min_cost
+        FROM eligible GROUP BY ps_partkey
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name AS nation,
+           p.p_partkey, e.ps_suppkey AS s_suppkey, e.ps_supplycost
+    FROM part p
+    JOIN eligible e ON p.p_partkey = e.ps_partkey
+    JOIN mn ON mn.ps_partkey = e.ps_partkey
+           AND e.ps_supplycost = mn.min_cost
+    WHERE p.p_size <= 15 AND p.p_type = 'SMALL'
+    ORDER BY e.s_acctbal DESC, nation, e.s_name, p.p_partkey
+    LIMIT 100
+    """
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 4).alias("s_acctbal"),
+        "s_nationkey",
+    )
+    nation = F.broadcast(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    )
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    eligible = (
+        ps.join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost",
+                "s_name", "s_acctbal", "n_name")
+    )
+    mn = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    ).withColumnRenamed("ps_partkey", "mn_partkey")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    return (
+        eligible.join(
+            mn,
+            (F.col("ps_partkey") == F.col("mn_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", F.col("n_name").alias("nation"),
+            "p_partkey", F.col("ps_suppkey").alias("s_suppkey"),
+            "ps_supplycost",
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification. ADAPTED twice for cross-engine
+# determinism at every SF: (1) scope is the EUROPE region rather than one
+# nation (the sf0.001 fixture has suppliers in only 10 of 25 nations);
+# (2) per-pair value is quantized to integer cents with floor() BEFORE
+# aggregation — floor on bit-identical doubles is engine-identical and
+# BIGINT sums are order-independent, so the result is exact where a
+# round(sum(double),4) sat on a rounding boundary (observed at sf0.01).
+# (3) the fixed "fraction of total" threshold (0.0001/SF in the standard
+# query) is scale-dependent, so "important" = more than 2x the average
+# per-part value. The scalar subquery is the D7 pattern: a 1-row
+# aggregate broadcast back over the per-part sums (never a global
+# window).
+# ---------------------------------------------------------------------------
+@declared(
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    natps AS (
+        SELECT ps.ps_partkey,
+               CAST(floor(ps.ps_supplycost * ps.ps_availqty * 100) AS BIGINT)
+                   AS value_cents
+        FROM partsupp ps
+        JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    per_part AS (
+        SELECT ps_partkey, CAST(sum(value_cents) AS BIGINT) AS value_cents
+        FROM natps GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, value_cents
+    FROM per_part
+    WHERE value_cents > (
+        SELECT 2.0 * sum(value_cents) / count(*) FROM per_part
+    )
+    """
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    )
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    natps = (
+        ps.join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "ps_partkey",
+            F.floor(F.col("ps_supplycost") * F.col("ps_availqty") * 100)
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+    per_part = natps.groupBy("ps_partkey").agg(
+        F.sum("value_cents").alias("value_cents")
+    )
+    threshold = per_part.agg(
+        (2.0 * F.sum("value_cents") / F.count("*")).alias("_thr")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("value_cents") > F.col("_thr"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier-relationship count per part attribute. ADAPTED: the
+# fixture supplier has no s_comment, so the "customer complaints"
+# exclusion becomes delinquent accounts (s_acctbal < 0) — same shape: a
+# NOT IN decorrelated to a broadcast anti-join (the excluded set is
+# bounded), then count(DISTINCT supplier) per 3-part key. The distinct
+# aggregate expands map-side (partial distinct) — no row explosion.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps.ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY 1, 2, 3
+    """
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"),
+                "left_anti")
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers with excess stock. ADAPTED: with partsupp derived from
+# all-time shipments, the standard "availqty > half the year's movement"
+# is vacuous (all-time ≥ any year), so the excess predicate becomes
+# all-time > 2× the 1995 movement for pairs that DID ship in 1995 — same
+# shape: a correlated scalar-agg subquery decorrelated into an
+# aggregate-join, an IN → semi-join on the filtered part scan, and a
+# distinct-supplier projection driving the final supplier join.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    shipped95 AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty95
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2
+    ),
+    excess AS (
+        SELECT DISTINCT ps.ps_suppkey
+        FROM partsupp ps
+        JOIN shipped95 s95 ON s95.l_partkey = ps.ps_partkey
+                          AND s95.l_suppkey = ps.ps_suppkey
+        WHERE ps.ps_availqty > 2 * s95.qty95
+          AND ps.ps_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'
+          )
+    )
+    SELECT s.s_name, n.n_name AS nation, round(s.s_acctbal, 4) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN excess e ON s.s_suppkey = e.ps_suppkey
+    WHERE r.r_name = 'ASIA'
+    """
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    li95 = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("s95_partkey"),
+            F.col("l_suppkey").alias("s95_suppkey"),
+        )
+        .agg(F.sum("l_quantity").alias("qty95"))
+    )
+    blue = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    excess = (
+        ps.join(
+            li95,
+            (F.col("ps_partkey") == F.col("s95_partkey"))
+            & (F.col("ps_suppkey") == F.col("s95_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 2 * F.col("qty95"))
+        .join(blue, F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = F.broadcast(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    )
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    return (
+        supp.join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_name", F.col("n_name").alias("nation"),
+            F.round("s_acctbal", 4).alias("s_acctbal"),
+        )
+    )
