@@ -1,0 +1,339 @@
+"""Event-stream analytics roster (engine surface; SURVEY §2.D/§2.E ext).
+
+The reference engine's review dataflow has no longitudinal/event surface;
+these are the per-entity sequence analytics a production deployment runs
+next to it (monitoring, experimentation, drift detection), each expressed
+Spark-first and DuckDB-oracle-checked on the ``events`` fixture.
+
+Cross-engine determinism strategy (shared by every query here):
+
+- monetary doubles are quantized to integer cents with ``floor(x*100+0.5)``
+  BEFORE any aggregation — floor on bit-identical doubles is
+  engine-identical and integer sums are order-independent, so windowed
+  mean/variance/t-statistics are EXACT matches (no round-at-the-boundary
+  risk, unlike round(sum(double), k));
+- sequence recurrences (EWMA, CUSUM) are expressed as an explicit
+  left-to-right fold — Spark ``F.aggregate`` over a
+  ``array_sort(collect_list(struct(ts, event_id, v)))`` array, DuckDB
+  ``list_reduce(list(v ORDER BY ts, event_id), ...)`` — the SAME
+  floating-point op sequence on both engines, so results are
+  bit-identical. Fold init is the first element on both sides
+  (``list_reduce`` has no init parameter).
+
+Scale notes: the fold queries materialize one user's history as an array
+(collect_list cannot partial-combine); that is the right physical plan
+when per-key cardinality is bounded (user sessions, device histories). At
+unbounded per-key history, the EWMA/CUSUM recurrences move to
+``applyInPandasWithState`` (streaming/jobs.py shows the pattern) or a
+chunked prefix-scan; the window/aggregate queries below shuffle once on
+user_id and are size-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from review_engine_spark.plans import declared
+from review_engine_spark.sources.io import read_parquet_table
+
+
+# ---------------------------------------------------------------------------
+# EWMA — exponentially weighted moving average per user, alpha = 0.1.
+# A linear recurrence folded left-to-right over the time-ordered value
+# sequence; init = first observation (the standard pandas `adjust=False`
+# convention).
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> 0.1 * x + 0.9 * acc), 6) AS ewma
+    FROM events
+    GROUP BY user_id
+    """
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s.value,
+    )
+    ewma = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1).cast("double"),
+        lambda acc, x: F.lit(0.1) * x + F.lit(0.9) * acc,
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection — one-sided cumulative-sum statistic per user:
+# acc = max(0, acc + (x - k)) folded over the ordered sequence, k = the
+# global mean value (a 1-row broadcast, D7). A user whose final statistic
+# is large has sustained above-target drift. Max-plus recurrence — a
+# different fold algebra from EWMA's affine one.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH k AS (
+        SELECT CAST(floor(avg(value) * 100 + 0.5) AS BIGINT) / 100.0 AS k
+        FROM events
+    )
+    SELECT e.user_id,
+           round(list_reduce(list_prepend(
+                     0.0, list(e.value - k.k ORDER BY e.ts, e.event_id)),
+                 (acc, x) -> greatest(0.0, acc + x)), 4) AS cusum
+    FROM events e CROSS JOIN k
+    GROUP BY e.user_id, k.k
+    """
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # Quantize the target to cents so both engines fold the exact same
+    # deviation doubles (avg(double) is summation-order-dependent).
+    k = ev.agg(
+        (F.floor(F.avg("value") * 100 + 0.5).cast("long") / 100.0).alias("k")
+    )
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "dev"))),
+        lambda s: s.dev,
+    )
+    cusum = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: F.greatest(F.lit(0.0), acc + x)
+    )
+    return (
+        ev.join(F.broadcast(k))
+        .select("user_id", "ts", "event_id", (F.col("value") - F.col("k")).alias("dev"))
+        .groupBy("user_id")
+        .agg(F.round(cusum, 4).alias("cusum"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomalies — each event scored against the mean/stddev of
+# its user's 20 PRECEDING events (never the current row — no target
+# leakage), flagged at |z| > 2.5 with at least 10 prior observations.
+# Mean and sample variance are assembled from integer-cent window sums
+# ((s2 - s1*mean)/(n-1)) so both engines derive z from identical doubles.
+# One shuffle on user_id; the two window sums share a single WindowExec.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH cents AS (
+        SELECT event_id, user_id, ts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, c,
+               CAST(sum(c) OVER win AS BIGINT) AS s1,
+               CAST(sum(c * c) OVER win AS BIGINT) AS s2,
+               CAST(count(*) OVER win AS BIGINT) AS n
+        FROM cents
+        WINDOW win AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+        )
+    ),
+    z AS (
+        SELECT event_id, user_id,
+               (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE)
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                      / CAST(n - 1 AS DOUBLE)) AS z
+        FROM w
+        WHERE n >= 10
+          AND (CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+              > 0.0
+    )
+    SELECT event_id, user_id, round(z, 3) AS zscore
+    FROM z WHERE abs(z) > 2.5
+    """
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    w = ev.select(
+        "event_id", "user_id", "c",
+        F.sum("c").over(win).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(win).alias("s2"),
+        F.count("*").over(win).alias("n"),
+    )
+    s1d = F.col("s1").cast("double")
+    nd = F.col("n").cast("double")
+    mean = s1d / nd
+    var = (F.col("s2").cast("double") - s1d * mean) / (F.col("n") - 1).cast(
+        "double"
+    )
+    z = (F.col("c").cast("double") - mean) / F.sqrt(var)
+    return (
+        w.filter((F.col("n") >= 10) & (
+            (F.col("s2").cast("double") - s1d * (s1d / nd)) > 0.0
+        ))
+        .select("event_id", "user_id", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "user_id", F.round("z", 3).alias("zscore"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix — first-order event_type transition
+# probabilities from per-user ordered sequences: lead() pairs → count per
+# (from, to) → normalize by the from-state total (exact BIGINT counts, so
+# the probability division is engine-identical). The from-state totals
+# are a tiny aggregate joined back (5 event types — broadcast at any
+# scale); the only corpus-scaled shuffle is the user_id window.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY 1
+    )
+    SELECT c.from_type, c.to_type, c.n,
+           round(CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS prob
+    FROM cnt c JOIN tot t USING (from_type)
+    """
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return (
+        cnt.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            F.round(
+                F.col("n").cast("double") / F.col("t").cast("double"), 6
+            ).alias("prob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test — A/B experiment readout: users split by id parity,
+# purchase-value means compared with the unequal-variance t statistic.
+# Group moments come from integer-cent sums (exact on both engines), so
+# the t statistic is a deterministic double. Everything reduces to ONE
+# 2-row aggregate pivoted into a single row — at 100 TB this is a
+# map-side-combined scan, no shuffle beyond the 2-key exchange.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH g AS (
+        SELECT user_id % 2 AS grp,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+        FROM g GROUP BY grp
+    ),
+    p AS (
+        SELECT
+            max(CASE WHEN grp = 0 THEN n END) AS n_a,
+            max(CASE WHEN grp = 1 THEN n END) AS n_b,
+            max(CASE WHEN grp = 0 THEN s1 END) AS s1_a,
+            max(CASE WHEN grp = 1 THEN s1 END) AS s1_b,
+            max(CASE WHEN grp = 0 THEN s2 END) AS s2_a,
+            max(CASE WHEN grp = 1 THEN s2 END) AS s2_b
+        FROM m
+    )
+    SELECT n_a, n_b,
+           round(CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0, 4)
+               AS mean_a,
+           round(CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0, 4)
+               AS mean_b,
+           round(
+             (CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt(
+                 ((CAST(s2_a AS DOUBLE)
+                   - CAST(s1_a AS DOUBLE)
+                     * (CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+                  / CAST(n_a - 1 AS DOUBLE)) / CAST(n_a AS DOUBLE)
+                 + ((CAST(s2_b AS DOUBLE)
+                     - CAST(s1_b AS DOUBLE)
+                       * (CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                    / CAST(n_b - 1 AS DOUBLE)) / CAST(n_b AS DOUBLE)),
+             4) AS t_stat
+    FROM p
+    """
+)
+def q_abtest_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        read_parquet_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (F.col("user_id") % 2).alias("grp"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+        )
+    )
+    m = g.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    p = m.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 0, F.col("s1"))).alias("s1_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("s1"))).alias("s1_b"),
+        F.max(F.when(F.col("grp") == 0, F.col("s2"))).alias("s2_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("s2"))).alias("s2_b"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    mean_a, mean_b = d("s1_a") / d("n_a"), d("s1_b") / d("n_b")
+    var_a = (d("s2_a") - d("s1_a") * (d("s1_a") / d("n_a"))) / (
+        F.col("n_a") - 1
+    ).cast("double")
+    var_b = (d("s2_b") - d("s1_b") * (d("s1_b") / d("n_b"))) / (
+        F.col("n_b") - 1
+    ).cast("double")
+    t = (mean_a - mean_b) / F.sqrt(var_a / d("n_a") + var_b / d("n_b"))
+    return p.select(
+        "n_a", "n_b",
+        F.round(mean_a / 100.0, 4).alias("mean_a"),
+        F.round(mean_b / 100.0, 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+    )
