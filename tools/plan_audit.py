@@ -232,6 +232,44 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
         (True, r"TakeOrderedAndProject", "top-100 never globally sorts"),
         (False, r"CartesianProduct", "joins stay equi-keyed"),
     ],
+    "q_tpch_q2": [
+        (True, r"BroadcastHashJoin", "nation/region dims broadcast"),
+        (True, r"TakeOrderedAndProject", "top-100 never globally sorts"),
+        (False, r"CartesianProduct", "min-cost match joins back on (partkey, cost)"),
+    ],
+    "q_tpch_q11": [
+        (True, r"BroadcastNestedLoopJoin|BroadcastExchange", "1-row threshold broadcasts back"),
+        (False, r"CartesianProduct", "scalar threshold is a broadcast, not a product"),
+        (False, r"Window", "per-part sums are hash aggregates, not windows"),
+    ],
+    "q_tpch_q16": [
+        (True, r"LeftAnti", "NOT IN(excluded suppliers) is a broadcast anti-join"),
+        (True, r"partial_", "distinct-supplier count partial-aggregates map-side"),
+    ],
+    "q_tpch_q20": [
+        (True, r"LeftSemi", "IN-subqueries decorrelate to semi-joins"),
+        (False, r"CartesianProduct", "excess-stock predicate rides the (part,supp) equi-join"),
+    ],
+    "q_ewma": [
+        (False, r"CartesianProduct", "per-user fold needs only the user_id exchange"),
+        (False, r"Window", "fold is an array aggregate, not a window scan"),
+    ],
+    "q_cusum": [
+        (True, r"BroadcastNestedLoopJoin|BroadcastExchange", "1-row CUSUM target broadcasts back"),
+        (False, r"CartesianProduct", "target join is a broadcast, not a product"),
+    ],
+    "q_anomaly_zscore": [
+        (False, r"CartesianProduct", "window stats need only the user_id exchange"),
+        (False, r"Exchange SinglePartition", "no global single-partition stage"),
+    ],
+    "q_markov_transitions": [
+        (True, r"BroadcastHashJoin", "from-state totals broadcast (5 keys)"),
+        (False, r"CartesianProduct", "normalization joins on from_type"),
+    ],
+    "q_abtest_ttest": [
+        (True, r"partial_", "group moments partial-aggregate map-side"),
+        (False, r"CartesianProduct", "no cartesian product"),
+    ],
     "q_tpch_q19": [
         (True, r"PushedFilters: \[[^\]]*p_brand|PushedFilters: \[[^\]]*Or",
          "disjunctive brand/size predicate pushes into the part scan"),
