@@ -1105,8 +1105,9 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q16 — supplier-relationship count per part attribute. ADAPTED: the
 # fixture supplier has no s_comment, so the "customer complaints"
 # exclusion becomes delinquent accounts (s_acctbal < 0) — same shape: a
-# NOT IN decorrelated to a broadcast anti-join (the excluded set is
-# bounded), then count(DISTINCT supplier) per 3-part key. The distinct
+# NOT IN decorrelated to an anti-join whose build side scales with the
+# supplier table, so AQE chooses the strategy from its actual
+# post-filter size, then count(DISTINCT supplier) per 3-part key. The distinct
 # aggregate expands map-side (partial distinct) — no row explosion.
 # ---------------------------------------------------------------------------
 @declared(
@@ -1139,9 +1140,11 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
+    # The excluded-supplier side scales with the supplier table, so the
+    # broadcast decision is left to AQE (actual post-filter size), per the
+    # repo rule: only provably bounded builds are pinned broadcast.
     return (
-        ps.join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"),
-                "left_anti")
+        ps.join(bad, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(part, F.col("ps_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").cast("long").alias("supplier_cnt"))

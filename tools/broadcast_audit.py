@@ -82,6 +82,9 @@ WHITELIST: dict[str, str] = {
     "q_pmi_bigrams": "1-row corpus totals",
     "q_tfidf": "1-row doc-count aggregate",
     "q_text_stats": "1-row corpus totals",
+    "q_tpch_q11": "1-row importance-threshold aggregate",
+    "q_cusum": "1-row CUSUM target (quantized global mean)",
+    "q_markov_transitions": "per-event-type totals (bounded type domain)",
     "q_histogram": "1-row min/max bounds",
     "q_data_profile": "single-scan profile rows (|columns|-bounded)",
     "q_zorder_key": "1-row global bounds",
