@@ -337,3 +337,62 @@ def q_abtest_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_b / 100.0, 4).alias("mean_b"),
         F.round(t, 4).alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score interval — the experiment-dashboard companion to the
+# t-test: per event type, the share of "converting" events (value > 5)
+# with a 95% Wilson CI. Derived entirely from exact BIGINT counts, so
+# the interval bounds are deterministic doubles on both engines; the
+# whole query is one map-side-combined aggregate over the scan.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE value > 5.0) AS BIGINT) AS s
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, s,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+           round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                  + 1.9208 / CAST(n AS DOUBLE)
+                  - 1.96 * sqrt(
+                      (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + 0.9604 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                 / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS ci_lo,
+           round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                  + 1.9208 / CAST(n AS DOUBLE)
+                  + 1.96 * sqrt(
+                      (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + 0.9604 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                 / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS ci_hi
+    FROM m
+    """
+)
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        read_parquet_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("value") > 5.0, 1)).alias("s"),
+        )
+    )
+    nd, sd = F.col("n").cast("double"), F.col("s").cast("double")
+    p = sd / nd
+    # z = 1.96; z^2 = 3.8416; z^2/2 = 1.9208; z^4/4 = 0.9604 — spelled as
+    # the same literals as the oracle so both engines fold identically.
+    half = 1.96 * F.sqrt(p * (1.0 - p) / nd + 0.9604 / (nd * nd))
+    denom = 1.0 + 3.8416 / nd
+    return m.select(
+        "event_type", "n", "s",
+        F.round(p, 6).alias("p_hat"),
+        F.round((p + 1.9208 / nd - half) / denom, 6).alias("ci_lo"),
+        F.round((p + 1.9208 / nd + half) / denom, 6).alias("ci_hi"),
+    )

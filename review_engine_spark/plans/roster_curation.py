@@ -512,3 +512,83 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.join(
         F.broadcast(contaminated), "doc_id", "left_anti"
     ).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram training pairs — the (center, context) co-occurrence pairs
+# that seed word2vec-style embedding training, window ±2. Positions come
+# from posexplode (array order, no re-tokenization), and contexts from
+# lead/lag windows within the doc — NO self-join on position ranges, so
+# the only shuffle is the per-doc window sort and the final pair count
+# (both map-side combinable). At 100 TB the window partitions by doc_id —
+# perfectly parallel; the pair-count aggregate carries (term, term)
+# 8-byte-ish keys. Counts are exact BIGINTs; min-count 5 mirrors the
+# word2vec default.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS term,
+               generate_subscripts(list_filter(
+                   string_split_regex(lower(text), '\s+'), t -> t <> ''), 1)
+                   AS pos
+        FROM documents
+    ),
+    ctx AS (
+        SELECT term AS center,
+               lag(term, 2)  OVER w AS c_m2,
+               lag(term, 1)  OVER w AS c_m1,
+               lead(term, 1) OVER w AS c_p1,
+               lead(term, 2) OVER w AS c_p2
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    pairs AS (
+        SELECT center, c_m2 AS context FROM ctx WHERE c_m2 IS NOT NULL
+        UNION ALL
+        SELECT center, c_m1 FROM ctx WHERE c_m1 IS NOT NULL
+        UNION ALL
+        SELECT center, c_p1 FROM ctx WHERE c_p1 IS NOT NULL
+        UNION ALL
+        SELECT center, c_p2 FROM ctx WHERE c_p2 IS NOT NULL
+    )
+    SELECT center, context, CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY center, context
+    HAVING count(*) >= 5
+    """
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks_arr = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(toks_arr).alias("pos", "term")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ctx = toks.select(
+        F.col("term").alias("center"),
+        F.lag("term", 2).over(w).alias("c_m2"),
+        F.lag("term", 1).over(w).alias("c_m1"),
+        F.lead("term", 1).over(w).alias("c_p1"),
+        F.lead("term", 2).over(w).alias("c_p2"),
+    )
+    pairs = ctx.select(
+        "center",
+        F.explode(
+            F.filter(
+                F.array("c_m2", "c_m1", "c_p1", "c_p2"),
+                lambda c: c.isNotNull(),
+            )
+        ).alias("context"),
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )

@@ -496,3 +496,166 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership — the classic pre-join pruning sketch, its bit
+# algebra oracle-proven end to end. Per source, a 64-word × 62-bit bloom
+# (3968 positions, 2 md5-derived probes per document fingerprint) is
+# built with bit_or aggregates; a probe set of 20 present + 20 absent
+# fingerprints is then tested against every source's filter, reported
+# next to exact membership so false positives are visible in the result.
+#
+# Determinism: md5 is bit-identical across engines; positions use a
+# 60-bit (15 hex digit) prefix so the BIGINT is always positive and `%`
+# agrees; 62 bits per word keeps every shift below the sign bit. Scale:
+# the per-source filter is ≤ 64 rows × |sources| after aggregation —
+# a broadcast by construction (this is exactly how a bloom prunes a
+# 100 TB join: build tiny, ship everywhere, probe map-side).
+# ---------------------------------------------------------------------------
+
+BLOOM_WORDS = 64
+BLOOM_BITS_PER_WORD = 62
+BLOOM_M = BLOOM_WORDS * BLOOM_BITS_PER_WORD
+BLOOM_PROBES = 20
+
+
+def _bloom_pos_sql(j: int, fp: str) -> str:
+    return (
+        f"try_cast('0x' || substr(md5('{j}|' || {fp}), 1, 15) AS BIGINT)"
+        f" % {BLOOM_M}"
+    )
+
+
+def _bloom_pos_col(j: int, fp) -> "F.Column":
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}|"), fp)), 1, 15), 16, 10)
+        .cast("long") % BLOOM_M
+    )
+
+
+@declared(
+    oracle=f"""
+    WITH fps AS (
+        SELECT source, md5(text) AS fp FROM documents
+    ),
+    build AS (
+        SELECT source, fp, pos // {BLOOM_BITS_PER_WORD} AS word,
+               CAST(1 AS BIGINT) << (pos % {BLOOM_BITS_PER_WORD}) AS mask
+        FROM (
+            SELECT source, fp, {_bloom_pos_sql(0, 'fp')} AS pos FROM fps
+            UNION ALL
+            SELECT source, fp, {_bloom_pos_sql(1, 'fp')} AS pos FROM fps
+        )
+    ),
+    bloom AS (
+        SELECT source, word, CAST(bit_or(mask) AS BIGINT) AS bits
+        FROM build GROUP BY source, word
+    ),
+    probes AS (
+        SELECT doc_id AS probe_id, md5(text) AS fp
+        FROM documents WHERE doc_id < {BLOOM_PROBES}
+        UNION ALL
+        SELECT {BLOOM_PROBES * 1000} + i AS probe_id,
+               md5('missing|' || CAST(i AS VARCHAR)) AS fp
+        FROM range({BLOOM_PROBES}) t(i)
+    ),
+    probe_bits AS (
+        SELECT p.probe_id, p.fp, s.source,
+               pp.pos // {BLOOM_BITS_PER_WORD} AS word,
+               CAST(1 AS BIGINT) << (pp.pos % {BLOOM_BITS_PER_WORD}) AS mask
+        FROM probes p
+        CROSS JOIN (SELECT DISTINCT source FROM documents) s
+        CROSS JOIN LATERAL (
+            SELECT {_bloom_pos_sql(0, 'p.fp')} AS pos
+            UNION ALL
+            SELECT {_bloom_pos_sql(1, 'p.fp')} AS pos
+        ) pp
+    ),
+    hits AS (
+        SELECT pb.probe_id, pb.fp, pb.source,
+               bool_and(b.bits IS NOT NULL
+                        AND (b.bits & pb.mask) <> 0) AS bloom_hit
+        FROM probe_bits pb
+        LEFT JOIN bloom b ON b.source = pb.source AND b.word = pb.word
+        GROUP BY pb.probe_id, pb.fp, pb.source
+    )
+    SELECT h.probe_id, h.source, h.bloom_hit,
+           EXISTS (
+               SELECT 1 FROM fps f
+               WHERE f.source = h.source AND f.fp = h.fp
+           ) AS actual_in
+    FROM hits h
+    """
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    fps = docs.select("source", F.md5("text").alias("fp"))
+
+    def positions(df, fp_col):
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    _bloom_pos_col(0, F.col(fp_col)),
+                    _bloom_pos_col(1, F.col(fp_col)),
+                )
+            ).alias("pos"),
+        ).select(
+            "*",
+            (F.col("pos") / BLOOM_BITS_PER_WORD).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {BLOOM_BITS_PER_WORD} AS INT))"
+            ).alias("mask"),
+        )
+
+    bloom = (
+        positions(fps, "fp")
+        .groupBy("source", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    present = docs.filter(F.col("doc_id") < BLOOM_PROBES).select(
+        F.col("doc_id").alias("probe_id"), F.md5("text").alias("fp")
+    )
+    absent = spark.range(BLOOM_PROBES).select(
+        (F.lit(BLOOM_PROBES * 1000) + F.col("id")).alias("probe_id"),
+        F.md5(F.concat(F.lit("missing|"), F.col("id").cast("string"))).alias(
+            "fp"
+        ),
+    )
+    probes = present.unionByName(absent)
+    sources = docs.select("source").distinct()
+    probe_bits = positions(probes.crossJoin(F.broadcast(sources)), "fp")
+    hits = (
+        probe_bits.join(
+            F.broadcast(bloom).withColumnRenamed("source", "b_source"),
+            (F.col("b_source") == F.col("source"))
+            & (bloom["word"] == probe_bits["word"]),
+            "left",
+        )
+        .groupBy("probe_id", "fp", "source")
+        .agg(
+            F.bool_and(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("mask")) != 0)
+            ).alias("bloom_hit")
+        )
+    )
+    actual = fps.distinct().select(
+        F.col("source").alias("a_source"), F.col("fp").alias("a_fp"),
+        F.lit(True).alias("actual_in"),
+    )
+    return (
+        hits.join(
+            actual,
+            (F.col("a_source") == F.col("source"))
+            & (F.col("a_fp") == F.col("fp")),
+            "left",
+        )
+        .select(
+            "probe_id", "source",
+            "bloom_hit",
+            F.coalesce("actual_in", F.lit(False)).alias("actual_in"),
+        )
+    )
