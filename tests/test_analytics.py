@@ -1,0 +1,79 @@
+"""Independent-reference checks for the event-analytics roster.
+
+The DuckDB oracles prove cross-engine agreement; these tests prove the
+SEMANTICS against third implementations: pandas ``ewm(adjust=False)``
+for the EWMA fold, a pure-Python recurrence for CUSUM, a hand-rolled
+Welch t-test, and exact set logic for the bloom filter's one-sided
+error guarantee (no false negatives ever).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from review_engine_spark.plans.roster_analytics import (
+    q_abtest_ttest,
+    q_cusum,
+    q_ewma,
+)
+from review_engine_spark.plans.roster_retrieval import q_bloom_membership
+from review_engine_spark.sources.io import read_parquet_table
+
+
+def _events_pdf(spark, sf_dir):
+    return (
+        read_parquet_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+
+
+def test_ewma_matches_pandas_ewm(spark, sf_dir):
+    got = {r["user_id"]: r["ewma"] for r in q_ewma(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    for uid, grp in pdf.groupby("user_id"):
+        want = grp["value"].ewm(alpha=0.1, adjust=False).mean().iloc[-1]
+        assert got[uid] == pytest.approx(want, abs=1e-6), uid
+
+
+def test_cusum_matches_python_recurrence(spark, sf_dir):
+    got = {r["user_id"]: r["cusum"] for r in q_cusum(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    k = math.floor(pdf["value"].mean() * 100 + 0.5) / 100.0
+    for uid, grp in pdf.groupby("user_id"):
+        acc = 0.0
+        for v in grp["value"]:
+            acc = max(0.0, acc + (v - k))
+        assert got[uid] == pytest.approx(acc, abs=1e-4), uid
+
+
+def test_ttest_matches_hand_welch(spark, sf_dir):
+    row = q_abtest_ttest(spark, sf_dir).collect()[0]
+    pdf = _events_pdf(spark, sf_dir)
+    p = pdf[pdf["event_type"] == "purchase"].copy()
+    p["c"] = (p["value"] * 100 + 0.5).apply(math.floor) / 100.0
+    a = p[p["user_id"] % 2 == 0]["c"]
+    b = p[p["user_id"] % 2 == 1]["c"]
+    t = (a.mean() - b.mean()) / math.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert row["t_stat"] == pytest.approx(t, abs=1e-3)
+
+
+def test_bloom_never_false_negative(spark, sf_dir):
+    rows = q_bloom_membership(spark, sf_dir).collect()
+    assert rows, "probe set must be non-empty"
+    # One-sided guarantee: every actually-present (probe, source) pair
+    # must be a bloom hit; misses may only occur on absent pairs.
+    for r in rows:
+        if r["actual_in"]:
+            assert r["bloom_hit"], (r["probe_id"], r["source"])
+    # The absent synthetic probes exist and at least one is correctly
+    # rejected somewhere (the filter is not saturated).
+    absent = [r for r in rows if r["probe_id"] >= 20000]
+    assert absent and any(not r["bloom_hit"] for r in absent)
