@@ -396,3 +396,34 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((p + 1.9208 / nd - half) / denom, 6).alias("ci_lo"),
         F.round((p + 1.9208 / nd + half) / denom, 6).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA — the same recurrence as q_ewma computed with REAL
+# cross-batch GroupState (applyInPandasWithState): per-user state is one
+# (acc, n) pair however long the history, which is why this is the
+# declared unbounded-history path. Oracle-checked against the identical
+# list_reduce SQL as the batch fold — stream-batch parity is the check.
+# Update-mode emits provisional rows per batch; the widest (max
+# n_events) row per user is final.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> 0.1 * x + 0.9 * acc), 6) AS ewma
+    FROM events
+    GROUP BY user_id
+    """
+)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from review_engine_spark.streaming.jobs import run_ewma_stateful
+
+    raw = run_ewma_stateful(spark, sf_dir, alpha=0.1)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
+    )

@@ -489,3 +489,73 @@ def run_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(120)
     out = spark.read.parquet(f"{target_dir}/v={state['version']}")
     return spark.createDataFrame(out.toPandas(), out.schema)
+
+
+def run_ewma_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.1,
+    path_glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming EWMA via ``applyInPandasWithState`` — the unbounded-
+    history path the batch fold (plans/roster_analytics.q_ewma) documents:
+    per-user state is ONE (ewma, n) pair regardless of history length, so
+    a stream that never ends stays O(1) per key where collect_list would
+    grow without bound.
+
+    Exactness: the Python fold ``alpha*x + (1-alpha)*acc`` performs the
+    identical IEEE-double op sequence as the batch ``F.aggregate`` lambda
+    and the DuckDB ``list_reduce`` oracle, so all three agree
+    bit-for-bit (pinned in tests/test_analytics.py). Update-mode emits a
+    provisional (user_id, n_events, ewma) row per batch; the row with the
+    largest n_events per user is final. Same in-order-arrival horizon as
+    run_sessionize_stateful.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, ewma double"
+    state_schema = "acc double, n long"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            acc, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "ewma": [acc]}
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            acc, n = state.get
+        else:
+            acc, n = None, 0
+        for v in rows["value"]:
+            x = float(v)
+            acc = x if acc is None else alpha * x + (1.0 - alpha) * acc
+            n += 1
+        state.update((acc, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [acc]}
+        )
+
+    stream = _events_stream(
+        spark, sf_dir, path_glob=path_glob, max_files_per_trigger=max_files_per_trigger
+    ).select("user_id", "ts", "event_id", "value")
+    ewma = stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    name = "ewma_stateful_out"
+    with _state_partitions(spark, 8), tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            ewma.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    out = spark.table(name)
+    return spark.createDataFrame(out.toPandas(), out.schema)

@@ -77,3 +77,51 @@ def test_bloom_never_false_negative(spark, sf_dir):
     # rejected somewhere (the filter is not saturated).
     absent = [r for r in rows if r["probe_id"] >= 20000]
     assert absent and any(not r["bloom_hit"] for r in absent)
+
+
+def test_stream_ewma_crosses_batches_and_matches_batch_fold(spark, tmp_path):
+    """Two time-ordered files driven one-per-trigger: the EWMA state must
+    carry across micro-batches and the final value must equal the batch
+    recurrence over the concatenated history."""
+    from review_engine_spark.streaming.jobs import run_ewma_stateful
+
+    base = pd.Timestamp("2024-01-01")
+    vals_a, vals_b = [10.0, 20.0, 30.0], [40.0, 50.0]
+
+    def write(vals, start_id, name):
+        pd.DataFrame(
+            {
+                "event_id": range(start_id, start_id + len(vals)),
+                "ts": [
+                    base + pd.Timedelta(minutes=start_id + i)
+                    for i in range(len(vals))
+                ],
+                "user_id": 1,
+                "event_type": "view",
+                "value": vals,
+                "props": "{}",
+            }
+        ).to_parquet(tmp_path / name)
+
+    import time as _time
+
+    write(vals_a, 0, "a_events.parquet")
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    write(vals_b, 10, "b_events.parquet")
+
+    raw = run_ewma_stateful(
+        spark,
+        str(tmp_path),
+        alpha=0.1,
+        path_glob="*_events.parquet",
+        max_files_per_trigger=1,
+    ).toPandas()
+
+    # provisional rows from both batches prove two triggers ran
+    assert len(raw) == 2 and set(raw["n_events"]) == {3, 5}
+
+    acc = None
+    for v in vals_a + vals_b:
+        acc = v if acc is None else 0.1 * v + 0.9 * acc
+    final = raw.sort_values("n_events").iloc[-1]
+    assert final["ewma"] == acc  # bit-exact: same IEEE op sequence

@@ -37,6 +37,12 @@ KEY_COLS = {
     "part": ["p_partkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    # Non-TPC-H fact tables, replicated the same way when stressing the
+    # event/document rosters: shifting user_id / doc_id per copy keeps
+    # per-entity history length constant, so the experiment measures
+    # parallel-shard scaling (the 100 TB shape), not per-key growth.
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
 }
 STRIDE = 10_000_000
 
@@ -80,9 +86,9 @@ def main() -> int:
         else:
             scaled = base  # dims shared across copies (broadcast at any K)
         scaled.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
-    # events/documents/embeddings aren't used by the TPC-H suite; symlink
-    # reads to the originals so read_parquet_table still resolves them.
-    for name in ("events", "documents", "embeddings"):
+    # embeddings aren't used by any stressed roster; symlink reads to the
+    # original so read_parquet_table still resolves it.
+    for name in ("embeddings",):
         Path(f"{out_dir}/{name}.parquet").symlink_to(f"{SF_DIR}/{name}.parquet")
 
     import __spark_entry__ as entrymod
@@ -90,7 +96,7 @@ def main() -> int:
     qs = {
         n: fn
         for n, fn in entrymod.queries().items()
-        if n.startswith("q_tpch_") and (not wanted or n in wanted)
+        if (n in wanted if wanted else n.startswith("q_tpch_"))
     }
     print(f"# {len(qs)} queries, input ratio {k}x on fact tables")
     rows = []
