@@ -427,3 +427,124 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index — the standard training-data drift readout:
+# value distributions of the first vs second half of the event history
+# across 10 fixed-width buckets, PSI = Σ (p_a - p_b) · ln(p_a / p_b).
+# Counts are exact BIGINTs and the bucket domain is fixed (10 rows), so
+# the whole query is one map-side-combined aggregate + a 10-row compute;
+# only ln() touches libm (engines agree far beyond the 6dp rounding).
+# Laplace-style +1 smoothing keeps empty buckets finite AND deterministic.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH b AS (
+        SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS half
+        FROM events
+    ),
+    c AS (
+        SELECT bucket,
+               CAST(1 + count(*) FILTER (WHERE half = 0) AS BIGINT) AS n_a,
+               CAST(1 + count(*) FILTER (WHERE half = 1) AS BIGINT) AS n_b
+        FROM b GROUP BY bucket
+    ),
+    t AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS t_a, CAST(sum(n_b) AS BIGINT) AS t_b
+        FROM c
+    )
+    SELECT c.bucket, c.n_a, c.n_b,
+           round((CAST(c.n_a AS DOUBLE) / CAST(t.t_a AS DOUBLE)
+                  - CAST(c.n_b AS DOUBLE) / CAST(t.t_b AS DOUBLE))
+                 * ln((CAST(c.n_a AS DOUBLE) / CAST(t.t_a AS DOUBLE))
+                      / (CAST(c.n_b AS DOUBLE) / CAST(t.t_b AS DOUBLE))),
+                 6) AS psi_term
+    FROM c CROSS JOIN t
+    """
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("long"), F.lit(9).cast("long")
+        ).alias("bucket"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0
+        ).otherwise(1).alias("half"),
+    )
+    c = ev.groupBy("bucket").agg(
+        (1 + F.count(F.when(F.col("half") == 0, 1))).alias("n_a"),
+        (1 + F.count(F.when(F.col("half") == 1, 1))).alias("n_b"),
+    )
+    t = c.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
+    pa = F.col("n_a").cast("double") / F.col("t_a").cast("double")
+    pb = F.col("n_b").cast("double") / F.col("t_b").cast("double")
+    return (
+        c.join(F.broadcast(t))
+        .select(
+            "bucket", "n_a", "n_b",
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence — is event_type independent of the experiment
+# arm (user parity)? Observed/expected from exact BIGINT marginals,
+# chi² = Σ (O − E)²/E — no libm anywhere, so every cell statistic is a
+# deterministic double. One aggregate over the scan; the contingency
+# table is |types| × 2 rows (bounded domain, broadcast marginals).
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH o AS (
+        SELECT event_type, user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS obs
+        FROM events GROUP BY 1, 2
+    ),
+    rm AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_tot FROM o GROUP BY 1),
+    cm AS (SELECT arm, CAST(sum(obs) AS BIGINT) AS col_tot FROM o GROUP BY 1),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o)
+    SELECT o.event_type, o.arm, o.obs,
+           round(CAST(rm.row_tot AS DOUBLE) * CAST(cm.col_tot AS DOUBLE)
+                 / CAST(n.n AS DOUBLE), 6) AS expected,
+           round(
+             (CAST(o.obs AS DOUBLE)
+              - CAST(rm.row_tot AS DOUBLE) * CAST(cm.col_tot AS DOUBLE)
+                / CAST(n.n AS DOUBLE))
+             * (CAST(o.obs AS DOUBLE)
+                - CAST(rm.row_tot AS DOUBLE) * CAST(cm.col_tot AS DOUBLE)
+                  / CAST(n.n AS DOUBLE))
+             / (CAST(rm.row_tot AS DOUBLE) * CAST(cm.col_tot AS DOUBLE)
+                / CAST(n.n AS DOUBLE)), 6) AS chi2_term
+    FROM o
+    JOIN rm USING (event_type)
+    JOIN cm USING (arm)
+    CROSS JOIN n
+    """
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        read_parquet_table(spark, sf_dir, "events")
+        .groupBy("event_type", (F.col("user_id") % 2).alias("arm"))
+        .agg(F.count("*").alias("obs"))
+    )
+    rm = o.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    cm = o.groupBy("arm").agg(F.sum("obs").alias("col_tot"))
+    n = o.agg(F.sum("obs").alias("n"))
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    od = F.col("obs").cast("double")
+    return (
+        o.join(F.broadcast(rm), "event_type")
+        .join(F.broadcast(cm), "arm")
+        .join(F.broadcast(n))
+        .select(
+            "event_type", "arm", "obs",
+            F.round(e, 6).alias("expected"),
+            F.round((od - e) * (od - e) / e, 6).alias("chi2_term"),
+        )
+    )
