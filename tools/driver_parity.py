@@ -32,6 +32,7 @@ TABLES = [
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-parity")
@@ -50,6 +51,8 @@ def main() -> int:
     n_pass = n_fail = 0
     fails: list[tuple[str, str]] = []
     for name, orc in oracles.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             sc_, sr = c.canon_rows(qs[name](spark, sf_dir).toPandas())
