@@ -270,6 +270,26 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
         (True, r"partial_", "group moments partial-aggregate map-side"),
         (False, r"CartesianProduct", "no cartesian product"),
     ],
+    "q_wilson_ci": [
+        (True, r"partial_", "counts partial-aggregate map-side"),
+        (False, r"Exchange SinglePartition", "no global single-partition stage"),
+    ],
+    "q_psi_drift": [
+        (True, r"partial_", "bucket counts partial-aggregate map-side"),
+        (True, r"BroadcastNestedLoopJoin|BroadcastExchange", "bucket totals broadcast back"),
+    ],
+    "q_chi2_independence": [
+        (True, r"BroadcastHashJoin", "marginals broadcast (bounded domains)"),
+        (False, r"CartesianProduct", "expected counts join on their keys"),
+    ],
+    "q_skipgram_pairs": [
+        (False, r"SortMergeJoin|CartesianProduct", "contexts come from lead/lag windows, not a position self-join"),
+        (True, r"partial_count", "pair counts collapse map-side"),
+    ],
+    "q_bloom_membership": [
+        (True, r"BroadcastHashJoin", "the ≤64·|sources|-row filter broadcasts"),
+        (False, r"SortMergeJoin", "probe never shuffles the corpus"),
+    ],
     "q_tpch_q19": [
         (True, r"PushedFilters: \[[^\]]*p_brand|PushedFilters: \[[^\]]*Or",
          "disjunctive brand/size predicate pushes into the part scan"),
