@@ -125,3 +125,91 @@ def test_stream_ewma_crosses_batches_and_matches_batch_fold(spark, tmp_path):
         acc = v if acc is None else 0.1 * v + 0.9 * acc
     final = raw.sort_values("n_events").iloc[-1]
     assert final["ewma"] == acc  # bit-exact: same IEEE op sequence
+
+
+def test_fold_determinism_property_spark_vs_duckdb(spark):
+    """Property: for ARBITRARY float histories, the Spark F.aggregate fold
+    and DuckDB list_reduce produce the identical double (same IEEE op
+    sequence) — the doctrine behind q_ewma/q_cusum/q_stream_ewma, proven
+    beyond the fixture corpus."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    vals = st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False, width=64,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(vals)
+    def prop(xs):
+        df = spark.createDataFrame(
+            [(i, float(x)) for i, x in enumerate(xs)], "i long, v double"
+        )
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "v"))), lambda s: s.v
+        )
+        ewma = F.aggregate(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.element_at(arr, 1).cast("double"),
+            lambda acc, x: F.lit(0.1) * x + F.lit(0.9) * acc,
+        )
+        got = df.agg(ewma.alias("e")).collect()[0]["e"]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (i BIGINT, v DOUBLE)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)", list(enumerate(map(float, xs)))
+        )
+        want = con.execute(
+            "SELECT list_reduce(list(v ORDER BY i),"
+            " (acc, x) -> 0.1 * x + 0.9 * acc) FROM t"
+        ).fetchone()[0]
+        assert got == want, (xs, got, want)  # bit-exact, no tolerance
+
+    prop()
+
+
+def test_cent_quantization_property_spark_vs_duckdb(spark):
+    """Property: floor(x*100 + 0.5) cent quantization is engine-identical
+    for arbitrary doubles — the exact-moments doctrine behind
+    q_anomaly_zscore / q_abtest_ttest / q_tpch_q11."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e7, max_value=1e7,
+                allow_nan=False, allow_infinity=False, width=64,
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def prop(xs):
+        df = spark.createDataFrame([(float(x),) for x in xs], "v double")
+        got = sorted(
+            r["c"]
+            for r in df.select(
+                F.floor(F.col("v") * 100 + 0.5).cast("long").alias("c")
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (v DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(float(x),) for x in xs])
+        want = sorted(
+            r[0]
+            for r in con.execute(
+                "SELECT CAST(floor(v * 100 + 0.5) AS BIGINT) FROM t"
+            ).fetchall()
+        )
+        assert got == want
+
+    prop()
