@@ -548,3 +548,147 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((od - e) * (od - e) / e, 6).alias("chi2_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov — the distribution-free partner to the
+# t-test: D = max over the value axis of |ECDF_a − ECDF_b| between the
+# two experiment arms. Everything reduces to exact-int cumulative counts
+# over the CENT DOMAIN (≤ ~50k distinct cents whatever the corpus size):
+# the global cumulative window runs over the per-cent aggregate, which
+# is bounded by the value domain, not the row count — the same
+# "aggregate first, then the tiny ordered pass" shape as a histogram
+# ECDF at 100 TB. The (desc diff, asc cent) LIMIT 1 makes the argmax
+# deterministic under ties.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH g AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+               user_id % 2 AS arm
+        FROM events WHERE event_type = 'purchase'
+    ),
+    per_c AS (
+        SELECT c,
+               CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b
+        FROM g GROUP BY c
+    ),
+    t AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS t_a, CAST(sum(n_b) AS BIGINT) AS t_b
+        FROM per_c
+    ),
+    ecdf AS (
+        SELECT c,
+               CAST(sum(n_a) OVER (ORDER BY c) AS BIGINT) AS cum_a,
+               CAST(sum(n_b) OVER (ORDER BY c) AS BIGINT) AS cum_b
+        FROM per_c
+    )
+    SELECT e.c AS at_cents,
+           abs(CAST(e.cum_a AS DOUBLE) / CAST(t.t_a AS DOUBLE)
+               - CAST(e.cum_b AS DOUBLE) / CAST(t.t_b AS DOUBLE)) AS ks_stat
+    FROM ecdf e CROSS JOIN t
+    ORDER BY ks_stat DESC, at_cents ASC
+    LIMIT 1
+    """
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        read_parquet_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+            (F.col("user_id") % 2).alias("arm"),
+        )
+    )
+    per_c = g.groupBy("c").agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n_b"),
+    )
+    t = per_c.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)  # bounded: cent-domain aggregate, not corpus rows
+    ecdf = per_c.select(
+        "c",
+        F.sum("n_a").over(w).alias("cum_a"),
+        F.sum("n_b").over(w).alias("cum_b"),
+    )
+    ks = F.abs(
+        F.col("cum_a").cast("double") / F.col("t_a").cast("double")
+        - F.col("cum_b").cast("double") / F.col("t_b").cast("double")
+    )
+    return (
+        ecdf.join(F.broadcast(t))
+        .select(F.col("c").alias("at_cents"), ks.alias("ks_stat"))
+        .orderBy(F.desc("ks_stat"), F.asc("at_cents"))
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the classic fabricated-data smell test:
+# observed first-significant-digit shares vs Benford's log10(1 + 1/d),
+# with the expected probabilities as HARDCODED literals (identical on
+# both engines — no libm in the query at all). The first digit comes
+# from the integer-cent value via string head, so extraction is exact.
+# One map-side aggregate; the digit domain is 9 rows.
+# ---------------------------------------------------------------------------
+_BENFORD = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+@declared(
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM events
+        WHERE floor(value * 100 + 0.5) >= 1
+    ),
+    o AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM o),
+    e AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD.items()))}
+        ) AS v(digit, expected)
+    )
+    SELECT o.digit, o.n,
+           CAST(o.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS observed,
+           e.expected,
+           abs(CAST(o.n AS DOUBLE) / CAST(t.t AS DOUBLE) - e.expected)
+               AS abs_dev
+    FROM o JOIN e USING (digit) CROSS JOIN t
+    """
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.floor(F.col("value") * 100 + 0.5)
+    d = (
+        read_parquet_table(spark, sf_dir, "events")
+        .filter(cents >= 1)
+        .select(
+            F.substring(cents.cast("long").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    o = d.groupBy("digit").agg(F.count("*").alias("n"))
+    t = o.agg(F.sum("n").alias("t"))
+    e = F.broadcast(
+        spark.createDataFrame(
+            sorted(_BENFORD.items()), "digit long, expected double"
+        )
+    )
+    obs = F.col("n").cast("double") / F.col("t").cast("double")
+    return (
+        o.join(e, "digit")
+        .join(F.broadcast(t))
+        .select(
+            "digit", "n",
+            obs.alias("observed"),
+            "expected",
+            F.abs(obs - F.col("expected")).alias("abs_dev"),
+        )
+    )
