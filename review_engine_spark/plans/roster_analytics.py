@@ -692,3 +692,131 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(obs - F.col("expected")).alias("abs_dev"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user OLS trend slope — "is this user's spend trending up?": the
+# least-squares slope of value (cents) against time (whole minutes since
+# 2024-01-01), assembled from five exact BIGINT sums per user
+# (n, Σx, Σy, Σxy, Σxx), so the closed-form slope is a deterministic
+# double. Magnitudes stay far inside BIGINT (minutes ≤ ~45k, cents
+# ≤ ~50k, ≤ a few hundred events per user). One map-side-combined
+# aggregate keyed by user — nothing else moves.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH xy AS (
+        SELECT user_id,
+               CAST(floor(date_diff('minute', TIMESTAMP '2024-01-01', ts))
+                    AS BIGINT) AS x,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM xy GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_min
+    FROM m
+    WHERE n * sxx - sx * sx <> 0
+    """
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xy = read_parquet_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            (F.col("ts").cast("double")
+             - F.lit("2024-01-01").cast("timestamp").cast("double")) / 60.0
+        ).cast("long").alias("x"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+    )
+    m = xy.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        m.filter(den != 0)
+        .select(
+            "user_id", "n",
+            F.round(num.cast("double") / den.cast("double"), 6)
+            .alias("slope_cents_per_min"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation — per-user serial dependence of event values:
+# Pearson r over consecutive (y_i, y_{i+1}) cent pairs from the
+# time-ordered sequence. The pairs come from a lead() window (one
+# user_id shuffle); the five moment sums are exact BIGINTs, so r is a
+# deterministic double. Users need ≥ 3 pairs and nonzero variance on
+# both legs.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS a,
+               lead(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS b
+        FROM events
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+               CAST(sum(a * b) AS BIGINT) AS sab,
+               CAST(sum(a * a) AS BIGINT) AS saa,
+               CAST(sum(b * b) AS BIGINT) AS sbb
+        FROM seq WHERE b IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round(CAST(n * sab - sa * sb AS DOUBLE)
+                 / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                        * CAST(n * sbb - sb * sb AS DOUBLE)), 6) AS autocorr
+    FROM m
+    WHERE n >= 3 AND n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+    """
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        read_parquet_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", cents.alias("a"))
+        .select("user_id", "a", F.lead("a").over(w).alias("b"))
+        .filter(F.col("b").isNotNull())
+    )
+    m = seq.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"), F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    va = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    return (
+        m.filter((F.col("n") >= 3) & (va > 0) & (vb > 0))
+        .select(
+            "user_id", "n",
+            F.round(
+                num.cast("double")
+                / F.sqrt(va.cast("double") * vb.cast("double")),
+                6,
+            ).alias("autocorr"),
+        )
+    )
