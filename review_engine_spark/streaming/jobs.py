@@ -559,3 +559,88 @@ def run_ewma_stateful(
         q.awaitTermination(30)
     out = spark.table(name)
     return spark.createDataFrame(out.toPandas(), out.schema)
+
+
+def run_zscore_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = 20,
+    min_n: int = 10,
+    threshold: float = 2.5,
+    path_glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming rolling z-score anomalies via ``applyInPandasWithState``
+    — the streaming twin of plans/roster_analytics.q_anomaly_zscore with
+    a BOUNDED ring buffer as state: the last ``window`` integer-cent
+    values per user (≤ 20 longs/key however long the stream runs).
+
+    Exactness: the buffer holds exact ints, the Python moment formula
+    (mean = s1/n, var = (s2 - s1*mean)/(n-1), z = (c-mean)/sqrt(var))
+    performs the identical IEEE-double op sequence as the batch window
+    query, so the emitted anomalies match the batch result EXACTLY on
+    in-order arrival (pinned in tests/test_analytics.py). Each event is
+    scored against the ``window`` PRECEDING events only — no target
+    leakage — exactly like the batch ROWS BETWEEN 20 PRECEDING AND
+    1 PRECEDING frame.
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_id long, user_id long, zscore double"
+    state_schema = "buf array<bigint>"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"event_id": [], "user_id": [], "zscore": []})
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        buf = list(state.get[0]) if state.exists else []
+        out_ids, out_z = [], []
+        for eid, v in zip(rows["event_id"], rows["value"]):
+            c = math.floor(float(v) * 100 + 0.5)
+            n = len(buf)
+            if n >= min_n:
+                s1 = sum(buf)
+                s2 = sum(b * b for b in buf)
+                mean = float(s1) / float(n)
+                var = (float(s2) - float(s1) * mean) / float(n - 1)
+                if var > 0.0:
+                    z = (float(c) - mean) / math.sqrt(var)
+                    if abs(z) > threshold:
+                        out_ids.append(int(eid))
+                        out_z.append(round(z, 3))
+            buf.append(c)
+            if len(buf) > window:
+                buf = buf[-window:]
+        state.update((buf,))
+        yield pd.DataFrame(
+            {
+                "event_id": out_ids,
+                "user_id": [key[0]] * len(out_ids),
+                "zscore": out_z,
+            }
+        )
+
+    stream = _events_stream(
+        spark, sf_dir, path_glob=path_glob, max_files_per_trigger=max_files_per_trigger
+    ).select("user_id", "ts", "event_id", "value")
+    anomalies = stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    name = "zscore_stateful_out"
+    with _state_partitions(spark, 8), tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            anomalies.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    out = spark.table(name)
+    return spark.createDataFrame(out.toPandas(), out.schema)

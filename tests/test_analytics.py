@@ -213,3 +213,24 @@ def test_cent_quantization_property_spark_vs_duckdb(spark):
         assert got == want
 
     prop()
+
+
+def test_stream_anomaly_equals_batch_zscore(spark, sf_dir):
+    """Stream-batch parity: the ring-buffer GroupState scorer must emit
+    EXACTLY the batch window query's anomaly set (same integer moments,
+    same IEEE op sequence) on in-order arrival."""
+    from review_engine_spark.plans.roster_analytics import (
+        q_anomaly_zscore,
+        q_stream_anomaly,
+    )
+
+    batch = {
+        (r["event_id"], r["user_id"], r["zscore"])
+        for r in q_anomaly_zscore(spark, sf_dir).collect()
+    }
+    stream = {
+        (r["event_id"], r["user_id"], r["zscore"])
+        for r in q_stream_anomaly(spark, sf_dir).collect()
+    }
+    assert batch, "fixture must produce anomalies"
+    assert stream == batch
