@@ -1,0 +1,560 @@
+"""Warehouse-classic sequence/session analytics (SURVEY §2.D/§2.E ext).
+
+The reference engine's review dataflow stops at ranked retrieval; a
+production deployment of the same data runs these warehouse classics next
+to it — streak detection, concurrency sweeps, SCD2 dimension builds,
+marketing attribution, sliding distinct actives, rank statistics and
+regression. Each query is expressed Spark-first with a DuckDB oracle, and
+each picks the physical shape that survives a 1000-executor 100 TB run
+(noted per query).
+
+Determinism strategy follows roster_analytics: monetary doubles quantize
+to integer cents with ``floor(x*100+0.5)`` before aggregation (integer
+sums are order-independent); rank statistics stay in scaled-integer
+space until one final shared-expression double formula; OLS shares its
+literal expression text between Spark ``selectExpr`` and the oracle SQL
+so both engines evaluate the identical IEEE-754 tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from review_engine_spark.plans import declared
+from review_engine_spark.sources.io import read_parquet_table
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands — per-user activity streaks. The classic trick: for
+# distinct active days, ``day - row_number() days`` is constant within a
+# run of consecutive dates, so one per-user window + two hash aggregates
+# produce islands with NO self-join. Scale: single shuffle on user_id;
+# per-user day counts are calendar-bounded.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    r AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+        FROM d
+    ),
+    i AS (
+        SELECT user_id, grp, count(*) AS len FROM r GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM i GROUP BY user_id
+    """
+)
+def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.withColumn("grp", F.date_sub(F.col("day"), F.row_number().over(w)))
+    i = r.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return i.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency — peak number of simultaneously-open 5-minute
+# event spans per (event_type, day). Each span emits a +1 at its start
+# and a -1 at its end (exclusive, clipped to midnight so the partition
+# key bounds the window); the running sum over (t, delta) is the live
+# count, with RANGE peer semantics (both engines' default frame) making
+# equal-instant ties order-free. Scale: the window partitions on
+# (event_type, day) — thousands of independent partitions, never a
+# global sort. Spans are clipped to the day boundary, which is what
+# makes the per-day partitioning exact rather than approximate.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, ts AS t, 1 AS delta
+        FROM events
+        UNION ALL
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               least(ts + INTERVAL 5 MINUTE,
+                     CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)) AS t,
+               -1 AS delta
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, day,
+               sum(delta) OVER (
+                   PARTITION BY event_type, day ORDER BY t, delta) AS live
+        FROM e
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(max(live) AS BIGINT) AS max_concurrent
+    FROM r GROUP BY event_type, day
+    """
+)
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.col("ts").alias("start"),
+        F.least(
+            F.col("ts") + F.expr("INTERVAL 5 MINUTES"),
+            F.date_add(F.to_date("ts"), 1).cast("timestamp"),
+        ).alias("end"),
+    )
+    deltas = ev.select(
+        "event_type",
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("start").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("end").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("d"),
+    ).select("event_type", "day", "d.t", "d.delta")
+    w = Window.partitionBy("event_type", "day").orderBy("t", "delta")
+    live = deltas.withColumn("live", F.sum("delta").over(w))
+    return (
+        live.groupBy("event_type", "day")
+        .agg(F.max("live").alias("max_concurrent"))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "max_concurrent",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build — collapse each user's event_type sequence into
+# type-2 slowly-changing-dimension rows (value, valid_from, valid_to,
+# version); valid_to is NULL on the current row. Change detection via
+# lag(), versioning via a second row_number over change rows only.
+# Scale: two stacked windows over the SAME (user_id, ts, event_id)
+# ordering — Catalyst plans one shuffle + one sort, the second Window
+# reuses the partitioning/ordering.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, event_type, ts AS valid_from
+        FROM s WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY valid_from) AS BIGINT) AS version,
+           event_type, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from) AS valid_to
+    FROM c
+    """
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id",
+        F.row_number().over(wv).cast("long").alias("version"),
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution — credit each purchase's value (integer cents)
+# to the latest click by the same user within the prior 7 days, then
+# roll credited revenue up by touch day. Equi-join on user_id carries
+# the range predicate as a post-join filter (per-user histories are
+# bounded), and the per-purchase argmax is a row_number window over the
+# purchase key. Integer-cent sums keep the rollup order-independent.
+# Scale: one user_id shuffle for the join, one purchase-key window —
+# both keys high-cardinality; nothing global.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS c_ts, event_id AS c_id
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.p_id, p.cents, c.c_ts,
+               row_number() OVER (
+                   PARTITION BY p.p_id
+                   ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
+        FROM p JOIN c ON p.user_id = c.user_id
+                     AND c.c_ts <= p.p_ts
+                     AND c.c_ts > p.p_ts - INTERVAL 7 DAY
+    )
+    SELECT strftime(CAST(c_ts AS DATE), '%Y-%m-%d') AS touch_day,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS attributed_cents
+    FROM j WHERE rn = 1
+    GROUP BY touch_day
+    """
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    j = p.join(c, "user_id").where(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    w = Window.partitionBy("p_id").orderBy(
+        F.col("c_ts").desc(), F.col("c_id").desc()
+    )
+    last = j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return last.groupBy(
+        F.date_format("c_ts", "yyyy-MM-dd").alias("touch_day")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("cents").alias("attributed_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average — per-user TWAP of `value`, each observation
+# weighted by the whole seconds it stays current (until the next event).
+# Weights are integer epoch-second gaps and values integer cents, so
+# sum(cents*dur) and sum(dur) are exact BIGINT sums; one final double
+# division is engine-identical. Users whose observed duration is zero
+# (single event) are excluded on both sides. Scale: one user_id window +
+# one aggregate, no global state.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               epoch_us(lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+               - epoch_us(ts) // 1000000 AS dur
+        FROM events
+    )
+    SELECT user_id,
+           CAST(sum(dur) AS BIGINT) AS total_secs,
+           round(sum(cents * dur) / (sum(dur) * 100.0), 6) AS twap
+    FROM s WHERE dur IS NOT NULL
+    GROUP BY user_id HAVING sum(dur) > 0
+    """
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        (
+            F.unix_timestamp(F.lead("ts").over(w))
+            - F.unix_timestamp(F.col("ts"))
+        ).alias("dur"),
+    ).where(F.col("dur").isNotNull())
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.sum("dur").alias("total_secs"),
+            F.round(
+                F.sum(F.col("cents") * F.col("dur"))
+                / (F.sum("dur") * F.lit(100.0)),
+                6,
+            ).alias("twap"),
+        )
+        .where(F.col("total_secs") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k event paths — the 20 most common "first five event types" journeys.
+# The per-user prefix comes from one ordered collect (array_sort over
+# (ts, event_id, type) structs — order-free merge), sliced to 5 and
+# joined with '>'; the final top-20 is totally ordered (count DESC, path)
+# so the row SET is deterministic under ties. Scale: per-user state is
+# capped at the full event list; at unbounded per-user history, pre-filter
+# to rank<=5 with a row_number window first (same shuffle count).
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20
+    """
+)
+def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+        lambda s: s.event_type,
+    )
+    paths = first5.groupBy("user_id").agg(
+        F.array_join(arr, ">").alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct actives — trailing-window COUNT DISTINCT per day,
+# rewritten scale-first: COUNT(DISTINCT) over a sliding window has no
+# partial-aggregate form, so instead each distinct (user, day) fact emits
+# the 7 window-end days it contributes to (sequence + explode), and a
+# plain distinct-count per window day finishes it. Two hash shuffles,
+# both on high-cardinality keys; the calendar dimension (bounded) is
+# broadcast to trim windows that extend past observed days. This is the
+# shape that survives 100 TB where `days JOIN facts BETWEEN` (the oracle
+# form) degenerates to a range join.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT strftime(days.day, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT du.user_id) AS BIGINT) AS active_7d
+    FROM days JOIN du
+      ON du.day BETWEEN days.day - 6 AND days.day
+    GROUP BY days.day
+    """
+)
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    observed = contrib.join(F.broadcast(days), "day", "left_semi")
+    return (
+        observed.groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "active_7d"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U — rank-sum test of `value` between click and view
+# events, computed WITHOUT a global per-row rank: values quantize to
+# cents, counts aggregate per distinct cent value, and average ranks come
+# from a running sum over the distinct-value table (bounded by the value
+# domain, NOT the corpus — ~50k rows at any scale, so the single-ordered
+# window is safe). All rank mass stays in doubled-integer space
+# (2*rank is an integer) until the final shared-form z expression.
+# Tie-corrected normal approximation.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH s AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    c AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(g) AS BIGINT) AS na
+        FROM s GROUP BY v
+    ),
+    r AS (
+        SELECT v, n, na,
+               CAST(sum(n) OVER (ORDER BY v) AS BIGINT) - n AS below
+        FROM c
+    ),
+    agg AS (
+        SELECT CAST(sum(na * (2 * below + n + 1)) AS BIGINT) AS ra2,
+               CAST(sum(na) AS BIGINT) AS n1,
+               CAST(sum(n - na) AS BIGINT) AS n2,
+               CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(n * n * n - n) AS BIGINT) AS ties
+        FROM r
+    )
+    SELECT n1 AS n_click, n2 AS n_view,
+           round((ra2 - 2.0 * n1 * (n1 + 1) / 2.0) / 2.0, 4) AS u_stat,
+           round(((ra2 - 2.0 * n1 * (n1 + 1) / 2.0) / 2.0
+                  - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                        * ((nn + 1.0) - CAST(ties AS DOUBLE)
+                           / (CAST(nn AS DOUBLE) * (nn - 1.0)))), 6) AS z
+    FROM agg
+    """
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g"),
+    )
+    c = s.groupBy("v").agg(
+        F.count("*").alias("n"), F.sum("g").cast("long").alias("na")
+    )
+    # Distinct-value table is domain-bounded; the unpartitioned ordered
+    # window here is over ~10^4 rows regardless of corpus size.
+    r = c.withColumn(
+        "below",
+        F.sum("n").over(Window.orderBy("v")).cast("long") - F.col("n"),
+    )
+    agg = r.agg(
+        F.sum(F.col("na") * (2 * F.col("below") + F.col("n") + 1))
+        .cast("long")
+        .alias("ra2"),
+        F.sum("na").cast("long").alias("n1"),
+        F.sum(F.col("n") - F.col("na")).cast("long").alias("n2"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+        .cast("long")
+        .alias("ties"),
+    )
+    return agg.selectExpr(
+        "n1 AS n_click",
+        "n2 AS n_view",
+        "round((ra2 - 2.0 * n1 * (n1 + 1) / 2.0) / 2.0, 4) AS u_stat",
+        "round(((ra2 - 2.0 * n1 * (n1 + 1) / 2.0) / 2.0"
+        "       - CAST(n1 AS DOUBLE) * n2 / 2.0)"
+        "      / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0"
+        "             * ((nn + 1.0) - CAST(ties AS DOUBLE)"
+        "                / (CAST(nn AS DOUBLE) * (nn - 1.0)))), 6) AS z",
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLS via normal equations — two-regressor least squares
+# (l_extendedprice ~ l_quantity + l_discount) solved in closed form from
+# nine distributive integer sums (quantity units, discount basis points,
+# price cents), then one Cramer's-rule expression evaluated from the
+# SAME literal formula text in Spark selectExpr and the oracle SQL, so
+# both engines run the identical IEEE-754 tree. Scale: the whole
+# regression is one partial-aggregable scan — the textbook
+# "ML as aggregation" shape; sums fit int64 through ~10^9 rows (promote
+# to DECIMAL(38,0) beyond).
+# ---------------------------------------------------------------------------
+_OLS_SUMS = """
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x1) AS BIGINT) AS sx1,
+        CAST(sum(x2) AS BIGINT) AS sx2,
+        CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        CAST(sum(x1 * y) AS BIGINT) AS s1y,
+        CAST(sum(x2 * y) AS BIGINT) AS s2y
+"""
+
+_OLS_DOUBLES = (
+    "CAST(n AS DOUBLE) AS dn, CAST(sx1 AS DOUBLE) AS a1, "
+    "CAST(sx2 AS DOUBLE) AS a2, CAST(sy AS DOUBLE) AS ay, "
+    "CAST(s11 AS DOUBLE) AS b11, CAST(s12 AS DOUBLE) AS b12, "
+    "CAST(s22 AS DOUBLE) AS b22, CAST(s1y AS DOUBLE) AS b1y, "
+    "CAST(s2y AS DOUBLE) AS b2y"
+)
+
+_OLS_DET = (
+    "(dn * (b11 * b22 - b12 * b12) - a1 * (a1 * b22 - b12 * a2)"
+    " + a2 * (a1 * b12 - b11 * a2))"
+)
+_OLS_D0 = (
+    "(ay * (b11 * b22 - b12 * b12) - a1 * (b1y * b22 - b12 * b2y)"
+    " + a2 * (b1y * b12 - b11 * b2y))"
+)
+_OLS_D1 = (
+    "(dn * (b1y * b22 - b2y * b12) - ay * (a1 * b22 - b12 * a2)"
+    " + a2 * (a1 * b2y - b1y * a2))"
+)
+_OLS_D2 = (
+    "(dn * (b11 * b2y - b12 * b1y) - a1 * (a1 * b2y - b1y * a2)"
+    " + ay * (a1 * b12 - b11 * a2))"
+)
+
+_OLS_BETAS = (
+    f"round({_OLS_D0} / {_OLS_DET}, 6) AS beta0_cents",
+    f"round({_OLS_D1} / {_OLS_DET}, 6) AS beta1_cents_per_unit",
+    f"round({_OLS_D2} / {_OLS_DET}, 6) AS beta2_cents_per_bp",
+)
+
+
+@declared(
+    oracle=f"""
+    WITH q AS (
+        SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x1,
+               CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x2,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    sums AS (SELECT {_OLS_SUMS} FROM q),
+    d AS (SELECT {_OLS_DOUBLES} FROM sums)
+    SELECT {', '.join(_OLS_BETAS)} FROM d
+    """
+)
+def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS x1",
+        "CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x2",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y",
+    )
+    sums = li.agg(
+        F.expr("count(*)").cast("long").alias("n"),
+        F.expr("sum(x1)").cast("long").alias("sx1"),
+        F.expr("sum(x2)").cast("long").alias("sx2"),
+        F.expr("sum(y)").cast("long").alias("sy"),
+        F.expr("sum(x1 * x1)").cast("long").alias("s11"),
+        F.expr("sum(x1 * x2)").cast("long").alias("s12"),
+        F.expr("sum(x2 * x2)").cast("long").alias("s22"),
+        F.expr("sum(x1 * y)").cast("long").alias("s1y"),
+        F.expr("sum(x2 * y)").cast("long").alias("s2y"),
+    )
+    d = sums.selectExpr(*_OLS_DOUBLES.split(", "))
+    return d.selectExpr(*_OLS_BETAS)
