@@ -442,11 +442,11 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = s.groupBy("v").agg(
         F.count("*").alias("n"), F.sum("g").cast("long").alias("na")
     )
-    # Distinct-value table is domain-bounded; the unpartitioned ordered
-    # window here is over ~10^4 rows regardless of corpus size.
     r = c.withColumn(
         "below",
-        F.sum("n").over(Window.orderBy("v")).cast("long") - F.col("n"),
+        # bounded: window runs over the distinct-cent-value table (value
+        # domain, ~10^4 rows at any corpus size), not the corpus.
+        F.sum("n").over(Window.orderBy("v")).cast("long") - F.col("n"),  # bounded
     )
     agg = r.agg(
         F.sum(F.col("na") * (2 * F.col("below") + F.col("n") + 1))

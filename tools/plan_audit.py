@@ -290,6 +290,35 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
         (True, r"BroadcastHashJoin", "the ≤64·|sources|-row filter broadcasts"),
         (False, r"SortMergeJoin", "probe never shuffles the corpus"),
     ],
+    "q_gap_islands": [
+        (True, r"partial_count", "island lengths partial-aggregate map-side"),
+        (False, r"CartesianProduct", "islands come from one user window"),
+        (False, r"Exchange SinglePartition", "no global single-partition stage"),
+    ],
+    "q_concurrency": [
+        (False, r"CartesianProduct", "sweep is a per-(type,day) window"),
+        (False, r"Exchange SinglePartition", "day-clipping keeps the window partitioned"),
+    ],
+    "q_scd2_build": [
+        (False, r"CartesianProduct", "change detection is one user window"),
+        (False, r"Exchange SinglePartition", "no global single-partition stage"),
+    ],
+    "q_attribution": [
+        (False, r"CartesianProduct", "touch window rides the user_id equi-join"),
+        (False, r"BroadcastNestedLoopJoin", "range predicate filters the equi-join, not a BNLJ"),
+    ],
+    "q_rolling_active": [
+        (True, r"BroadcastExchange", "calendar dimension broadcasts for the semi-join"),
+        (False, r"SortMergeJoin", "contribution facts never shuffle for the trim"),
+    ],
+    "q_mann_whitney": [
+        (True, r"partial_", "per-value counts partial-aggregate map-side"),
+        (False, r"CartesianProduct", "rank mass needs no join at all"),
+    ],
+    "q_ols_regression": [
+        (True, r"partial_", "normal-equation sums partial-aggregate map-side"),
+        (False, r"Exchange hashpartitioning", "one global agg — no keyed shuffle"),
+    ],
     "q_tpch_q19": [
         (True, r"PushedFilters: \[[^\]]*p_brand|PushedFilters: \[[^\]]*Or",
          "disjunctive brand/size predicate pushes into the part scan"),
