@@ -558,3 +558,456 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = sums.selectExpr(*_OLS_DOUBLES.split(", "))
     return d.selectExpr(*_OLS_BETAS)
+
+
+# ---------------------------------------------------------------------------
+# Interval merge — coalesce each user's overlapping 5-minute activity
+# spans into maximal intervals (the "merge overlapping intervals"
+# classic): a span starts a new interval iff its start exceeds the
+# running max of all previous ends; interval ids are the running sum of
+# those flags. Covered time sums exact integer microseconds. Scale: two
+# stacked windows on the same (user_id, ts) ordering — one shuffle.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts AS start, ts + INTERVAL 5 MINUTE AS fin,
+               event_id
+        FROM events
+    ),
+    f AS (
+        SELECT user_id, start, fin,
+               CASE WHEN start > max(fin) OVER (
+                        PARTITION BY user_id ORDER BY start, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_flag
+        FROM s
+    ),
+    g AS (
+        SELECT user_id, start, fin,
+               sum(new_flag) OVER (
+                   PARTITION BY user_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+        FROM f
+    ),
+    i AS (
+        SELECT user_id, iid,
+               epoch_us(max(fin)) - epoch_us(min(start)) AS span_us
+        FROM g GROUP BY user_id, iid
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(span_us) AS BIGINT) AS covered_us
+    FROM i GROUP BY user_id
+    """
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("fin"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("start", "event_id")
+    prev_end = F.max("fin").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "new_flag",
+        F.when(F.col("start") > prev_end, 1).otherwise(0),
+    )
+    wi = Window.partitionBy("user_id").orderBy("start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grouped = flagged.withColumn("iid", F.sum("new_flag").over(wi))
+    intervals = grouped.groupBy("user_id", "iid").agg(
+        (
+            F.expr("unix_micros(max(fin))") - F.expr("unix_micros(min(start))")
+        ).alias("span_us")
+    )
+    return intervals.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("span_us").cast("long").alias("covered_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival — time from first signup to first subsequent
+# purchase per user, right-censored at the corpus observation end. The
+# survival curve multiplies (1 - d/n) factors in time order; because a
+# windowed cumulative PRODUCT has no builtin, the factor prefix is
+# collected per row (ordered-frame collect_list over the
+# calendar-bounded distinct-duration table) and folded left-to-right —
+# identical multiply sequence on both engines, so bit-identical curves.
+# Scale: everything after the per-user min-aggregation lives on the
+# distinct-duration table (bounded by the calendar, not the corpus).
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH su AS (
+        SELECT user_id, min(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN su ON su.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+        GROUP BY e.user_id
+    ),
+    obs AS (SELECT max(ts) AS end_ts FROM events),
+    d AS (
+        SELECT su.user_id,
+               (epoch_us(coalesce(pu.p_ts, obs.end_ts))
+                - epoch_us(su.s_ts)) // 86400000000 AS t_days,
+               CASE WHEN pu.p_ts IS NULL THEN 0 ELSE 1 END AS died
+        FROM su LEFT JOIN pu ON su.user_id = pu.user_id CROSS JOIN obs
+    ),
+    per_t AS (
+        SELECT t_days, CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(died) AS BIGINT) AS deaths
+        FROM d GROUP BY t_days
+    ),
+    risk AS (
+        SELECT t_days, m, deaths,
+               CAST(sum(m) OVER () AS BIGINT)
+               - CAST(sum(m) OVER (ORDER BY t_days) AS BIGINT)
+               + m AS at_risk
+        FROM per_t
+    ),
+    fac AS (
+        SELECT t_days, deaths, at_risk,
+               1.0 - CAST(deaths AS DOUBLE) / at_risk AS factor
+        FROM risk
+    ),
+    pre AS (
+        SELECT t_days, deaths, at_risk,
+               list(factor) OVER (
+                   ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs
+        FROM fac
+    )
+    SELECT t_days, deaths, at_risk,
+           round(list_reduce(fs, (a, b) -> a * b), 6) AS survival
+    FROM pre
+    """
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    obs = ev.agg(F.max("ts").alias("end_ts"))
+    d = (
+        su.join(pu, "user_id", "left")
+        .join(F.broadcast(obs))
+        .select(
+            F.expr(
+                "(unix_micros(coalesce(p_ts, end_ts)) - unix_micros(s_ts))"
+                " div 86400000000"
+            ).alias("t_days"),
+            F.when(F.col("p_ts").isNull(), 0).otherwise(1).alias("died"),
+        )
+    )
+    per_t = d.groupBy("t_days").agg(
+        F.count("*").alias("m"), F.sum("died").cast("long").alias("deaths")
+    )
+    # bounded: distinct durations are calendar-bounded, not corpus-scaled.
+    w_all = Window.orderBy("t_days").rowsBetween(  # bounded
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_run = Window.orderBy("t_days")  # bounded
+    risk = per_t.select(
+        "t_days",
+        "m",
+        "deaths",
+        (
+            F.sum("m").over(w_all).cast("long")
+            - F.sum("m").over(w_run).cast("long")
+            + F.col("m")
+        ).alias("at_risk"),
+    )
+    fac = risk.withColumn(
+        "factor", F.lit(1.0) - F.col("deaths").cast("double") / F.col("at_risk")
+    )
+    w_pre = Window.orderBy("t_days").rowsBetween(  # bounded
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = fac.withColumn("fs", F.collect_list("factor").over(w_pre))
+    surv = F.aggregate(
+        F.slice(F.col("fs"), 2, F.greatest(F.size("fs") - 1, F.lit(0))),
+        F.element_at(F.col("fs"), 1),
+        lambda a, b: a * b,
+    )
+    return pre.select(
+        "t_days", "deaths", "at_risk", F.round(surv, 6).alias("survival")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers — per-event-type median + MAD over integer cents, and
+# the count of modified-z outliers (|0.6745·(x-med)/MAD| > 3.5,
+# Iglewicz-Hoaglin). Exact medians over integers interpolate to halves
+# (binary-exact), so the two-pass median-of-absolute-deviations is
+# engine-identical; the outlier predicate shares its literal expression
+# text. Scale: exact percentile keeps a per-group value-count map —
+# bounded by the cent domain; the med/MAD table (5 rows) broadcasts
+# back for the outlier count.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, median(cents) AS med FROM s GROUP BY event_type
+    ),
+    mad AS (
+        SELECT s.event_type, any_value(med.med) AS med,
+               median(abs(s.cents - med.med)) AS mad
+        FROM s JOIN med ON s.event_type = med.event_type
+        GROUP BY s.event_type
+    )
+    SELECT s.event_type,
+           any_value(mad.med) AS med_cents,
+           any_value(mad.mad) AS mad_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN 0.6745 * abs(s.cents - mad.med) / mad.mad > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM s JOIN mad ON s.event_type = mad.event_type
+    GROUP BY s.event_type
+    """
+)
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    med = s.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5D)").alias("med")
+    )
+    mad = (
+        s.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(cents - med), 0.5D)").alias("mad"),
+        )
+    )
+    return (
+        s.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med_cents"),
+            F.first("mad").alias("mad_cents"),
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.expr("0.6745 * abs(cents - med) / mad > 3.5"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resource-allocation link prediction — for customer pairs sharing
+# purchased parts, score = Σ_shared 1/degree(part), in exact fixed-point
+# micro-units (floor(1e6/deg) is an integer, so the pair sum is
+# order-independent). Degree blocking (2..50 users per part) bounds the
+# per-part pair fan-out — the standard guard that keeps the self-join
+# linear in shared-part mass rather than quadratic in the hottest key.
+# Top-100 under a total order.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH up AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    deg AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS deg FROM up GROUP BY p
+    ),
+    keep AS (SELECT p, deg FROM deg WHERE deg BETWEEN 2 AND 50),
+    pairs AS (
+        SELECT a.u AS u1, b.u AS u2,
+               CAST(floor(1000000.0 / k.deg) AS BIGINT) AS w
+        FROM up a JOIN up b ON a.p = b.p AND a.u < b.u
+        JOIN keep k ON k.p = a.p
+    )
+    SELECT u1, u2,
+           CAST(sum(w) AS BIGINT) AS score_micro,
+           CAST(count(*) AS BIGINT) AS shared_parts
+    FROM pairs GROUP BY u1, u2
+    ORDER BY score_micro DESC, u1, u2 LIMIT 100
+    """
+)
+def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    up = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    keep = (
+        up.groupBy("p")
+        .agg(F.count("*").alias("deg"))
+        .where(F.col("deg").between(2, 50))
+        .withColumn(
+            "w", F.expr("CAST(floor(1000000.0 / deg) AS BIGINT)")
+        )
+    )
+    blocked = up.join(keep, "p")
+    pairs = blocked.alias("a").join(
+        blocked.select("p", F.col("u").alias("u2")).alias("b"),
+        (F.col("a.p") == F.col("b.p")) & (F.col("a.u") < F.col("b.u2")),
+    )
+    return (
+        pairs.groupBy(F.col("a.u").alias("u1"), F.col("b.u2").alias("u2"))
+        .agg(
+            F.sum("a.w").cast("long").alias("score_micro"),
+            F.count("*").alias("shared_parts"),
+        )
+        .orderBy(F.col("score_micro").desc(), "u1", "u2")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean — per event_type, clamp cents into the exact
+# [p05, p95] percentile bounds (quantized back to whole cents so the
+# clipped sum stays an order-independent integer) and report the
+# winsorized mean. The 5-row bounds table broadcasts back. Scale: exact
+# percentile state is bounded by the cent domain; swap approx_percentile
+# in where the domain is unbounded.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               CAST(floor(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
+               CAST(floor(quantile_cont(cents, 0.95)) AS BIGINT) AS hi
+        FROM s GROUP BY event_type
+    )
+    SELECT s.event_type, any_value(b.lo) AS lo_cents,
+           any_value(b.hi) AS hi_cents,
+           round(CAST(sum(least(greatest(s.cents, b.lo), b.hi)) AS BIGINT)
+                 / (count(*) * 100.0), 6) AS wins_mean
+    FROM s JOIN b ON s.event_type = b.event_type
+    GROUP BY s.event_type
+    """
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    b = s.groupBy("event_type").agg(
+        F.expr("CAST(floor(percentile(cents, 0.05D)) AS BIGINT)").alias("lo"),
+        F.expr("CAST(floor(percentile(cents, 0.95D)) AS BIGINT)").alias("hi"),
+    )
+    return (
+        s.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("lo").alias("lo_cents"),
+            F.first("hi").alias("hi_cents"),
+            F.round(
+                F.sum(F.least(F.greatest("cents", F.col("lo")), F.col("hi")))
+                .cast("long")
+                / (F.count("*") * F.lit(100.0)),
+                6,
+            ).alias("wins_mean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spend deciles — users bucketed by total purchase spend into 10 bands.
+# Deliberately NOT ntile(): a global ntile is a single-partition sort
+# over every user. Instead the 9 exact decile boundaries (one bounded
+# aggregate) broadcast back and each user buckets by comparison —
+# embarrassingly parallel, same result set semantics (boundary ties land
+# in the lower band on both engines, since bucketing is a pure
+# comparison against identical doubles).
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH spend AS (
+        SELECT user_id,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    b AS (
+        SELECT quantile_cont(cents, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                     0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM spend
+    ),
+    dec AS (
+        SELECT s.user_id, s.cents,
+               1 + len(list_filter(b.qs, q -> q < s.cents)) AS decile
+        FROM spend s CROSS JOIN b
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM dec GROUP BY decile
+    """
+)
+def q_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    spend = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    b = spend.agg(
+        F.expr(
+            "percentile(cents, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D,"
+            " 0.6D, 0.7D, 0.8D, 0.9D))"
+        ).alias("qs")
+    )
+    dec = spend.join(F.broadcast(b)).select(
+        "user_id",
+        "cents",
+        (
+            1 + F.size(F.filter("qs", lambda q: q < F.col("cents")))
+        ).alias("decile"),
+    )
+    return dec.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count("*").alias("n_users"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )

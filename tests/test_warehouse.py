@@ -17,6 +17,12 @@ import pandas as pd
 
 from review_engine_spark.plans.roster_warehouse import (
     q_attribution,
+    q_interval_merge,
+    q_resource_allocation,
+    q_robust_zscore,
+    q_spend_deciles,
+    q_survival_km,
+    q_winsorize,
     q_concurrency,
     q_gap_islands,
     q_mann_whitney,
@@ -208,3 +214,130 @@ def test_ols_matches_numpy_lstsq(spark, sf_dir):
     assert abs(row["beta0_cents"] - beta[0]) < 1e-2
     assert abs(row["beta1_cents_per_unit"] - beta[1]) < 1e-4
     assert abs(row["beta2_cents_per_bp"] - beta[2]) < 1e-4
+
+
+def test_interval_merge_matches_python_sweep(spark, sf_dir):
+    got = {
+        r["user_id"]: (r["n_intervals"], r["covered_us"])
+        for r in q_interval_merge(spark, sf_dir).collect()
+    }
+    pdf = _events_pdf(spark, sf_dir)
+    for uid, g in pdf.groupby("user_id"):
+        spans = sorted(
+            (t, t + timedelta(minutes=5)) for t in g["ts"]
+        )
+        merged = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        covered = sum(int((e - s).total_seconds() * 1e6) for s, e in merged)
+        assert got[uid] == (len(merged), covered), uid
+
+
+def test_survival_km_matches_python_kaplan_meier(spark, sf_dir):
+    rows = {
+        r["t_days"]: (r["deaths"], r["at_risk"], r["survival"])
+        for r in q_survival_km(spark, sf_dir).collect()
+    }
+    pdf = _events_pdf(spark, sf_dir)
+    end_ts = pdf["ts"].max()
+    durs = []
+    for uid, g in pdf.groupby("user_id"):
+        sg = g[g["event_type"] == "signup"]
+        if not len(sg):
+            continue
+        s_ts = sg["ts"].min()
+        pu = g[(g["event_type"] == "purchase") & (g["ts"] >= s_ts)]
+        if len(pu):
+            durs.append(((pu["ts"].min() - s_ts).days, 1))
+        else:
+            durs.append((((end_ts - s_ts).days), 0))
+    n = len(durs)
+    surv = 1.0
+    seen = 0
+    for t in sorted({d for d, _ in durs}):
+        at = [x for x in durs if x[0] == t]
+        at_risk = n - seen
+        deaths = sum(e for _, e in at)
+        surv *= 1.0 - deaths / at_risk
+        seen += len(at)
+        d, r, s = rows[t]
+        assert (d, r) == (deaths, at_risk), t
+        assert abs(s - surv) < 1e-5, t
+
+
+def test_robust_zscore_matches_numpy_mad(spark, sf_dir):
+    rows = {r["event_type"]: r for r in q_robust_zscore(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    pdf["cents"] = (pdf["value"] * 100 + 0.5).apply(math.floor).astype(int)
+    for et, g in pdf.groupby("event_type"):
+        med = float(np.median(g["cents"]))
+        mad = float(np.median(np.abs(g["cents"] - med)))
+        out = int((0.6745 * np.abs(g["cents"] - med) / mad > 3.5).sum())
+        r = rows[et]
+        assert r["med_cents"] == med and r["mad_cents"] == mad
+        assert r["n"] == len(g) and r["n_outliers"] == out
+
+
+def test_resource_allocation_matches_python_scores(spark, sf_dir):
+    got = [
+        (r["u1"], r["u2"], r["score_micro"], r["shared_parts"])
+        for r in q_resource_allocation(spark, sf_dir).collect()
+    ]
+    o = read_parquet_table(spark, sf_dir, "orders").toPandas()
+    li = read_parquet_table(spark, sf_dir, "lineitem").toPandas()
+    j = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    up = j[["o_custkey", "l_partkey"]].drop_duplicates()
+    deg = up.groupby("l_partkey").size()
+    scores: Counter = Counter()
+    shared: Counter = Counter()
+    for p, g in up.groupby("l_partkey"):
+        d = deg[p]
+        if not (2 <= d <= 50):
+            continue
+        users = sorted(g["o_custkey"])
+        w = math.floor(1_000_000.0 / d)
+        for i, a in enumerate(users):
+            for b in users[i + 1:]:
+                scores[(a, b)] += w
+                shared[(a, b)] += 1
+    expect = sorted(
+        ((u1, u2, s, shared[(u1, u2)]) for (u1, u2), s in scores.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:100]
+    assert got == expect
+
+
+def test_winsorize_matches_numpy_clip(spark, sf_dir):
+    rows = {r["event_type"]: r for r in q_winsorize(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    pdf["cents"] = (pdf["value"] * 100 + 0.5).apply(math.floor).astype(int)
+    for et, g in pdf.groupby("event_type"):
+        lo = math.floor(np.percentile(g["cents"], 5, method="linear"))
+        hi = math.floor(np.percentile(g["cents"], 95, method="linear"))
+        mean = round(int(np.clip(g["cents"], lo, hi).sum()) / (len(g) * 100.0), 6)
+        r = rows[et]
+        assert (r["lo_cents"], r["hi_cents"], r["wins_mean"]) == (lo, hi, mean)
+
+
+def test_spend_deciles_cover_all_users_and_match_numpy_bounds(spark, sf_dir):
+    rows = {r["decile"]: r for r in q_spend_deciles(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    p = pdf[pdf["event_type"] == "purchase"].copy()
+    p["cents"] = (p["value"] * 100 + 0.5).apply(math.floor).astype(int)
+    spend = p.groupby("user_id")["cents"].sum()
+    qs = np.percentile(spend, [10 * i for i in range(1, 10)], method="linear")
+    deciles = 1 + (spend.values[:, None] > qs[None, :]).sum(axis=1)
+    for d in range(1, 11):
+        mask = deciles == d
+        if not mask.any():
+            assert d not in rows
+            continue
+        r = rows[d]
+        assert r["n_users"] == int(mask.sum())
+        assert r["total_cents"] == int(spend.values[mask].sum())
+        assert r["min_cents"] == int(spend.values[mask].min())
+        assert r["max_cents"] == int(spend.values[mask].max())
+    assert sum(r["n_users"] for r in rows.values()) == len(spend)
