@@ -40,6 +40,7 @@ from review_engine_spark.plans import roster_tpch  # noqa: E402,F401
 from review_engine_spark.plans import roster_retrieval  # noqa: E402,F401
 from review_engine_spark.plans import roster_analytics  # noqa: E402,F401
 from review_engine_spark.plans import roster_warehouse  # noqa: E402,F401
+from review_engine_spark.plans import roster_mining  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-facing ordering. The harness checks only the FIRST 50 oracle

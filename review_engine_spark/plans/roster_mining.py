@@ -1,0 +1,619 @@
+"""Mining & forecasting classics (SURVEY §2.D/§2.E ext).
+
+Market-basket rules, customer RFM segmentation, Pareto/ABC inventory
+classes, seasonal-naive forecast backtests, BFS reachability, Holt
+linear-trend smoothing and clamped stock balances — the data-mining
+layer a warehouse team runs on the same fixtures the reference engine
+ranks. Each query is expressed Spark-first with a DuckDB oracle and a
+physical shape chosen for the 1000-executor case (noted per query).
+
+Determinism strategy (per roster_analytics / roster_warehouse):
+
+- money and quantities quantize to integer cents/units before any
+  aggregation (integer sums are order-independent, exact on both
+  engines);
+- recurrences with MULTI-variable state (Holt level+trend, clamped
+  balance+stockout count) fold a LIST-typed accumulator — DuckDB
+  ``list_reduce`` requires acc type = element type, so each element is
+  pre-packed ``[obs, state1_init, state2_init]`` with the correct fold
+  INIT in position 1, and the lambda reads ``x[1]`` plus ``acc[2..]``.
+  The accumulator MUST be a plain list, not a struct: DuckDB 1.0's
+  ``struct_pack`` inside a ``list_reduce`` lambda resolves ``acc``
+  field references inconsistently across fold steps (verified: step 1
+  reads the pre-step accumulator, step 2+ can read already-overwritten
+  fields), while list construction binds ``acc`` correctly. Spark uses
+  a struct accumulator (its HOF binding is sound) via
+  ``F.aggregate(slice(arr, 2, n-1), element_at(arr, 1), ...)`` — the
+  identical IEEE-754 op sequence, so doubles match bit-exactly;
+- quartile/decile cutoffs come from ``percentile`` / ``quantile_cont``
+  (same interpolation) computed as a 1-row aggregate broadcast back
+  over the rows (SURVEY D7) — NEVER a global ntile window, which would
+  funnel the whole table into one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from review_engine_spark.plans import declared
+from review_engine_spark.sources.io import read_parquet_table
+
+_CENTS = "CAST(floor({x} * 100 + 0.5) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — recency / frequency / monetary quartile scores per
+# customer. Scale: one shuffle on o_custkey for the per-customer rollup;
+# the nine quartile cutoffs are a 1-row aggregate broadcast back (D7) —
+# no global window, no sort. Score comparisons happen against exact
+# interpolated-double cutoffs, identical on both engines.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)
+               ) AS recency_days,
+               count(*) AS frequency,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    cut AS (
+        SELECT quantile_cont(recency_days, 0.25) AS r1,
+               quantile_cont(recency_days, 0.50) AS r2,
+               quantile_cont(recency_days, 0.75) AS r3,
+               quantile_cont(frequency, 0.25) AS f1,
+               quantile_cont(frequency, 0.50) AS f2,
+               quantile_cont(frequency, 0.75) AS f3,
+               quantile_cont(monetary_cents, 0.25) AS m1,
+               quantile_cont(monetary_cents, 0.50) AS m2,
+               quantile_cont(monetary_cents, 0.75) AS m3
+        FROM cust
+    )
+    SELECT o_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           monetary_cents,
+           CAST(1 + CASE WHEN recency_days < r3 THEN 1 ELSE 0 END
+                  + CASE WHEN recency_days < r2 THEN 1 ELSE 0 END
+                  + CASE WHEN recency_days < r1 THEN 1 ELSE 0 END
+                AS INTEGER) AS r_score,
+           CAST(1 + CASE WHEN frequency > f1 THEN 1 ELSE 0 END
+                  + CASE WHEN frequency > f2 THEN 1 ELSE 0 END
+                  + CASE WHEN frequency > f3 THEN 1 ELSE 0 END
+                AS INTEGER) AS f_score,
+           CAST(1 + CASE WHEN monetary_cents > m1 THEN 1 ELSE 0 END
+                  + CASE WHEN monetary_cents > m2 THEN 1 ELSE 0 END
+                  + CASE WHEN monetary_cents > m3 THEN 1 ELSE 0 END
+                AS INTEGER) AS m_score
+    FROM cust, cut
+    """
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count("*").alias("frequency"),
+        F.sum(F.expr(_CENTS.format(x="o_totalprice"))).alias("monetary_cents"),
+    )
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor_day"))
+    cust = (
+        cust.crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "recency_days", F.datediff("anchor_day", "last_day").cast("long")
+        )
+        .drop("last_day", "anchor_day")
+    )
+    cut = cust.agg(
+        *[
+            F.percentile(F.col(c), F.lit(q)).alias(f"{c[0]}{i}")
+            for c in ("recency_days", "frequency", "monetary_cents")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def _bucket(col: str, cuts: list[str], op) -> F.Column:
+        s = F.lit(1)
+        for c in cuts:
+            s = s + F.when(op(F.col(col), F.col(c)), 1).otherwise(0)
+        return s.cast("int")
+
+    return cust.crossJoin(F.broadcast(cut)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        _bucket("recency_days", ["r3", "r2", "r1"], F.Column.__lt__).alias(
+            "r_score"
+        ),
+        _bucket("frequency", ["f1", "f2", "f3"], F.Column.__gt__).alias("f_score"),
+        _bucket("monetary_cents", ["m1", "m2", "m3"], F.Column.__gt__).alias(
+            "m_score"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification — per-brand cumulative revenue share over
+# parts ranked by revenue. Partitioned by p_brand so the running sum is a
+# per-brand window (explicit ROWS frame: the default RANGE frame would
+# pool revenue ties), never a global sort. Scale: one shuffle on partkey
+# for the rollup, one on brand for the window; per-brand part counts are
+# catalog-bounded.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_partkey, p.p_brand,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                              + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_partkey, p.p_brand
+    ),
+    c AS (
+        SELECT p_partkey, p_brand, revenue_cents,
+               sum(revenue_cents) OVER (
+                   PARTITION BY p_brand
+                   ORDER BY revenue_cents DESC, p_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_cents,
+               sum(revenue_cents) OVER (PARTITION BY p_brand) AS tot_cents
+        FROM rev
+    )
+    SELECT p_partkey, p_brand, revenue_cents,
+           round(CAST(cum_cents AS DOUBLE) / tot_cents, 6) AS cum_share,
+           CASE WHEN CAST(cum_cents AS DOUBLE) / tot_cents <= 0.8 THEN 'A'
+                WHEN CAST(cum_cents AS DOUBLE) / tot_cents <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """
+)
+def q_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    part = read_parquet_table(spark, sf_dir, "part")
+    rev = (
+        li.join(part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_brand")
+        .agg(
+            F.sum(
+                F.expr(_CENTS.format(x="l_extendedprice * (1 - l_discount)"))
+            ).alias("revenue_cents")
+        )
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.desc("revenue_cents"), F.asc("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("p_brand")
+    share = F.col("cum_cents").cast("double") / F.col("tot_cents")
+    return (
+        rev.withColumn("cum_cents", F.sum("revenue_cents").over(w))
+        .withColumn("tot_cents", F.sum("revenue_cents").over(wt))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "revenue_cents",
+            F.round(share, 6).alias("cum_share"),
+            F.when(share <= 0.8, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules — directed part→part rules with support, confidence
+# and lift from within-order baskets. Pairs come from the basket-array
+# nested explode (i<j, one pass, NO self-join — recommend.py:102 pattern)
+# and are symmetrized after counting; item supports are catalog-scaled so
+# the final joins are left to AQE (broadcast only if actually small).
+# All three metrics are exact-integer ratios evaluated with the same
+# formula text on both engines.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM basket),
+    cnt AS (SELECT l_partkey, count(*) AS c FROM basket GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS c
+        FROM basket a
+        JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT i, j, c FROM pairs UNION ALL SELECT j, i, c FROM pairs
+    )
+    SELECT s.i AS antecedent, s.j AS consequent,
+           CAST(s.c AS BIGINT) AS together,
+           CAST(s.c AS DOUBLE) / n.n_orders AS support,
+           CAST(s.c AS DOUBLE) / ci.c AS confidence,
+           CAST(s.c AS DOUBLE) * n.n_orders / (ci.c * cj.c) AS lift
+    FROM sym s
+    JOIN cnt ci ON ci.l_partkey = s.i
+    JOIN cnt cj ON cj.l_partkey = s.j
+    CROSS JOIN n
+    WHERE s.c >= 2
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 100
+    """
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = basket.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    cnt = basket.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    arrs = basket.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs = (
+        arrs.select(F.col("items"), F.explode("items").alias("i"))
+        .select(
+            "i", F.explode(F.filter("items", lambda x: x > F.col("i"))).alias("j")
+        )
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "c")
+    )
+    ci = cnt.select(F.col("l_partkey").alias("i"), F.col("c").alias("ci"))
+    cj = cnt.select(F.col("l_partkey").alias("j"), F.col("c").alias("cj"))
+    return (
+        sym.join(ci, "i")
+        .join(cj, "j")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("i").alias("antecedent"),
+            F.col("j").alias("consequent"),
+            F.col("c").cast("long").alias("together"),
+            (F.col("c").cast("double") / F.col("n_orders")).alias("support"),
+            (F.col("c").cast("double") / F.col("ci")).alias("confidence"),
+            (
+                F.col("c").cast("double")
+                * F.col("n_orders")
+                / (F.col("ci") * F.col("cj"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest — forecast each (event_type, day)'s
+# spend as the same weekday one week earlier; score MAPE / sMAPE / bias
+# per event_type. Daily cent sums are exact integers, so every error
+# ratio is the same double computed from the same integers on both
+# engines. Scale: the daily rollup is one shuffle; the lag-7 join is a
+# self-join of the (types × days)-sized rollup — calendar-bounded, tiny
+# relative to the fact table at any SF.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT a.event_type,
+               a.cents AS actual, f.cents AS forecast,
+               CAST(floor(1000000.0 * abs(a.cents - f.cents)
+                          / a.cents + 0.5) AS BIGINT) AS ape_micro,
+               CAST(floor(2000000.0 * abs(a.cents - f.cents)
+                          / (a.cents + f.cents) + 0.5) AS BIGINT) AS sape_micro
+        FROM daily a
+        JOIN daily f ON f.event_type = a.event_type
+                    AND CAST(f.day + INTERVAL 7 DAY AS DATE) = a.day
+        WHERE a.cents > 0
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(ape_micro) AS DOUBLE) / (1000000.0 * count(*)) AS mape,
+           CAST(sum(sape_micro) AS DOUBLE) / (1000000.0 * count(*)) AS smape,
+           CAST(sum(forecast) - sum(actual) AS DOUBLE)
+               / CAST(sum(actual) AS DOUBLE) AS bias
+    FROM j GROUP BY event_type
+    """
+)
+def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.expr(_CENTS.format(x="value"))).alias("cents"))
+    fc = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("cents").alias("forecast"),
+    )
+    j = (
+        daily.where(F.col("cents") > 0)
+        .withColumnRenamed("cents", "actual")
+        .join(fc, ["event_type", "day"])
+        .select(
+            "event_type",
+            "actual",
+            "forecast",
+            F.expr(
+                "CAST(floor(1000000.0 * abs(actual - forecast)"
+                " / actual + 0.5) AS BIGINT)"
+            ).alias("ape_micro"),
+            F.expr(
+                "CAST(floor(2000000.0 * abs(actual - forecast)"
+                " / (actual + forecast) + 0.5) AS BIGINT)"
+            ).alias("sape_micro"),
+        )
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        (
+            F.sum("ape_micro").cast("double") / (F.lit(1000000.0) * F.count("*"))
+        ).alias("mape"),
+        (
+            F.sum("sape_micro").cast("double") / (F.lit(1000000.0) * F.count("*"))
+        ).alias("smape"),
+        (
+            (F.sum("forecast") - F.sum("actual")).cast("double")
+            / F.sum("actual").cast("double")
+        ).alias("bias"),
+    )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (u, v) co-purchase edges: customers sharing a part whose
+    buyer count is in [2, 20]. Pair enumeration is the packed-BIGINT
+    array expansion from q_resource_allocation — one aggregation, no
+    self-join, 8-byte shuffle keys."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    up = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_partkey"), orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    per_part = (
+        up.groupBy("p")
+        .agg(F.array_sort(F.collect_list("u")).alias("us"), F.count("*").alias("deg"))
+        .where(F.col("deg").between(2, 20))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("us"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("us"), i + 2, F.greatest(F.size("us") - i - 1, F.lit(0))
+                ),
+                lambda y: x * F.lit(4294967296) + y,
+            ),
+        )
+    )
+    und = (
+        per_part.select(F.explode(pair_arr).alias("uu"))
+        .distinct()
+        .select(
+            F.expr("uu div 4294967296").alias("u"),
+            F.expr("uu % 4294967296").alias("v"),
+        )
+    )
+    return und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+_BFS_EDGE_SQL = """
+    up AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    keep AS (
+        SELECT p FROM up GROUP BY p HAVING count(*) BETWEEN 2 AND 20
+    ),
+    und AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM up a JOIN keep k ON a.p = k.p
+        JOIN up b ON b.p = a.p AND a.u < b.u
+    ),
+    edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und)
+"""
+
+
+# ---------------------------------------------------------------------------
+# BFS reachability levels — shortest hop-distance from the smallest
+# customer in the co-purchase graph, capped at 8 hops. Spark runs true
+# frontier BFS: each round expands only nodes at the current level, takes
+# a min-label groupBy, and localCheckpoints to keep the plan flat
+# (cluster.py's iterative idiom); the oracle is a recursive CTE whose
+# UNION-distinct collapses paths to (node, level) pairs. Scale: 8 bounded
+# shuffles over an edge list whose per-part fan-in is capped at 20.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle=f"""
+    WITH RECURSIVE {_BFS_EDGE_SQL},
+    src AS (SELECT min(u) AS s FROM edges),
+    bfs(node, lvl) AS (
+        SELECT s, 0 FROM src
+        UNION
+        SELECT e.v, b.lvl + 1
+        FROM bfs b JOIN edges e ON e.u = b.node
+        WHERE b.lvl < 8
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(min(lvl) AS BIGINT) AS lvl
+    FROM bfs GROUP BY node
+    """
+)
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    src = edges.agg(F.min("u").alias("s")).collect()[0]["s"]  # 1 row: bounded
+    levels = spark.createDataFrame([(src, 0)], "node long, lvl long")
+    for i in range(8):
+        frontier = levels.where(F.col("lvl") == i).select(
+            F.col("node").alias("u")
+        )
+        nxt = (
+            frontier.join(edges, "u")
+            .select(F.col("v").alias("node"), F.lit(i + 1).cast("long").alias("lvl"))
+            .distinct()
+        )
+        levels = (
+            levels.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("lvl").alias("lvl"))
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return levels.select(F.col("node").cast("long"), F.col("lvl").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing — level+trend double-exponential smoothing
+# per user (alpha=0.2, beta=0.1), the 2-state generalization of q_ewma.
+# The packed-fold trick makes it oracle-checkable: every element is
+# packed (v, l=v, b=0), so element 1 IS the correct fold init, and the
+# lambda reads only the observation plus the accumulator state. The l'
+# expression is textually duplicated inside b' on BOTH engines — same
+# IEEE tree, bit-identical — so level/trend ship as RAW doubles.
+# Scale: per-user histories are session-bounded; at unbounded history
+# this moves to applyInPandasWithState (streaming/jobs.py pattern).
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    SELECT user_id,
+           CAST(cnt AS BIGINT) AS n_events,
+           fin[2] AS level,
+           fin[3] AS trend,
+           fin[2] + 3 * fin[3] AS forecast_3
+    FROM (
+        SELECT user_id, count(*) AS cnt,
+               list_reduce(
+                   list([value, value, CAST(0.0 AS DOUBLE)]
+                        ORDER BY ts, event_id),
+                   (acc, x) -> [
+                       x[1],
+                       0.2 * x[1] + 0.8 * (acc[2] + acc[3]),
+                       0.1 * ((0.2 * x[1] + 0.8 * (acc[2] + acc[3])) - acc[2])
+                            + 0.9 * acc[3]]
+               ) AS fin
+        FROM events GROUP BY user_id
+    ) t
+    """
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: F.struct(
+            s.value.cast("double").alias("v"),
+            s.value.cast("double").alias("l"),
+            F.lit(0.0).alias("b"),
+        ),
+    )
+    l_new = lambda acc, x: F.lit(0.2) * x.v + F.lit(0.8) * (acc.l + acc.b)  # noqa: E731
+    fin = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, x: F.struct(
+            x.v.alias("v"),
+            l_new(acc, x).alias("l"),
+            (F.lit(0.1) * (l_new(acc, x) - acc.l) + F.lit(0.9) * acc.b).alias("b"),
+        ),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        fin.getField("l").alias("level"),
+        fin.getField("b").alias("trend"),
+        (fin.getField("l") + F.lit(3) * fin.getField("b")).alias("forecast_3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clamped inventory balance — per-part running stock where returns ('R')
+# restock and other lines draw down, the balance floors at zero, and
+# stockout events are counted. A max-plus recurrence with 2-variable
+# state (balance, stockouts) — same packed-fold contract as Holt, but in
+# exact BIGINT space end-to-end. Scale: one shuffle on partkey;
+# per-part movement lists are bounded by order velocity per SF window.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    SELECT p_partkey,
+           CAST(n_moves AS BIGINT) AS n_moves,
+           fin[2] AS end_balance,
+           fin[3] AS stockouts
+    FROM (
+        SELECT l_partkey AS p_partkey, count(*) AS n_moves,
+               list_reduce(
+                   list([CAST(CASE WHEN l_returnflag = 'R'
+                              THEN l_quantity ELSE -l_quantity END AS BIGINT),
+                         greatest(
+                             CAST(0 AS BIGINT),
+                             CAST(CASE WHEN l_returnflag = 'R'
+                                  THEN l_quantity ELSE -l_quantity END
+                                  AS BIGINT)),
+                         CAST(CASE WHEN l_returnflag <> 'R'
+                              THEN 1 ELSE 0 END AS BIGINT)]
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber),
+                   (acc, x) -> [
+                       x[1],
+                       greatest(CAST(0 AS BIGINT), acc[2] + x[1]),
+                       acc[3] + CASE WHEN acc[2] + x[1] < 0
+                                THEN 1 ELSE 0 END]
+               ) AS fin
+        FROM lineitem GROUP BY l_partkey
+    ) t
+    """
+)
+def q_inventory_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+        .otherwise(-F.col("l_quantity"))
+        .cast("long")
+        .alias("d"),
+    )
+    zero = F.lit(0).cast("long")
+    arr = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("l_shipdate", "l_orderkey", "l_linenumber", "d"))
+        ),
+        lambda s: F.struct(
+            s.d.alias("d"),
+            F.greatest(zero, s.d).alias("bal"),
+            F.when(s.d < 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("so"),
+        ),
+    )
+    fin = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, x: F.struct(
+            x.d.alias("d"),
+            F.greatest(zero, acc.bal + x.d).alias("bal"),
+            (acc.so + F.when(acc.bal + x.d < 0, 1).otherwise(0).cast("long")).alias(
+                "so"
+            ),
+        ),
+    )
+    return li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.count("*").alias("n_moves"),
+        fin.getField("bal").alias("end_balance"),
+        fin.getField("so").alias("stockouts"),
+    )
