@@ -56,19 +56,27 @@ def main() -> int:
     spark.read.parquet(f"{args.sf_dir}/part.parquet").count()
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name, fn in qs.items():
         best = None
+        ok = False
         for _ in range(args.repeat):
             t0 = time.perf_counter()
             try:
                 df = fn(spark, args.sf_dir)
-                n = df.count()
+                df.count()
+                ok = True
             except Exception as e:  # noqa: BLE001
                 print(f"# {name} FAILED: {e}", file=sys.stderr)
-                n = -1
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        if not ok:
+            failed.append(name)
+        # drop any persist/cache a query left behind: queries must be
+        # independent measurements, and 200+ accumulated MEMORY_AND_DISK
+        # persists otherwise squeeze the heap as the sweep progresses
+        spark.catalog.clearCache()
 
     m = re.search(r"sf([0-9.]+)", args.sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -83,6 +91,11 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(timings),
         "sec_per_query": round(sum(timings.values()) / max(len(timings), 1), 3),
+        # a query that raised in EVERY repeat contributes ~0s, silently
+        # deflating the total — count them loudly so a mid-run session
+        # death (e.g. a concurrent local Spark fighting for the same
+        # resources) can never masquerade as a speedup
+        "n_failed": len(failed),
     }
     # subset invocations (explicit query args) must not clobber the
     # full-roster sidecar the driver/analysis reads

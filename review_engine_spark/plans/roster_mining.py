@@ -475,6 +475,13 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("lvl").alias("lvl"))
             .localCheckpoint()
         )
+        # True BFS early exit: once no node sits at the new level, every
+        # later frontier is empty too — the remaining rounds are pure
+        # checkpoint overhead (dense co-purchase graphs have diameter
+        # 3-4, so this halves the round count). Identical result: the
+        # oracle's depth-8 recursion adds nothing past the fixpoint.
+        if levels.where(F.col("lvl") == i + 1).limit(1).count() == 0:
+            break
     edges.unpersist()
     return levels.select(F.col("node").cast("long"), F.col("lvl").cast("long"))
 
@@ -616,4 +623,172 @@ def q_inventory_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_moves"),
         fin.getField("bal").alias("end_balance"),
         fin.getField("so").alias("stockouts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid-cell spatial kNN — top-3 nearest customers by planar distance,
+# the scalable spatial-join shape: points hash to fixed grid cells, each
+# probe expands to its 3x3 cell neighborhood (a 9-row explode, then an
+# equi-join on cell id — never an all-pairs or theta join), and a
+# per-cell candidate cap (64, first-by-key) bounds pair volume linearly
+# in the point count — the same boilerplate-guard idiom as
+# recommend.py's max_basket. Coordinates derive from a Lehmer LCG on the
+# key and distances stay in exact BIGINT (squared milli-degrees): no
+# transcendental haversine, whose libm results are not bit-portable
+# across engines. At 100 TB the cell id is also the natural partition /
+# Z-order key (q_zorder_key).
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey * 48271) % 180000 AS xi,
+               (c_custkey * 16807) % 360000 AS yi
+        FROM customer
+    ),
+    cells AS (
+        SELECT c_custkey, xi, yi,
+               CAST(floor(xi / 7500.0) AS BIGINT) AS cx,
+               CAST(floor(yi / 7500.0) AS BIGINT) AS cy
+        FROM pts
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT c_custkey, xi, yi, cx, cy,
+                   row_number() OVER (
+                       PARTITION BY cx, cy ORDER BY c_custkey) AS rn
+            FROM cells
+        ) WHERE rn <= 64
+    ),
+    cand AS (
+        SELECT p.c_custkey AS src, k.c_custkey AS nbr,
+               (p.xi - k.xi) * (p.xi - k.xi)
+               + (p.yi - k.yi) * (p.yi - k.yi) AS d2
+        FROM cells p
+        JOIN kept k
+          ON k.cx BETWEEN p.cx - 1 AND p.cx + 1
+         AND k.cy BETWEEN p.cy - 1 AND p.cy + 1
+         AND k.c_custkey <> p.c_custkey
+    )
+    SELECT src, nbr, d2, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT src, nbr, d2,
+               row_number() OVER (
+                   PARTITION BY src ORDER BY d2, nbr) AS rn
+        FROM cand
+    ) WHERE rn <= 3
+    """
+)
+def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") * 48271 % 180000).alias("xi"),
+        (F.col("c_custkey") * 16807 % 360000).alias("yi"),
+    )
+    cells = cust.select(
+        "c_custkey",
+        "xi",
+        "yi",
+        F.floor(F.col("xi") / 7500.0).alias("cx"),
+        F.floor(F.col("yi") / 7500.0).alias("cy"),
+    )
+    wcell = Window.partitionBy("cx", "cy").orderBy("c_custkey")
+    kept = (
+        cells.withColumn("rn", F.row_number().over(wcell))
+        .where(F.col("rn") <= 64)
+        .select(
+            F.col("c_custkey").alias("nbr"),
+            F.col("xi").alias("xj"),
+            F.col("yi").alias("yj"),
+            "cx",
+            "cy",
+        )
+    )
+    # probe side: 9-row neighborhood explode -> plain equi-join on cell
+    probe = cells.select(
+        F.col("c_custkey").alias("src"),
+        "xi",
+        "yi",
+        F.explode(
+            F.array(*[F.lit(d) for d in (-1, 0, 1)])
+        ).alias("dx"),
+        "cx",
+        "cy",
+    ).select(
+        "src",
+        "xi",
+        "yi",
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        F.explode(
+            F.array(*[(F.col("cy") + F.lit(d)) for d in (-1, 0, 1)])
+        ).alias("cy"),
+    )
+    cand = probe.join(kept, ["cx", "cy"]).where(F.col("src") != F.col("nbr"))
+    d2 = (F.col("xi") - F.col("xj")) * (F.col("xi") - F.col("xj")) + (
+        F.col("yi") - F.col("yj")
+    ) * (F.col("yi") - F.col("yj"))
+    wsrc = Window.partitionBy("src").orderBy("d2", "nbr")
+    return (
+        cand.select("src", "nbr", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wsrc).cast("long"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal decomposition — per event type, each weekday's
+# spend index relative to the type's overall daily mean. Both factors
+# are exact integer (cent-sum, count) ratios combined in one shared
+# double expression. Scale: two hash aggregates over the fact table,
+# a 5-row broadcast back — nothing keyed wider than (type, dow).
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    bydow AS (
+        SELECT event_type, dayofweek(day) AS dow,
+               CAST(sum(cents) AS BIGINT) AS dow_cents,
+               count(*) AS dow_days
+        FROM daily GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(sum(cents) AS BIGINT) AS tot_cents,
+               count(*) AS tot_days
+        FROM daily GROUP BY 1
+    )
+    SELECT b.event_type, CAST(b.dow AS INTEGER) AS dow,
+           b.dow_cents, CAST(b.dow_days AS BIGINT) AS dow_days,
+           CAST(b.dow_cents AS DOUBLE) * t.tot_days
+               / (CAST(b.dow_days AS DOUBLE) * t.tot_cents) AS dow_index
+    FROM bydow b JOIN tot t ON b.event_type = t.event_type
+    """
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.expr(_CENTS.format(x="value"))).alias("cents"))
+    bydow = daily.groupBy(
+        "event_type", (F.dayofweek("day") - 1).cast("int").alias("dow")
+    ).agg(F.sum("cents").alias("dow_cents"), F.count("*").alias("dow_days"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("cents").alias("tot_cents"), F.count("*").alias("tot_days")
+    )
+    return bydow.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "dow_cents",
+        "dow_days",
+        (
+            F.col("dow_cents").cast("double")
+            * F.col("tot_days")
+            / (F.col("dow_days").cast("double") * F.col("tot_cents"))
+        ).alias("dow_index"),
     )

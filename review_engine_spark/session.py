@@ -82,6 +82,16 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if master.startswith("local"):
+        # Local mode packs every "executor" thread into ONE driver JVM,
+        # whose default 1 g heap is the per-executor-GB equivalent of a
+        # 32-core executor with 32 MB each — measured to OOM a 32-thread
+        # full-roster sweep at sf0.1 once session state accumulates. Size
+        # it like a real executor instead (only effective at JVM launch;
+        # a no-op via getOrCreate on a live session).
+        conf.setdefault(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
