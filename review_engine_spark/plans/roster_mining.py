@@ -792,3 +792,27 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("dow_days").cast("double") * F.col("tot_cents"))
         ).alias("dow_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static dimension join (streaming/jobs.py:run_stream_static_join)
+# — live events enriched against a broadcast customer-segment snapshot,
+# aggregated per (segment, event_type). Stateless on the join (the
+# static side re-resolves per micro-batch; no join state), stateful only
+# in the aggregate; over the finite source in complete mode the result
+# equals the batch join+GROUP BY the oracle runs.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY 1, 2
+    """
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from review_engine_spark.streaming.jobs import run_stream_static_join
+
+    return run_stream_static_join(spark, sf_dir)

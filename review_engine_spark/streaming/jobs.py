@@ -644,3 +644,50 @@ def run_zscore_stateful(
         q.awaitTermination(30)
     out = spark.table(name)
     return spark.createDataFrame(out.toPandas(), out.schema)
+
+
+def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the canonical streaming-dimension
+    pattern: a live event feed joined to a slowly-changing dimension
+    snapshot (customer segments), then aggregated per segment.
+
+    Stream-static joins are STATELESS on the stream side — the static
+    relation is planned like any batch side (broadcast here: a
+    dimension), re-resolved per micro-batch, so no watermark or join
+    state is needed; only the downstream aggregation keeps state. That
+    is why this shape scales to unbounded streams where a stream-stream
+    join of the same data would accumulate join state forever.
+
+    Complete-mode memory sink over the finite source makes the result
+    equal to the batch join+aggregate, which is exactly what the
+    roster oracle (plain SQL on the same tables) checks.
+    """
+    from review_engine_spark.sources.io import read_parquet_table
+
+    stream = _events_stream(spark, sf_dir)
+    dim = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        F.broadcast(dim), stream.user_id + 1 == dim.c_custkey
+    )
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).alias(
+            "total_cents"
+        ),
+    )
+    name = "stream_static_out"
+    with _state_partitions(spark, 8), tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    out = spark.table(name)
+    return spark.createDataFrame(out.toPandas(), out.schema)
