@@ -816,3 +816,57 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from review_engine_spark.streaming.jobs import run_stream_static_join
 
     return run_stream_static_join(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy (BOM) rollup — subtree revenue for every node of the part
+# assembly tree (parent of k = k >> 1, root 1). Instead of an iterative
+# bottom-up aggregation or a recursive join, each part's pre-aggregated
+# revenue explodes to its ancestor-or-self CHAIN (k >> g, g = 0..39 —
+# pure integer shifts, depth = log2(catalog)), then one hash aggregate
+# per ancestor. Fixed-depth denormalization is THE scalable shape for
+# hierarchy rollups: per-row fanout is log-bounded, there is exactly one
+# shuffle, and no join or iteration at all — at 100 TB the explode runs
+# on the (catalog-bounded) per-part rollup, never the fact table.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey + 1 AS k,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                              + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1
+    ),
+    anc AS (
+        SELECT r.k, r.cents, r.k >> g AS a
+        FROM rev r, generate_series(0, 39) s(g)
+        WHERE (r.k >> g) >= 1
+    )
+    SELECT a AS node,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(cents) AS BIGINT) AS subtree_cents
+    FROM anc GROUP BY a
+    """
+)
+def q_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    # node ids are partkey+1: the fixture's keys are 0-based, and node 0
+    # would shift to itself forever — it must not be a silent orphan
+    rev = li.groupBy((F.col("l_partkey") + 1).alias("k")).agg(
+        F.sum(
+            F.expr(_CENTS.format(x="l_extendedprice * (1 - l_discount)"))
+        ).alias("cents")
+    )
+    anc = rev.select(
+        "cents",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, 39), g -> shiftright(k, g)),"
+                " a -> a >= 1)"
+            )
+        ).alias("a"),
+    )
+    return anc.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("n_members"),
+        F.sum("cents").alias("subtree_cents"),
+    )

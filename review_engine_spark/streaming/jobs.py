@@ -75,16 +75,27 @@ def _events_stream(
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    batch = spark.read.option("pathGlobFilter", path_glob).parquet(sf_dir)
+    # the fixture stores a table as a single FILE (<dir>/events.parquet),
+    # Spark-written corpora (stress replicas, sinks) as a DIRECTORY of
+    # part files — pathGlobFilter matches file BASENAMES, so point the
+    # reader at the directory layout directly when that's what exists
+    import os
+
+    table_dir = os.path.join(sf_dir, path_glob)
+    if os.path.isdir(table_dir):
+        src_path, glob_opt = table_dir, None
+    else:
+        src_path, glob_opt = sf_dir, path_glob
+
+    def _opt(r):
+        return r.option("pathGlobFilter", glob_opt) if glob_opt else r
+
+    batch = _opt(spark.read).parquet(src_path)
     ts_type = dict(batch.dtypes).get("ts")
-    reader = (
-        spark.readStream.schema(batch.schema)
-        .format("parquet")
-        .option("pathGlobFilter", path_glob)
-    )
+    reader = _opt(spark.readStream.schema(batch.schema).format("parquet"))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.load(sf_dir)
+    stream = reader.load(src_path)
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":

@@ -1,0 +1,177 @@
+"""Independent-reference checks for the mining/forecasting roster.
+
+The DuckDB oracles prove cross-engine agreement; these tests prove the
+SEMANTICS against third implementations: pure-Python recurrences for the
+Holt and clamped-balance folds, statsmodels-free Holt math, a dict-BFS
+for the reachability levels, and brute-force candidate generation for
+the grid kNN. Plus a canary for the DuckDB 1.0 ``list_reduce`` +
+``struct_pack`` accumulator bug that forced the list-accumulator oracle
+encoding (roster_mining module docstring): if a DuckDB upgrade fixes the
+struct binding, this test starts failing and the workaround note can be
+revisited.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from review_engine_spark.plans.roster_mining import (
+    q_bfs_levels,
+    q_bom_rollup,
+    q_geo_knn,
+    q_holt_linear,
+    q_inventory_balance,
+)
+from review_engine_spark.sources.io import read_parquet_table
+
+
+def test_duckdb_struct_fold_still_broken():
+    """DuckDB 1.0 resolves ``acc.field`` inconsistently across steps of a
+    struct-accumulator list_reduce (correct answer here: l=11, b=105 —
+    the list-accumulator form returns it, the struct form does not)."""
+    con = duckdb.connect()
+    lst = con.execute(
+        """
+        SELECT list_reduce([[CAST(1 AS DOUBLE), CAST(100 AS DOUBLE)],
+                            [CAST(2 AS DOUBLE), CAST(200 AS DOUBLE)],
+                            [CAST(3 AS DOUBLE), CAST(300 AS DOUBLE)]],
+         (acc, x) -> [acc[1] * 2 + x[1], acc[2] + acc[1]])
+        """
+    ).fetchone()[0]
+    assert lst == [11.0, 105.0]
+    st = con.execute(
+        """
+        SELECT list_reduce(
+          [struct_pack(l:=CAST(1 AS DOUBLE), b:=CAST(100 AS DOUBLE)),
+           struct_pack(l:=CAST(2 AS DOUBLE), b:=CAST(200 AS DOUBLE)),
+           struct_pack(l:=CAST(3 AS DOUBLE), b:=CAST(300 AS DOUBLE))],
+          (acc, x) -> struct_pack(l := acc.l * 2 + x.l, b := acc.b + acc.l))
+        """
+    ).fetchone()[0]
+    assert st["l"] == 11.0
+    if st["b"] == 105.0:
+        pytest.fail(
+            "DuckDB fixed the struct-accumulator list_reduce binding — "
+            "the list-encoding workaround in roster_mining oracles can "
+            "be revisited (it stays correct either way)"
+        )
+
+
+def _events_seq(spark, sf_dir):
+    pdf = (
+        read_parquet_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    return pdf.groupby("user_id")["value"].apply(list)
+
+
+def test_holt_linear_matches_python_recurrence(spark, sf_dir):
+    got = {
+        r["user_id"]: (r["level"], r["trend"], r["forecast_3"])
+        for r in q_holt_linear(spark, sf_dir).collect()
+    }
+    for uid, vs in _events_seq(spark, sf_dir).items():
+        lvl, b = vs[0], 0.0
+        for x in vs[1:]:
+            l_new = 0.2 * x + 0.8 * (lvl + b)
+            b = 0.1 * (l_new - lvl) + 0.9 * b
+            lvl = l_new
+        # identical IEEE op sequence on both sides -> exact equality
+        assert got[uid] == (lvl, b, lvl + 3 * b), uid
+
+
+def test_inventory_balance_matches_python_replay(spark, sf_dir):
+    got = {
+        r["p_partkey"]: (r["n_moves"], r["end_balance"], r["stockouts"])
+        for r in q_inventory_balance(spark, sf_dir).collect()
+    }
+    li = (
+        read_parquet_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber",
+            "l_returnflag", "l_quantity",
+        )
+        .toPandas()
+        .sort_values(["l_partkey", "l_shipdate", "l_orderkey", "l_linenumber"])
+    )
+    for pk, grp in li.groupby("l_partkey"):
+        bal = so = n = 0
+        for rf, q in zip(grp["l_returnflag"], grp["l_quantity"]):
+            d = int(q) if rf == "R" else -int(q)
+            if bal + d < 0:
+                so += 1
+            bal = max(0, bal + d)
+            n += 1
+        assert got[pk] == (n, bal, so), pk
+
+
+def test_bfs_levels_matches_dict_bfs(spark, sf_dir):
+    from collections import deque
+
+    from review_engine_spark.plans.roster_mining import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir).collect()
+    adj: dict[int, set[int]] = {}
+    for r in edges:
+        adj.setdefault(r["u"], set()).add(r["v"])
+    src = min(adj)
+    lvl = {src: 0}
+    dq = deque([src])
+    while dq:
+        u = dq.popleft()
+        if lvl[u] >= 8:
+            continue
+        for v in adj.get(u, ()):
+            if v not in lvl:
+                lvl[v] = lvl[u] + 1
+                dq.append(v)
+    got = {r["node"]: r["lvl"] for r in q_bfs_levels(spark, sf_dir).collect()}
+    assert got == lvl
+
+
+def test_geo_knn_is_true_knn_within_neighborhood(spark, sf_dir):
+    """Each reported neighbor list must equal brute-force top-3 among the
+    3x3-cell candidates (per-cell cap never binds at sf0.001)."""
+    rows = q_geo_knn(spark, sf_dir).collect()
+    pts = {}
+    cust = read_parquet_table(spark, sf_dir, "customer").select("c_custkey").toPandas()
+    for k in cust["c_custkey"]:
+        k = int(k)
+        xi, yi = k * 48271 % 180000, k * 16807 % 360000
+        pts[k] = (xi, yi, xi // 7500, yi // 7500)
+    got: dict[int, list[tuple]] = {}
+    for r in rows:
+        got.setdefault(r["src"], []).append((r["rn"], r["nbr"], r["d2"]))
+    for src, (xi, yi, cx, cy) in pts.items():
+        cand = [
+            ((xi - x2) ** 2 + (yi - y2) ** 2, k2)
+            for k2, (x2, y2, cx2, cy2) in pts.items()
+            if k2 != src and abs(cx2 - cx) <= 1 and abs(cy2 - cy) <= 1
+        ]
+        want = sorted(cand)[:3]
+        have = sorted(got.get(src, []))
+        assert [(d, k) for d, k in want] == [(d2, n) for _, n, d2 in have], src
+
+
+def test_bom_rollup_root_totals(spark, sf_dir):
+    """The root (node 1) subtree covers every part — including partkey 0,
+    which only joins the tree because nodes are partkey+1 — so its
+    rollup must equal the whole-table revenue and part count."""
+    out = {r["node"]: r for r in q_bom_rollup(spark, sf_dir).collect()}
+    li = read_parquet_table(spark, sf_dir, "lineitem").toPandas()
+    cents = (
+        (li["l_extendedprice"] * (1 - li["l_discount"]) * 100 + 0.5)
+        .apply(int)  # floor for positive values
+        .groupby(li["l_partkey"] + 1)
+        .sum()
+    )
+    assert out[1]["subtree_cents"] == int(cents.sum())
+    assert out[1]["n_members"] == li["l_partkey"].nunique()
+    # spot-check an interior node: subtree = k and k's descendants
+    k = 6
+    members = [p for p in cents.index if any(p >> g == k for g in range(0, 40))]
+    assert out[k]["n_members"] == len(members)
+    assert out[k]["subtree_cents"] == int(cents.loc[members].sum())

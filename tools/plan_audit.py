@@ -324,6 +324,42 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
          "disjunctive brand/size predicate pushes into the part scan"),
         (False, r"CartesianProduct", "partkey equi-conjunct stays the join key"),
     ],
+    "q_rfm": [
+        (True, r"BroadcastNestedLoopJoin|BroadcastExchange",
+         "quartile cutoffs are a 1-row broadcast, not a global window"),
+        (False, r"Exchange SinglePartition", "no global single-partition stage"),
+    ],
+    "q_abc_class": [
+        (False, r"Exchange SinglePartition",
+         "Pareto running sum stays partitioned per brand"),
+        (False, r"CartesianProduct", "revenue rollup is an equi-join"),
+    ],
+    "q_assoc_rules": [
+        (False, r"CartesianProduct", "pairs come from basket explode"),
+        (True, r"Generate\b[\s\S]{0,200}?explode\(", "pair generation is an explode, not a self-join"),
+    ],
+    "q_geo_knn": [
+        (False, r"CartesianProduct|BroadcastNestedLoopJoin",
+         "3x3 neighborhood probing is an equi-join on cell id"),
+        (False, r"Exchange SinglePartition", "top-3 windows partition by src"),
+    ],
+    "q_bom_rollup": [
+        (False, r"Join", "ancestor-chain explode needs no join at all"),
+        (True, r"Generate\b[\s\S]{0,200}?explode\(", "hierarchy denormalizes via explode"),
+        (True, r"partial_", "subtree sums partial-aggregate map-side"),
+    ],
+    "q_holt_linear": [
+        (False, r"Exchange SinglePartition", "fold shuffles once on user_id"),
+        (False, r"Join", "recurrence is one grouped fold, no join"),
+    ],
+    "q_inventory_balance": [
+        (False, r"Exchange SinglePartition", "fold shuffles once on partkey"),
+        (False, r"Join", "running balance is one grouped fold, no join"),
+    ],
+    "q_seasonal_naive": [
+        (False, r"CartesianProduct", "lag-7 forecast is an equi-join on (type, day)"),
+        (True, r"partial_", "daily cent sums partial-aggregate map-side"),
+    ],
 }
 
 
