@@ -870,3 +870,105 @@ def q_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.sum("cents").alias("subtree_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (Spark 4 procedural SQL) — bisection search for the
+# smallest 10-unit price threshold covering half the orders, run as a
+# BEGIN/DECLARE/WHILE script: each probe is a full declarative COUNT the
+# cluster executes in parallel; only the ~16-step bisection control flow
+# is procedural (log2 of the price range — the loop never scans rows
+# itself). The oracle derives the same threshold in closed form from the
+# explicit k-th order statistic: f(t) = count(price <= t) is monotone,
+# so the smallest qualifying multiple of 10 is 10*ceil(x_k/10) for the
+# first rank with rank*2 >= n.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH o AS (
+        SELECT o_totalprice AS p,
+               row_number() OVER (ORDER BY o_totalprice) AS rn,
+               count(*) OVER () AS c
+        FROM orders
+    ),
+    kth AS (
+        SELECT p, c FROM o WHERE rn * 2 >= c ORDER BY rn LIMIT 1
+    )
+    SELECT CAST(10 * ceil(p / 10.0) AS BIGINT) AS threshold,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_totalprice <= 10 * ceil(kth.p / 10.0)) AS DOUBLE)
+               / c AS covered_frac
+    FROM kth
+    """
+)
+def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("v_script_orders")
+    hi0 = orders.agg(
+        F.expr("CAST(10 * ceil(max(o_totalprice) / 10.0) AS BIGINT)").alias("h")
+    ).collect()[0]["h"]  # 1 row: bounded
+    return spark.sql(f"""
+    BEGIN
+      DECLARE lo BIGINT DEFAULT 0;
+      DECLARE hi BIGINT DEFAULT {hi0};
+      DECLARE mid BIGINT;
+      DECLARE n BIGINT;
+      SET n = (SELECT count(*) FROM v_script_orders);
+      WHILE hi - lo > 10 DO
+        SET mid = 10 * ((lo DIV 10 + hi DIV 10) DIV 2);
+        IF (SELECT count(*) FROM v_script_orders
+            WHERE o_totalprice <= mid) * 2 >= n THEN
+          SET hi = mid;
+        ELSE
+          SET lo = mid;
+        END IF;
+      END WHILE;
+      SELECT hi AS threshold,
+             CAST((SELECT count(*) FROM v_script_orders
+                   WHERE o_totalprice <= hi) AS DOUBLE) / n AS covered_frac;
+    END
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Collated aggregation (Spark 4 string collations) — case-insensitive
+# revenue rollup per part name via UTF8_LCASE, over a deterministically
+# case-mangled name column (even keys uppercase). The collation drives
+# the GROUP BY hash/equality in the JVM (no lower() materialized on the
+# grouping path); the emitted key is lower()-normalized because the
+# surviving representative within a collation group is
+# partitioning-dependent. Oracle mirrors with lower() grouping.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    SELECT lower(p_name) AS name_ci,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                    ELSE p_name END AS p_name,
+               p_retailprice
+        FROM part
+    ) GROUP BY lower(p_name)
+    """
+)
+def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_parquet_table(spark, sf_dir, "part").select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name"))
+        .otherwise(F.col("p_name"))
+        .alias("p_name"),
+        "p_retailprice",
+    )
+    return (
+        part.groupBy(F.expr("p_name COLLATE UTF8_LCASE").alias("k"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.expr(_CENTS.format(x="p_retailprice"))).alias("price_cents"),
+        )
+        .select(
+            F.lower(F.col("k").cast("string")).alias("name_ci"),
+            "n_parts",
+            "price_cents",
+        )
+    )
