@@ -972,3 +972,53 @@ def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom STREAMING Python data source (PySpark 4
+# SimpleDataSourceStreamReader) — the streaming half of the
+# q_python_datasource connector: offsets are row positions, each
+# micro-batch advances ≤100 rows, and readBetweenOffsets regenerates
+# any committed slice, which is the deterministic-replay contract that
+# gives a custom source exactly-once recovery. Drained over the finite
+# 1000-row LCG stream, the appended result equals the batch read — the
+# same closed-form oracle replays it.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    SELECT g AS row_id,
+           CAST(g // 250 AS INT) AS part,
+           round((((g % 2147483648) * 1103515245 + 12345) % 2147483648)
+                 / 2147483648.0, 6) AS val
+    FROM (SELECT unnest(generate_series(0, 999)) AS g)
+    """
+)
+def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from review_engine_spark.sources.python_datasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("parts", "4")
+        .option("rows_per_part", "250")
+        .option("rows_per_batch", "100")
+        .load()
+    )
+    name = "python_stream_source_out"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    out = spark.table(name)
+    return spark.createDataFrame(out.toPandas(), out.schema)

@@ -56,7 +56,50 @@ class SyntheticDocsDataSource(DataSource):
     def reader(self, schema):  # noqa: ARG002 - fixed schema source
         return _SyntheticReader(self.options)
 
+    def simpleStreamReader(self, schema):  # noqa: ARG002 - fixed schema
+        return _SyntheticSimpleStreamReader(self.options)
+
 
 def register_synthetic_source(spark) -> None:
     """Idempotent per-session registration (re-registering overwrites)."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+class _SyntheticSimpleStreamReader:
+    """Streaming half of the connector (PySpark 4
+    ``SimpleDataSourceStreamReader``): offsets are plain row positions,
+    ``read`` advances at most ``rows_per_batch`` per micro-batch, and
+    ``readBetweenOffsets`` regenerates any [start, end) slice — the
+    deterministic-replay contract that gives a custom source
+    exactly-once recovery (a retried batch re-reads the identical
+    rows). Same LCG rows as the batch reader, so batch, stream, and the
+    DuckDB oracle all produce the same byte stream."""
+
+    def __init__(self, options):
+        self.parts = int(options.get("parts", 4))
+        self.rows_per_part = int(options.get("rows_per_part", 250))
+        self.batch = int(options.get("rows_per_batch", 100))
+        self.total = self.parts * self.rows_per_part
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start):
+        s = int(start["offset"])
+        e = min(s + self.batch, self.total)
+        # a list ITERATOR, not a generator: the runtime advances and then
+        # pickles the prefetched remainder to cache it for the planned
+        # micro-batch, and generators don't pickle
+        return iter(self._rows(s, e)), {"offset": e}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(int(start["offset"]), int(end["offset"])))
+
+    def commit(self, end):  # noqa: ARG002 - nothing to clean up
+        pass
+
+    def _rows(self, s, e):
+        return [
+            (g, g // self.rows_per_part, round(((g % _M) * 1103515245 + 12345) % _M / _M, 6))
+            for g in range(s, e)
+        ]

@@ -36,3 +36,36 @@ def test_synthetic_source_value_set_invariant_to_partitioning(spark):
     a = {(r["row_id"], r["val"]) for r in _read(spark, 3, 40).collect()}
     b = {(r["row_id"], r["val"]) for r in _read(spark, 6, 20).collect()}
     assert a == b
+
+
+def test_stream_reader_replay_contract():
+    """readBetweenOffsets must regenerate exactly the rows the original
+    read() emitted for the same offset range — the exactly-once
+    recovery contract — and the concatenated micro-batches must equal
+    the batch reader's full output."""
+    from review_engine_spark.sources.python_datasource import (
+        _SyntheticReader,
+        _SyntheticSimpleStreamReader,
+    )
+
+    opts = {"parts": "4", "rows_per_part": "250", "rows_per_batch": "100"}
+    r = _SyntheticSimpleStreamReader(opts)
+    off = r.initialOffset()
+    all_rows, batches = [], 0
+    while True:
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if not rows:
+            assert nxt == off  # idle source: offset must not advance
+            break
+        assert list(r.readBetweenOffsets(off, nxt)) == rows
+        all_rows.extend(rows)
+        off = nxt
+        batches += 1
+    assert batches == 10
+    batch_rows = [
+        row
+        for p in _SyntheticReader(opts).partitions()
+        for row in _SyntheticReader(opts).read(p)
+    ]
+    assert sorted(all_rows) == sorted(batch_rows)
