@@ -385,6 +385,9 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
         .distinct()
     )
+    # distinct + collect_list, NOT a fused collect_set groupBy: measured
+    # slower in q_resource_allocation (object-set partials cost more
+    # than the ~10 MB shuffle that hash-distinct adds)
     per_part = (
         up.groupBy("p")
         .agg(F.array_sort(F.collect_list("u")).alias("us"), F.count("*").alias("deg"))

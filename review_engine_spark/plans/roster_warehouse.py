@@ -871,7 +871,10 @@ def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kept part's (bounded, ≤50) user list, and the C(deg,2) pairs expand
     # narrowly from the materialized array — the base join+distinct is
     # computed once instead of once per self-join side, and the only other
-    # shuffle is the final per-pair score aggregation.
+    # shuffle is the final per-pair score aggregation. (Measured: fusing
+    # the dedup into a collect_set groupBy is SLOWER — 7.4s vs 5.5s at
+    # sf0.1 — because hash-distinct of near-distinct rows is cheaper than
+    # object-set partial aggregation, and the saved shuffle is ~10 MB.)
     per_part = (
         up.groupBy("p")
         .agg(
