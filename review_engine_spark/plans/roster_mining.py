@@ -1025,3 +1025,104 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(30)
     out = spark.table(name)
     return spark.createDataFrame(out.toPandas(), out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth — revenue per (brand, year) with the prior
+# year's figure and growth rate via a lag window partitioned by brand.
+# Growth is one shared double expression over exact cent integers (NULL
+# for a brand's first year / a zero prior year). Scale: one shuffle for
+# the rollup, one per-brand window over a years-per-brand-sized
+# partition — calendar-bounded.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH yr AS (
+        SELECT p.p_brand, CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                              * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p_brand, yr, cents,
+           lag(cents) OVER w AS prev_cents,
+           CASE WHEN lag(cents) OVER w > 0
+                THEN CAST(cents - lag(cents) OVER w AS DOUBLE)
+                     / lag(cents) OVER w
+           END AS yoy_growth
+    FROM yr
+    WINDOW w AS (PARTITION BY p_brand ORDER BY yr)
+    """
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    part = read_parquet_table(spark, sf_dir, "part")
+    yr = (
+        li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == orders.o_orderkey)
+        .join(part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.sum(
+                F.expr(_CENTS.format(x="l_extendedprice * (1 - l_discount)"))
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("yr")
+    prev = F.lag("cents").over(w)
+    return yr.select(
+        "p_brand",
+        "yr",
+        "cents",
+        prev.alias("prev_cents"),
+        F.when(prev > 0, (F.col("cents") - prev).cast("double") / prev).alias(
+            "yoy_growth"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning customers — per month, how many ordering customers
+# are placing their FIRST order vs coming back. First-order month is a
+# per-customer min aggregate joined back to the distinct
+# (month, customer) activity — an equi-join on custkey, no window over
+# the fact table. Scale: two hash aggregates + one key join.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT o_custkey,
+               date_trunc('month', o_orderdate) AS mon
+        FROM orders
+    ),
+    first AS (
+        SELECT o_custkey, min(mon) AS first_mon FROM act GROUP BY 1
+    )
+    SELECT a.mon,
+           CAST(count(*) AS BIGINT) AS active_customers,
+           CAST(sum(CASE WHEN a.mon = f.first_mon THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_customers,
+           CAST(sum(CASE WHEN a.mon <> f.first_mon THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_customers
+    FROM act a JOIN first f ON f.o_custkey = a.o_custkey
+    GROUP BY a.mon
+    """
+)
+def q_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    # month stays TIMESTAMP on both engines: a DATE output column would
+    # canonicalize as datetime.date on the Spark side but datetime64 via
+    # DuckDB's fetchdf (pandas has no date dtype) and hash-mismatch
+    act = orders.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("mon")
+    ).distinct()
+    first = act.groupBy("o_custkey").agg(F.min("mon").alias("first_mon"))
+    j = act.join(first, "o_custkey")
+    is_new = F.when(F.col("mon") == F.col("first_mon"), 1).otherwise(0)
+    return j.groupBy("mon").agg(
+        F.count("*").alias("active_customers"),
+        F.sum(is_new).alias("new_customers"),
+        F.sum(1 - is_new).alias("returning_customers"),
+    )

@@ -69,3 +69,43 @@ def test_stream_reader_replay_contract():
         for row in _SyntheticReader(opts).read(p)
     ]
     assert sorted(all_rows) == sorted(batch_rows)
+
+
+def test_stream_source_checkpoint_recovery(spark, tmp_path):
+    """Offsets continue across a query restart: run 1 drains a 500-row
+    stream to a parquet sink; run 2 reuses the SAME checkpoint against a
+    grown (1000-row) source and must append exactly rows 500..999 —
+    no re-emission, no gap (exactly-once across restarts)."""
+    from review_engine_spark.sources.python_datasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain(parts: int) -> None:
+        stream = (
+            spark.readStream.format("synthetic_docs")
+            .option("parts", str(parts))
+            .option("rows_per_part", "250")
+            .option("rows_per_batch", "100")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    drain(parts=2)
+    first = spark.read.parquet(out)
+    assert first.count() == 500
+    drain(parts=4)
+    final = spark.read.parquet(out)
+    ids = sorted(r["row_id"] for r in final.collect())
+    assert ids == list(range(1000))  # each row exactly once, in total
