@@ -39,6 +39,19 @@ DIM_TABLES = {"region", "nation"}
 #: snapshot with no join plan left to audit.
 SKIP_PREFIXES = ("q_stream_", "q_sessionize_state")
 
+#: query → reason its CartesianProduct is BOUNDED (each side capped at
+#: the call site, or library-internal over rank-sized factor blocks).
+CARTESIAN_OK: dict[str, str] = {
+    "q_near_dup_embedding": "all-pairs form capped at 100 vectors; "
+    "q_near_dup_lsh is the declared scale path",
+    "q_ngram_jaccard": "all-pairs over a doc_id<30 capped subset; "
+    "LSH feeds candidates at scale (operators.dedup)",
+    "q_minhash_jaccard": "MINHASH_CAP-doc capped estimator twin; "
+    "banded LSH is the production path",
+    "q_als_recommend": "MLlib recommendForAllUsers blocked factor "
+    "cross — both sides are rank-wide factor matrices",
+}
+
 #: query → reason the corpus-table broadcast under it is BOUNDED (reviewed
 #: by hand; the bound is in the query's own docstring).
 WHITELIST: dict[str, str] = {
@@ -77,6 +90,15 @@ WHITELIST: dict[str, str] = {
     "q_length_buckets": "bucket-boundary rows (fixed bucket count)",
     "q_unigram_logprob": "vocab-total 1-row aggregate",
     "q_top_tokens": "global top-k vocabulary (fixed k)",
+    # category-keyed aggregates: the key is a bounded enum (5 event
+    # types / 64 bloom words / calendar days), so the build is
+    # |categories| rows whatever the corpus volume
+    "q_robust_zscore": "per-event-type median+MAD rows (5 categories)",
+    "q_chi2_independence": "contingency margin rows (|types| x |dows|)",
+    "q_bloom_membership": "64-word bloom filter rows (fixed width)",
+    "q_winsorize": "per-event-type percentile cutoff rows (5 categories)",
+    "q_seasonal_decompose": "per-event-type totals (5 categories)",
+    "q_rolling_active": "distinct calendar days (window-bounded)",
     "q_boilerplate": "shared-span top set, bounded by span df threshold",
     "q_funnel": "per-step first-touch aggregates keyed small",
     "q_pmi_bigrams": "1-row corpus totals",
@@ -98,9 +120,16 @@ WHITELIST: dict[str, str] = {
 }
 
 
-def _subtree_tables(lines: list[str], start: int) -> tuple[set[str], bool]:
-    """Tables scanned and aggregate-presence inside the subtree rooted at
-    ``start`` in a toString() physical-plan tree."""
+def _subtree_tables(lines: list[str], start: int) -> tuple[set[str], bool, bool]:
+    """(tables scanned, any-aggregate, scalar-aggregate) inside the
+    subtree rooted at ``start`` in a toString() physical-plan tree.
+
+    ``scalar_agg`` is true when the subtree contains a GLOBAL aggregate
+    (``keys=[]``): whatever corpus volume feeds it, the broadcast build
+    is a bounded-row reduction (1-row totals / cutoffs / global max —
+    the D7 pattern), which is always a safe broadcast. Keyed aggregates
+    do NOT qualify — a per-entity rollup over a corpus table is still
+    corpus-scaled."""
 
     def indent(ln: str) -> int:
         """Tree depth from the structural prefix only: the leading run of
@@ -115,6 +144,7 @@ def _subtree_tables(lines: list[str], start: int) -> tuple[set[str], bool]:
     base = indent(lines[start])
     tables: set[str] = set()
     has_agg = False
+    scalar_agg = False
     for ln in lines[start + 1 :]:
         ind = indent(ln)
         if ind >= 0 and ind <= base:
@@ -124,7 +154,9 @@ def _subtree_tables(lines: list[str], start: int) -> tuple[set[str], bool]:
             tables.add(m.group(1))
         if "Aggregate" in ln:
             has_agg = True
-    return tables, has_agg
+            if re.search(r"Aggregate\w*\(keys=\[\]", ln):
+                scalar_agg = True
+    return tables, has_agg, scalar_agg
 
 
 def main() -> int:
@@ -147,15 +179,30 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"skip      {name}: plan unavailable ({repr(e)[:80]})")
             continue
+        # Repo-wide invariant piggybacking on the same plan walk: NO
+        # declared query may plan a CartesianProduct. A bounded 1-row
+        # cross join lowers to BroadcastNestedLoopJoin, so any
+        # CartesianProduct that survives planning is an unkeyed join of
+        # two shuffled sides — quadratic at scale, never intended here.
+        if "CartesianProduct" in plan:
+            if name in CARTESIAN_OK:
+                print(f"ok(wl)    {name}: CartesianProduct — {CARTESIAN_OK[name]}")
+            else:
+                flags.append(name)
+                print(f"FLAG      {name}: CartesianProduct in final plan")
         lines = plan.splitlines()
         for i, ln in enumerate(lines):
             if "BroadcastExchange" not in ln:
                 continue
             n_broadcasts += 1
-            tables, has_agg = _subtree_tables(lines, i)
+            tables, has_agg, scalar_agg = _subtree_tables(lines, i)
             corpus = tables & CORPUS_TABLES
             if not corpus:
                 continue  # dim-only build: always fine
+            if scalar_agg:
+                # global (keys=[]) aggregate inside the build: a bounded
+                # 1-row-per-partial reduction whatever feeds it (D7)
+                continue
             if name in WHITELIST:
                 print(f"ok(wl)    {name}: broadcast over {sorted(corpus)} — "
                       f"{WHITELIST[name]}")
