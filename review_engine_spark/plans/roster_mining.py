@@ -1126,3 +1126,84 @@ def q_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_new).alias("new_customers"),
         F.sum(1 - is_new).alias("returning_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Croston's method — intermittent-demand forecasting per part: separate
+# exponential smoothing of the demand SIZE (z) and the inter-demand
+# INTERVAL in days (p), forecast rate = z/p per day. A 3-state fold
+# (previous demand day, z, p) under the list-accumulator contract:
+# elements pack [day, qty, day, qty, 1.0] so element 1 is the correct
+# init (first gap undefined -> interval starts at 1), and day math stays
+# in exact epoch-day integers widened to double. Scale: one shuffle on
+# partkey; per-part movement lists are SF-window-bounded.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    SELECT p_partkey,
+           CAST(cnt AS BIGINT) AS n_demands,
+           fin[4] AS demand_level,
+           fin[5] AS interval_days,
+           fin[4] / fin[5] AS daily_rate
+    FROM (
+        SELECT l_partkey AS p_partkey, count(*) AS cnt,
+               list_reduce(
+                   list([CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                              AS DOUBLE),
+                         l_quantity,
+                         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                              AS DOUBLE),
+                         l_quantity,
+                         CAST(1.0 AS DOUBLE)]
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber),
+                   (acc, x) -> [
+                       x[1], x[2], x[1],
+                       0.2 * x[2] + 0.8 * acc[4],
+                       0.2 * (x[1] - acc[3]) + 0.8 * acc[5]]
+               ) AS fin
+        FROM lineitem GROUP BY l_partkey
+    ) t
+    """
+)
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+        .cast("double")
+        .alias("day"),
+        "l_shipdate",
+    )
+    arr = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct("l_shipdate", "l_orderkey", "l_linenumber", "day", "l_quantity")
+            )
+        ),
+        lambda s: F.struct(
+            s.day.alias("day"),
+            s.l_quantity.cast("double").alias("qty"),
+            s.day.alias("prev"),
+            s.l_quantity.cast("double").alias("z"),
+            F.lit(1.0).alias("p"),
+        ),
+    )
+    fin = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, x: F.struct(
+            x.day.alias("day"),
+            x.qty.alias("qty"),
+            x.day.alias("prev"),
+            (F.lit(0.2) * x.qty + F.lit(0.8) * acc.z).alias("z"),
+            (F.lit(0.2) * (x.day - acc.prev) + F.lit(0.8) * acc.p).alias("p"),
+        ),
+    )
+    return li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.count("*").alias("n_demands"),
+        fin.getField("z").alias("demand_level"),
+        fin.getField("p").alias("interval_days"),
+        (fin.getField("z") / fin.getField("p")).alias("daily_rate"),
+    )
