@@ -1207,3 +1207,65 @@ def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         fin.getField("p").alias("interval_days"),
         (fin.getField("z") / fin.getField("p")).alias("daily_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dense report — dimension densification: every (brand x month) cell of
+# the reporting grid, zero-filled where no sales occurred. The spine is
+# a cross join of two BOUNDED dimension sets (catalog brands x calendar
+# months — fine to cross join; the fact table never is), left-joined to
+# the revenue rollup. The classic fix for "missing rows read as missing
+# data" in downstream charts/models. Scale: one fact rollup shuffle; the
+# spine is |brands| x |months| rows.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_brand, date_trunc('month', o.o_orderdate) AS mon,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                              * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    brands AS (SELECT DISTINCT p_brand FROM part),
+    months AS (SELECT DISTINCT date_trunc('month', o_orderdate) AS mon
+               FROM orders)
+    SELECT b.p_brand, m.mon,
+           coalesce(r.cents, 0) AS cents,
+           CAST(coalesce(r.n_lines, 0) AS BIGINT) AS n_lines,
+           CASE WHEN r.cents IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM brands b
+    CROSS JOIN months m
+    LEFT JOIN rev r ON r.p_brand = b.p_brand AND r.mon = m.mon
+    """
+)
+def q_dense_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    part = read_parquet_table(spark, sf_dir, "part")
+    rev = (
+        li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == orders.o_orderkey)
+        .join(part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(
+            F.sum(
+                F.expr(_CENTS.format(x="l_extendedprice * (1 - l_discount)"))
+            ).alias("cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    brands = part.select("p_brand").distinct()
+    months = orders.select(
+        F.date_trunc("month", "o_orderdate").alias("mon")
+    ).distinct()
+    spine = brands.crossJoin(F.broadcast(months))
+    return spine.join(rev, ["p_brand", "mon"], "left").select(
+        "p_brand",
+        "mon",
+        F.coalesce("cents", F.lit(0)).alias("cents"),
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        F.when(F.col("cents").isNull(), 1).otherwise(0).alias("is_gap"),
+    )

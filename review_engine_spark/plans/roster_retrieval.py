@@ -659,3 +659,140 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("actual_in", F.lit(False)).alias("actual_in"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable approximate frequency table: D=4 hash
+# rows x W=512 buckets of BIGINT occurrence sums, estimate = min over
+# rows of the probed bucket. Like q_bloom_membership this is the
+# md5-twin form proving the sketch ALGEBRA (per-(row,bucket) integer
+# sums are partial-aggregable and union-mergeable across shards, the
+# 100 TB heavy-hitter shape); estimates are one-sided (est >= actual,
+# pinned in tests) with overestimation bounded by collisions.
+# ---------------------------------------------------------------------------
+#: dialect-portable whitespace tokenization (same expression as the
+#: curation roster's _TOKS)
+_TOKS_RETR = (
+    r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+)
+
+CM_D = 4
+CM_W = 512
+CM_TOP = 10
+CM_ABSENT = 5
+
+
+def _cm_bucket_sql(r: int, tok: str) -> str:
+    return (
+        f"try_cast('0x' || substr(md5('{r}|' || {tok}), 1, 15) AS BIGINT)"
+        f" % {CM_W}"
+    )
+
+
+def _cm_bucket_col(r: int, tok) -> "F.Column":
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{r}|"), tok)), 1, 15), 16, 10)
+        .cast("long") % CM_W
+    )
+
+
+_CM_BUILD_UNION = "\n        UNION ALL\n".join(
+    f"        SELECT {r} AS row, {_cm_bucket_sql(r, 'token')} AS bucket, n"
+    f" FROM vocab" for r in range(CM_D)
+)
+_CM_PROBE_UNION = "\n        UNION ALL\n".join(
+    f"        SELECT token, actual, {r} AS row,"
+    f" {_cm_bucket_sql(r, 'token')} AS bucket FROM probes" for r in range(CM_D)
+)
+
+
+@declared(
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest({_TOKS_RETR}) AS token FROM documents
+    ),
+    vocab AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token
+    ),
+    build AS (
+{_CM_BUILD_UNION}
+    ),
+    cm AS (
+        SELECT row, bucket, CAST(sum(n) AS BIGINT) AS cmv
+        FROM build GROUP BY row, bucket
+    ),
+    probes AS (
+        SELECT token, n AS actual FROM (
+            SELECT token, n,
+                   row_number() OVER (ORDER BY n DESC, token) AS rk
+            FROM vocab
+        ) WHERE rk <= {CM_TOP}
+        UNION ALL
+        SELECT 'absent|' || CAST(i AS VARCHAR) AS token,
+               CAST(0 AS BIGINT) AS actual
+        FROM generate_series(0, {CM_ABSENT - 1}) s(i)
+    ),
+    probe_rows AS (
+{_CM_PROBE_UNION}
+    )
+    SELECT p.token, p.actual,
+           CAST(min(coalesce(c.cmv, 0)) AS BIGINT) AS est,
+           CASE WHEN min(coalesce(c.cmv, 0)) >= p.actual
+                THEN 1 ELSE 0 END AS conservative
+    FROM probe_rows p
+    LEFT JOIN cm c ON c.row = p.row AND c.bucket = p.bucket
+    GROUP BY p.token, p.actual
+    """
+)
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        ).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("n"))
+    build = None
+    for r in range(CM_D):
+        part_r = vocab.select(
+            F.lit(r).alias("row"),
+            _cm_bucket_col(r, F.col("token")).alias("bucket"),
+            "n",
+        )
+        build = part_r if build is None else build.unionByName(part_r)
+    cm = build.groupBy("row", "bucket").agg(F.sum("n").alias("cmv"))
+
+    top = (
+        vocab.orderBy(F.desc("n"), "token")
+        .limit(CM_TOP)
+        .select("token", F.col("n").alias("actual"))
+    )
+    absent = spark.range(CM_ABSENT).select(
+        F.concat(F.lit("absent|"), F.col("id").cast("string")).alias("token"),
+        F.lit(0).cast("long").alias("actual"),
+    )
+    probes = top.unionByName(absent)
+    probe_rows = None
+    for r in range(CM_D):
+        pr = probes.select(
+            "token",
+            "actual",
+            F.lit(r).alias("row"),
+            _cm_bucket_col(r, F.col("token")).alias("bucket"),
+        )
+        probe_rows = pr if probe_rows is None else probe_rows.unionByName(pr)
+    return (
+        probe_rows.join(F.broadcast(cm), ["row", "bucket"], "left")
+        .groupBy("token", "actual")
+        .agg(F.min(F.coalesce("cmv", F.lit(0))).cast("long").alias("est"))
+        .select(
+            "token",
+            "actual",
+            "est",
+            F.when(F.col("est") >= F.col("actual"), 1).otherwise(0).alias(
+                "conservative"
+            ),
+        )
+    )

@@ -234,3 +234,19 @@ def test_stream_anomaly_equals_batch_zscore(spark, sf_dir):
     }
     assert batch, "fixture must produce anomalies"
     assert stream == batch
+
+
+def test_countmin_one_sided_error(spark, sf_dir):
+    """Count-min estimates can only OVERcount (collisions add, never
+    subtract): est >= actual for every probe, exact for the absent
+    probes only when their buckets are collision-free."""
+    from review_engine_spark.plans.roster_retrieval import q_countmin
+
+    rows = q_countmin(spark, sf_dir).collect()
+    assert rows, "no probes returned"
+    for r in rows:
+        assert r["est"] >= r["actual"], r
+        assert r["conservative"] == 1, r
+    # the heavy hitters must be probed with their true counts attached
+    assert any(r["actual"] > 0 for r in rows)
+    assert any(r["token"].startswith("absent|") for r in rows)
