@@ -1269,3 +1269,110 @@ def q_dense_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
         F.when(F.col("cents").isNull(), 1).otherwise(0).alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users per event type by day — "users ever seen"
+# growth curves. Distinct-over-an-expanding-window cannot
+# window-aggregate, so the scalable form maps each (type, user) to its
+# FIRST-appearance day (one hash aggregate), counts first-appearances
+# per (type, day), and runs a per-type calendar-bounded running sum —
+# the fact table is never windowed.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH fd AS (
+        SELECT event_type, user_id, min(date_trunc('day', ts)) AS first_day
+        FROM events GROUP BY event_type, user_id
+    ),
+    per_day AS (
+        SELECT event_type, first_day AS day,
+               CAST(count(*) AS BIGINT) AS new_users
+        FROM fd GROUP BY event_type, first_day
+    )
+    SELECT event_type, day, new_users,
+           CAST(sum(new_users) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM per_day
+    """
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    # day keys stay TIMESTAMP (see q_new_returning: DATE outputs
+    # canonicalize differently across the two engines)
+    fd = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    per_day = fd.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU / MAU stickiness — daily active users over trailing-28-day active
+# users. A sliding-window DISTINCT cannot partial-aggregate, so each
+# (user, active day) contributes itself to the 28 future report days
+# via a bounded explode (28x the DISTINCT user-day table, not the fact
+# table), then one distinct count per report day. Ratios are exact
+# integer divisions in one shared expression.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    contrib AS (
+        SELECT ud.user_id, ud.day + INTERVAL (i) DAY AS rday
+        FROM ud, generate_series(0, 27) s(i)
+    ),
+    mau AS (
+        SELECT c.rday AS day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau
+        FROM contrib c JOIN days d ON d.day = c.rday
+        GROUP BY c.rday
+    ),
+    dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    )
+    SELECT d.day, d.dau, m.mau,
+           CAST(d.dau AS DOUBLE) / m.mau AS stickiness
+    FROM dau d JOIN mau m ON m.day = d.day
+    """
+)
+def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("i"),
+        "day",
+    ).select("user_id", F.expr("timestampadd(DAY, i, day)").alias("rday"))
+    mau = (
+        contrib.join(F.broadcast(days), contrib.rday == days.day)
+        .groupBy("rday")
+        .agg(F.count_distinct("user_id").alias("mau"))
+        .select(F.col("rday").alias("day"), "mau")
+    )
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau",
+        (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+    )
