@@ -1376,3 +1376,105 @@ def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
     )
+
+
+_DEG_SQL = f"""
+    {_BFS_EDGE_SQL},
+    deg AS (
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM edges GROUP BY u
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution — decimal-digit-bucketed histogram of co-purchase
+# degrees (1-9, 10-99, ...): the bucket key is the digit COUNT of the
+# integer degree, deterministic on both engines with no libm log call.
+# Scale: edge aggregation + a |buckets|-row rollup.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle=f"""
+    WITH {_DEG_SQL.strip()}
+    SELECT CAST(length(CAST(degree AS VARCHAR)) AS INTEGER) AS digits,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(degree) AS BIGINT) AS min_degree,
+           CAST(max(degree) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """
+)
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    return deg.groupBy(
+        F.length(F.col("degree").cast("string")).cast("int").alias("digits")
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity — Pearson correlation of endpoint degrees over
+# the directed edge list: positive = hubs link to hubs. All five moment
+# sums are exact BIGINTs over the edges (degree joins are plain
+# equi-joins); the final expression (one shared formula, IEEE sqrt is
+# correctly rounded so it IS bit-portable, unlike log/exp) runs once on
+# the 1-row aggregate.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle=f"""
+    WITH {_DEG_SQL.strip()}
+    ,
+    ed AS (
+        SELECT du.degree AS dx, dv.degree AS dy
+        FROM edges e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+               CAST(sum(dx * dy) AS BIGINT) AS sxy,
+               CAST(sum(dx * dx) AS BIGINT) AS sxx,
+               CAST(sum(dy * dy) AS BIGINT) AS syy
+        FROM ed
+    )
+    SELECT n AS n_edges,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+               AS assortativity
+    FROM m
+    """
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dy"))
+    ed = edges.join(du, "u").join(dv, "v")
+    m = ed.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    return m.select(
+        F.col("n").alias("n_edges"),
+        (
+            (n * F.col("sxy") - sx * F.col("sy"))
+            / (
+                F.sqrt(n * F.col("sxx") - sx * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - sy * F.col("sy"))
+            )
+        ).alias("assortativity"),
+    )
