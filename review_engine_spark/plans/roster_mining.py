@@ -1478,3 +1478,121 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+#: Holt-Winters lambda (shared textual form on both engines):
+#: slots [1]=dow, [2]=x, [3]=level, [4]=trend, [5+j]=seasonal_j.
+_HW_LP = "0.3 * (x[2] - acc[CAST(5 + x[1] AS BIGINT)]) + 0.7 * (acc[3] + acc[4])"
+_HW_SJ = "\n".join(
+    f"                       CASE WHEN x[1] = {j} THEN"
+    f" 0.2 * (x[2] - ({_HW_LP})) + 0.8 * acc[{5 + j}]"
+    f" ELSE acc[{5 + j}] END,"
+    for j in range(7)
+)
+
+
+# ---------------------------------------------------------------------------
+# Additive Holt-Winters — level + trend + day-of-week seasonality per
+# event type, the full triple-exponential recurrence as ONE grouped
+# fold: the accumulator is an 11-slot DOUBLE list ([dow, x, l, b,
+# s_0..s_6]) whose seasonal slot is read with a DYNAMIC index
+# (acc[5 + dow], probed sound inside DuckDB list_reduce) and written by
+# a per-slot CASE. The l' expression is textually duplicated into b',
+# every seasonal case, and the forecast on BOTH engines — same IEEE
+# tree, bit-identical raw doubles. Seasonals initialize at 0 and the
+# level at the first observation (element 1 IS the fold init).
+# Scale: one shuffle on event_type; series are calendar-bounded.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(dayofweek(CAST(ts AS DATE)) AS DOUBLE) AS dow,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(cnt AS BIGINT) AS n_days,
+           fin[3] AS level,
+           fin[4] AS trend,
+           fin[CAST(5 + (CAST(fin[1] AS BIGINT) + 1) % 7 AS BIGINT)]
+               AS season_next,
+           fin[3] + fin[4]
+               + fin[CAST(5 + (CAST(fin[1] AS BIGINT) + 1) % 7 AS BIGINT)]
+               AS forecast_1
+    FROM (
+        SELECT event_type, count(*) AS cnt,
+               list_reduce(
+                   list([dow, CAST(cents AS DOUBLE), CAST(cents AS DOUBLE),
+                         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]
+                        ORDER BY day),
+                   (acc, x) -> [
+                       x[1], x[2],
+                       {_HW_LP},
+                       0.1 * (({_HW_LP}) - acc[3]) + 0.9 * acc[4],
+{_HW_SJ}
+                   ]
+               ) AS fin
+        FROM daily GROUP BY event_type
+    ) t
+    """
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        (F.dayofweek(F.to_date("ts")) - 1).cast("double").alias("dow"),
+    ).agg(F.sum(F.expr(_CENTS.format(x="value"))).alias("cents"))
+
+    zero = F.lit(0.0)
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("day", "dow", "cents"))),
+        lambda s: F.array(
+            s.dow,
+            s.cents.cast("double"),
+            s.cents.cast("double"),
+            zero, zero, zero, zero, zero, zero, zero, zero,
+        ),
+    )
+
+    def _at(a, i):
+        return F.element_at(a, F.lit(i)) if isinstance(i, int) else F.element_at(a, i)
+
+    def _merge(acc, x):
+        dow, xv = _at(x, 1), _at(x, 2)
+        l, b = _at(acc, 3), _at(acc, 4)
+        s_cur = F.element_at(acc, (F.lit(5.0) + dow).cast("int"))
+
+        def lp():
+            return F.lit(0.3) * (xv - s_cur) + F.lit(0.7) * (l + b)
+
+        slots = [dow, xv, lp(), F.lit(0.1) * (lp() - l) + F.lit(0.9) * b]
+        for j in range(7):
+            sj = _at(acc, 5 + j)
+            slots.append(
+                F.when(
+                    dow == j, F.lit(0.2) * (xv - lp()) + F.lit(0.8) * sj
+                ).otherwise(sj)
+            )
+        return F.array(*slots)
+
+    fin = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        _merge,
+    )
+    nxt = (F.lit(5) + (F.element_at(fin, 1).cast("long") + 1) % 7).cast("int")
+    return daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.element_at(fin, 3).alias("level"),
+        F.element_at(fin, 4).alias("trend"),
+        F.element_at(fin, nxt).alias("season_next"),
+        (
+            F.element_at(fin, 3) + F.element_at(fin, 4) + F.element_at(fin, nxt)
+        ).alias("forecast_1"),
+    )

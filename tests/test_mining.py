@@ -175,3 +175,41 @@ def test_bom_rollup_root_totals(spark, sf_dir):
     members = [p for p in cents.index if any(p >> g == k for g in range(0, 40))]
     assert out[k]["n_members"] == len(members)
     assert out[k]["subtree_cents"] == int(cents.loc[members].sum())
+
+
+def test_holt_winters_matches_python_recurrence(spark, sf_dir):
+    """Third-implementation check of the triple-exponential fold: a
+    pure-Python replay over the same per-type daily cent series must
+    match the engine EXACTLY (identical IEEE op sequence)."""
+    import math
+
+    from review_engine_spark.plans.roster_mining import q_holt_winters
+
+    got = {
+        r["event_type"]: (r["n_days"], r["level"], r["trend"], r["forecast_1"])
+        for r in q_holt_winters(spark, sf_dir).collect()
+    }
+    ev = (
+        read_parquet_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value")
+        .toPandas()
+    )
+    ev["day"] = ev["ts"].dt.floor("D")
+    ev["cents"] = (ev["value"] * 100 + 0.5).map(math.floor)
+    daily = (
+        ev.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    )
+    daily["dow"] = (daily["day"].dt.dayofweek + 1) % 7  # Sunday=0 convention
+    for et, grp in daily.sort_values("day").groupby("event_type"):
+        rows = list(zip(grp["dow"], grp["cents"].astype(float)))
+        dow0, x0 = rows[0]
+        l, b, s = x0, 0.0, [0.0] * 7
+        last_dow = dow0
+        for dow, x in rows[1:]:
+            lp = 0.3 * (x - s[int(dow)]) + 0.7 * (l + b)
+            b = 0.1 * (lp - l) + 0.9 * b
+            s[int(dow)] = 0.2 * (x - lp) + 0.8 * s[int(dow)]
+            l = lp
+            last_dow = dow
+        season_next = s[int(last_dow + 1) % 7]
+        assert got[et] == (len(rows), l, b, l + b + season_next), et
