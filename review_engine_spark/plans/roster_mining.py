@@ -1596,3 +1596,118 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(fin, 3) + F.element_at(fin, 4) + F.element_at(fin, nxt)
         ).alias("forecast_1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-payment audit — orders by the same customer in the same
+# $1000 amount band within 90 days: the double-billing screen. Blocking
+# on (customer, amount band) turns the near-dup search into one
+# partitioned lag window — no self-join, no cross product; candidate
+# partitions stay tiny (band collisions per customer).
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100000 AS band,
+               o_orderdate,
+               lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey,
+                                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                // 100000
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS prev_date,
+               lag(o_orderkey) OVER (
+                   PARTITION BY o_custkey,
+                                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                // 100000
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS prev_key
+        FROM orders
+    )
+    SELECT o_custkey, band,
+           prev_key AS first_orderkey, o_orderkey AS dup_orderkey,
+           CAST(date_diff('day', CAST(prev_date AS DATE),
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+    FROM o
+    WHERE prev_date IS NOT NULL
+      AND date_diff('day', CAST(prev_date AS DATE),
+                    CAST(o_orderdate AS DATE)) <= 90
+    """
+)
+def q_dup_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.expr(_CENTS.format(x="o_totalprice")) / 100000)
+        .cast("long")
+        .alias("band"),
+        "o_orderdate",
+    )
+    w = Window.partitionBy("o_custkey", "band").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    flagged = o.select(
+        "o_custkey",
+        "band",
+        F.lag("o_orderkey").over(w).alias("first_orderkey"),
+        F.col("o_orderkey").alias("dup_orderkey"),
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap"),
+    )
+    return flagged.where(
+        F.col("gap").isNotNull() & (F.col("gap") <= 90)
+    ).select(
+        "o_custkey",
+        "band",
+        "first_orderkey",
+        "dup_orderkey",
+        F.col("gap").cast("long").alias("gap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local peak detection — days whose spend strictly exceeds both
+# neighbors, per event type: two lag/lead comparisons over the daily
+# cent rollup (exact integers, so strict comparisons are
+# engine-identical). One rollup shuffle + one per-type window over a
+# calendar-bounded series.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    n AS (
+        SELECT event_type, day, cents,
+               lag(cents) OVER w AS prev, lead(cents) OVER w AS next
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, cents, prev AS prev_cents, next AS next_cents
+    FROM n
+    WHERE prev IS NOT NULL AND next IS NOT NULL
+      AND cents > prev AND cents > next
+    """
+)
+def q_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.expr(_CENTS.format(x="value"))).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    n = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.lag("cents").over(w).alias("prev_cents"),
+        F.lead("cents").over(w).alias("next_cents"),
+    )
+    return n.where(
+        F.col("prev_cents").isNotNull()
+        & F.col("next_cents").isNotNull()
+        & (F.col("cents") > F.col("prev_cents"))
+        & (F.col("cents") > F.col("next_cents"))
+    )
