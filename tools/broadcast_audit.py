@@ -99,6 +99,9 @@ WHITELIST: dict[str, str] = {
     "q_winsorize": "per-event-type percentile cutoff rows (5 categories)",
     "q_seasonal_decompose": "per-event-type totals (5 categories)",
     "q_rolling_active": "distinct calendar days (window-bounded)",
+    "q_countmin": "4x512 fixed-size sketch grid (<=2048 rows)",
+    "q_dense_report": "distinct calendar months (calendar-bounded spine)",
+    "q_dau_mau": "distinct calendar days (calendar-bounded)",
     "q_boilerplate": "shared-span top set, bounded by span df threshold",
     "q_funnel": "per-step first-touch aggregates keyed small",
     "q_pmi_bigrams": "1-row corpus totals",
