@@ -1711,3 +1711,156 @@ def q_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("cents") > F.col("prev_cents"))
         & (F.col("cents") > F.col("next_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test — is the daily up/down spend sequence random?
+# Signs come from exact integer cent deltas (lag window), runs from a
+# sign-change sum, and the z-statistic from the closed form over exact
+# counts — sqrt is IEEE-correctly-rounded, so the one shared final
+# expression is bit-portable. Scale: rollup shuffle + per-type window
+# over a calendar-bounded series.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT event_type, day,
+               CASE WHEN cents > lag(cents) OVER w THEN 1 ELSE 0 END AS up,
+               lag(cents) OVER w AS prev
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    s AS (
+        SELECT event_type, day, up,
+               lag(up) OVER (PARTITION BY event_type ORDER BY day) AS prev_up
+        FROM d WHERE prev IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(up) AS BIGINT) AS n_up,
+               CAST(count(*) - sum(up) AS BIGINT) AS n_down,
+               CAST(1 + sum(CASE WHEN prev_up IS NOT NULL
+                                  AND up <> prev_up THEN 1 ELSE 0 END)
+                    AS BIGINT) AS runs
+        FROM s GROUP BY event_type
+    )
+    SELECT event_type, n, n_up, n_down, runs,
+           1.0 + 2.0 * n_up * n_down / n AS expected_runs,
+           (runs - (1.0 + 2.0 * n_up * n_down / n))
+           / sqrt(2.0 * n_up * n_down * (2.0 * n_up * n_down - n)
+                  / (CAST(n AS DOUBLE) * n * (n - 1))) AS z_stat
+    FROM m
+    """
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.expr(_CENTS.format(x="value"))).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type",
+        "day",
+        F.when(F.col("cents") > F.lag("cents").over(w), 1).otherwise(0).alias("up"),
+        F.lag("cents").over(w).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    s = d.select(
+        "event_type", "day", "up", F.lag("up").over(w).alias("prev_up")
+    )
+    m = s.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("up").alias("n_up"),
+        (F.count("*") - F.sum("up")).alias("n_down"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev_up").isNotNull()
+                    & (F.col("up") != F.col("prev_up")),
+                    1,
+                ).otherwise(0)
+            )
+        ).cast("long").alias("runs"),
+    )
+    n, nu, nd = F.col("n"), F.col("n_up"), F.col("n_down")
+    exp_runs = F.lit(1.0) + F.lit(2.0) * nu * nd / n
+    return m.select(
+        "event_type",
+        "n",
+        "n_up",
+        "n_down",
+        "runs",
+        exp_runs.alias("expected_runs"),
+        (
+            (F.col("runs") - exp_runs)
+            / F.sqrt(
+                F.lit(2.0) * nu * nd * (F.lit(2.0) * nu * nd - n)
+                / (n.cast("double") * n * (n - F.lit(1)))
+            )
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend — median of all pairwise slopes of the daily
+# spend series per event type, the outlier-resistant alternative to the
+# OLS slope (q_ols_regression). The series is calendar-bounded, so the
+# O(days²) pair set is tiny and generated by the packed array expansion
+# (no self-join); each slope is one exact-integer division and the
+# median is the same interpolated percentile on both engines.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(b.cents - a.cents AS DOUBLE) / (b.d - a.d) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           quantile_cont(slope, 0.5) AS ts_slope
+    FROM pairs GROUP BY event_type
+    """
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("d"),
+    ).agg(F.sum(F.expr(_CENTS.format(x="value"))).alias("cents"))
+    arrs = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "cents"))).alias("pts")
+    )
+    # all i<j slopes from the materialized per-type array — no self-join
+    slopes = F.flatten(
+        F.transform(
+            F.col("pts"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("pts"), i + 2, F.greatest(F.size("pts") - i - 1, F.lit(0))
+                ),
+                lambda b: (b.cents - a.cents).cast("double") / (b.d - a.d),
+            ),
+        )
+    )
+    return arrs.select(
+        "event_type",
+        F.explode(slopes).alias("slope"),
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.percentile(F.col("slope"), F.lit(0.5)).alias("ts_slope"),
+    )
