@@ -576,7 +576,7 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     f AS (
-        SELECT user_id, start, fin,
+        SELECT user_id, start, fin, event_id,
                CASE WHEN start > max(fin) OVER (
                         PARTITION BY user_id ORDER BY start, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -586,7 +586,7 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
         SELECT user_id, start, fin,
                sum(new_flag) OVER (
-                   PARTITION BY user_id ORDER BY start
+                   PARTITION BY user_id ORDER BY start, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
         FROM f
     ),
@@ -616,7 +616,7 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_flag",
         F.when(F.col("start") > prev_end, 1).otherwise(0),
     )
-    wi = Window.partitionBy("user_id").orderBy("start").rowsBetween(
+    wi = Window.partitionBy("user_id").orderBy("start", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     grouped = flagged.withColumn("iid", F.sum("new_flag").over(wi))

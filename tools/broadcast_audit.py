@@ -124,14 +124,18 @@ WHITELIST: dict[str, str] = {
 
 
 def _subtree_tables(lines: list[str], start: int) -> tuple[set[str], bool, bool]:
-    """(tables scanned, any-aggregate, scalar-aggregate) inside the
+    """(tables scanned, any-aggregate, scalar-agg-covered) inside the
     subtree rooted at ``start`` in a toString() physical-plan tree.
 
-    ``scalar_agg`` is true when the subtree contains a GLOBAL aggregate
-    (``keys=[]``): whatever corpus volume feeds it, the broadcast build
-    is a bounded-row reduction (1-row totals / cutoffs / global max —
-    the D7 pattern), which is always a safe broadcast. Keyed aggregates
-    do NOT qualify — a per-entity rollup over a corpus table is still
+    ``scalar_agg`` is true only when EVERY corpus-table scan in the
+    subtree sits underneath a GLOBAL aggregate (``keys=[]``) node: such
+    a branch is a bounded-row reduction (1-row totals / cutoffs /
+    global max — the D7 pattern) whatever corpus volume feeds it, so the
+    broadcast is safe. A corpus scan OUTSIDE every scalar-agg branch
+    (e.g. a build whose root joins a 1-row global aggregate against an
+    unreduced corpus scan) does NOT qualify — that build is still
+    corpus-scaled and must be whitelisted or flagged. Keyed aggregates
+    never qualify either — a per-entity rollup over a corpus table is
     corpus-scaled."""
 
     def indent(ln: str) -> int:
@@ -147,19 +151,30 @@ def _subtree_tables(lines: list[str], start: int) -> tuple[set[str], bool, bool]
     base = indent(lines[start])
     tables: set[str] = set()
     has_agg = False
-    scalar_agg = False
+    any_scalar = False
+    uncovered_corpus = False
+    # Indents of scalar-aggregate nodes whose subtree the walk is
+    # currently inside; a corpus scan is "covered" iff this is non-empty.
+    agg_stack: list[int] = []
     for ln in lines[start + 1 :]:
         ind = indent(ln)
         if ind >= 0 and ind <= base:
             break  # structurally shallower tree line: subtree ends
+        if ind >= 0:
+            while agg_stack and ind <= agg_stack[-1]:
+                agg_stack.pop()  # left that scalar-agg's subtree
         m = re.search(r"(\w+)\.parquet", ln)
         if m:
             tables.add(m.group(1))
+            if m.group(1) in CORPUS_TABLES and not agg_stack:
+                uncovered_corpus = True
         if "Aggregate" in ln:
             has_agg = True
             if re.search(r"Aggregate\w*\(keys=\[\]", ln):
-                scalar_agg = True
-    return tables, has_agg, scalar_agg
+                any_scalar = True
+                if ind >= 0:
+                    agg_stack.append(ind)
+    return tables, has_agg, any_scalar and not uncovered_corpus
 
 
 def main() -> int:
@@ -203,8 +218,8 @@ def main() -> int:
             if not corpus:
                 continue  # dim-only build: always fine
             if scalar_agg:
-                # global (keys=[]) aggregate inside the build: a bounded
-                # 1-row-per-partial reduction whatever feeds it (D7)
+                # every corpus scan in the build sits under a global
+                # (keys=[]) aggregate: bounded-row reduction (D7)
                 continue
             if name in WHITELIST:
                 print(f"ok(wl)    {name}: broadcast over {sorted(corpus)} — "
