@@ -399,29 +399,126 @@ def final_plan_only(plan: str) -> str:
     return "\n\n".join(out)
 
 
-def source_sweep() -> list[str]:
+#: Physical nodes that bound the row count reaching a parent Window:
+#: any aggregate (cardinality = group domain) or any limit/top-k.
+_BOUNDING = re.compile(
+    r"\b(HashAggregate|SortAggregate|ObjectHashAggregate|"
+    r"TakeOrderedAndProject|GlobalLimit|CollectLimit|LocalLimit)\b"
+)
+#: Leaves that carry corpus-scaled rows into a plan.
+_SCAN = re.compile(r"\bScan (parquet|orc|csv|json|text|ExistingRDD)\b|\bBatchScan\b")
+
+
+def _tree_indent(ln: str) -> int:
+    """Depth of a toString/formatted tree line from its structural prefix
+    (leading run of space/colon/plus/minus ending in a branch marker);
+    -1 when the line is a root node or not a tree branch."""
+    m = re.match(r"[ :+\-*]*", ln)
+    prefix = m.group(0)
+    return len(prefix) if prefix.rstrip(" *").endswith(("+-", ":-")) else -1
+
+
+def global_window_violations(plan: str) -> list[str]:
+    """Structural single-partition-window audit of a formatted plan.
+
+    Finds every Window node whose partition spec is EMPTY (its detail
+    block's `Arguments:` carries two top-level bracket groups — window
+    exprs + order spec — where a partitioned window carries three) and
+    walks its tree subtree: a corpus leaf (parquet/orc/... scan) that
+    reaches the Window without an aggregate or limit in between means
+    the whole input moves to one partition — flagged. Source comments
+    cannot silence this; only the plan shape can."""
+
+    def bracket_groups(s: str) -> int:
+        depth = 0
+        groups = 0
+        for ch in s:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        return groups
+
+    # node id → is-global-window, from the detail blocks
+    global_ids: set[str] = set()
+    for block in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) Window\b", block.strip())
+        if not m:
+            continue
+        for ln in block.splitlines():
+            if ln.startswith("Arguments: "):
+                if bracket_groups(ln[len("Arguments: "):]) < 3:
+                    global_ids.add(m.group(1))
+    if not global_ids:
+        return []
+
+    bad: list[str] = []
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        m = re.search(r"\bWindow \((\d+)\)\s*$", ln)
+        if not m or m.group(1) not in global_ids:
+            continue
+        base = _tree_indent(ln)
+        bound_stack: list[int] = []
+        for sub in lines[i + 1:]:
+            if not re.search(r"\((\d+)\)", sub) or "Arguments" in sub:
+                break  # left the tree section
+            ind = _tree_indent(sub)
+            if ind >= 0 and ind <= base:
+                break  # subtree ended
+            if ind >= 0:
+                while bound_stack and ind <= bound_stack[-1]:
+                    bound_stack.pop()
+                if _BOUNDING.search(sub):
+                    bound_stack.append(ind)
+            if _SCAN.search(sub) and not bound_stack:
+                bad.append(
+                    f"global Window ({m.group(1)}) is fed by an unreduced "
+                    f"corpus scan — single-partition window over corpus rows"
+                )
+                break
+    return bad
+
+
+def source_sweep(declared: set[str]) -> tuple[list[str], set[str]]:
     """Repo-wide static invariant: no empty-partition window anywhere.
     `Window.partitionBy()` with no keys moves the whole input to ONE
     partition (WindowExec warns at runtime) — the D7 pattern (1-row agg
-    cross-joined back) is always the scale-safe form."""
+    cross-joined back) is always the scale-safe form.
+
+    Global `Window.orderBy` sites are NOT judged from source text (a
+    comment cannot prove boundedness): each one is mapped to its
+    enclosing declared query and returned for runtime plan verification
+    by `global_window_violations`. Only helper functions that no
+    declared query reaches fall back to the static rank-after-.limit(k)
+    shape, which is structural (the limit is in the same expression
+    chain)."""
     bad: list[str] = []
+    verify: set[str] = set()
     for p in sorted((REPO / "review_engine_spark").rglob("*.py")):
         lines = p.read_text().splitlines()
         for ln_no, ln in enumerate(lines, 1):
             if re.search(r"Window\.partitionBy\(\s*\)", ln):
                 bad.append(f"{p.relative_to(REPO)}:{ln_no}: empty-partition Window")
-            # Global Window.orderBy is the same single-partition shape;
-            # allowed only when the input is provably bounded — a .limit(
-            # within the 6 preceding lines (rank-the-top-k pattern) or an
-            # explicit `bounded` note on the definition line.
             elif re.search(r"Window\.orderBy\(", ln) and "partitionBy" not in ln:
+                encl = None
+                for back in range(ln_no - 1, -1, -1):
+                    m = re.match(r"def (\w+)", lines[back])
+                    if m:
+                        encl = m.group(1)
+                        break
+                if encl in declared:
+                    verify.add(encl)
+                    continue
                 ctx = "\n".join(lines[max(0, ln_no - 7): ln_no])
-                if ".limit(" not in ctx and "bounded" not in ln:
+                if ".limit(" not in ctx:
                     bad.append(
-                        f"{p.relative_to(REPO)}:{ln_no}: unbounded global "
-                        f"Window.orderBy (rank after .limit(k), or mark bounded)"
+                        f"{p.relative_to(REPO)}:{ln_no}: global Window.orderBy "
+                        f"outside any declared query and not rank-after-.limit(k)"
                     )
-    return bad
+    return bad, verify
 
 
 def main() -> int:
@@ -431,11 +528,14 @@ def main() -> int:
 
     spark = get_spark("plan-audit")
     qs = entrymod.queries()
-    failures: list[str] = source_sweep()
+    failures, window_verify = source_sweep(set(qs))
     for f in failures:
         print(f"VIOLATION {f}")
     sections: list[str] = []
-    for name, rules in RULES.items():
+    audited = dict(RULES)
+    for name in sorted(window_verify):
+        audited.setdefault(name, [])
+    for name, rules in audited.items():
         df = qs[name](spark, sf_dir)
         # Execute BEFORE explaining: static auto-broadcast is disabled
         # session-wide (session.py doctrine), so join strategies are
@@ -451,6 +551,12 @@ def main() -> int:
             )
         )
         sections.append(f"## {name}\n\n```\n{plan.strip()}\n```\n")
+        if name in window_verify:
+            gw = global_window_violations(plan)
+            status = "VIOLATION" if gw else "ok"
+            print(f"{status:9s} {name}: global window fed only by bounded input")
+            for g in gw:
+                failures.append(f"{name}: {g}")
         for must, pat, why in rules:
             hit = re.search(pat, plan) is not None
             ok = hit if must else not hit
