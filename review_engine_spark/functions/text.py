@@ -33,33 +33,38 @@ __all__ = [
 #: Declared entity subset for oracle-checkable unescaping. The reference
 #: uses ``html.unescape`` (full HTML5 entity table, embed.py:31); the
 #: engine's deterministic path covers
-#:   - ALL 252 HTML4 named entities (``html.entities.entitydefs`` —
-#:     apostrophe/nbsp/Latin-1/Greek/punctuation/math, the set that
-#:     occurs in practice), plus ``&apos;`` (XML, absent from HTML4);
+#:   - the FULL HTML5 named-entity table, every semicolon-terminated
+#:     name in ``html.entities.html5`` (~2.1k names incl. all case
+#:     variants, multi-codepoint values like ``&fjlig;`` → "fj", and
+#:     astral math-script characters) — a strict superset of the HTML4
+#:     252 + ``&apos;`` covered through round 4;
 #:   - numeric character references, decimal ``&#39;`` and either-case
 #:     hex ``&#x27;``/``&#X27;``, for code points 32–126 and 160–255;
 #: all semicolon-terminated (html.unescape additionally accepts
-#: unterminated refs; those stay out of the declared subset).
+#: unterminated refs like ``&amp`` without ``;``; those stay out of the
+#: declared subset — property-tested parity holds on terminated refs).
 #:
 #: The decode is SINGLE-PASS by construction — split on ``&`` and decode
 #: at most one reference per segment via map lookup — so html.unescape's
 #: no-rescan semantics hold structurally: ``&amp;lt;`` → ``&lt;``,
 #: ``&#38;amp;`` → ``&amp;`` (a chained-replace formulation double-
-#: decodes the latter), and replacement text is never re-examined.
+#: decodes the latter), and replacement text is never re-examined. The
+#: Spark-side map is a create_map over literals, which ConstantFolding
+#: collapses into ONE map literal before codegen — table size never
+#: inflates generated code.
 
 
 def _named_entity_items() -> list[tuple[str, str]]:
     import html.entities as _he
 
-    # HTML4 names, but each resolved through the HTML5 table when present
-    # (html.unescape's behavior): e.g. HTML4 mapped lang/rang to the
-    # deprecated U+2329/232A, HTML5 (and html.unescape) to U+27E8/27E9.
-    table = {
-        name: _he.html5.get(name + ";", char)
-        for name, char in _he.entitydefs.items()
-    }
-    table.setdefault("apos", "'")
-    return sorted(table.items())
+    # Semicolon-terminated HTML5 names only (the ";"-suffixed keys);
+    # the suffix is stripped because the decoder's lookup key is the
+    # segment text BEFORE the first ";". Names never contain ";"/"&".
+    return sorted(
+        (name[:-1], char)
+        for name, char in _he.html5.items()
+        if name.endswith(";")
+    )
 
 
 #: name → replacement, e.g. ("lt", "<"); the oracle generator walks the
@@ -72,6 +77,40 @@ ENTITY_ITEMS: list[tuple[str, str]] = _named_entity_items()
 NUMERIC_RANGES: list[tuple[int, int]] = [(32, 126), (160, 255)]
 
 
+#: Bucket count for the O(1) named-entity lookup. Spark's map/array
+#: literals are scanned linearly on access, so a flat 2.1k-entry table
+#: costs ~2.1k string compares per ``&``-segment; hashing the name into
+#: one of 4096 buckets (avg load 0.5) makes the lookup one array index
+#: plus a <=2 entry scan. Python's zlib.crc32 and Spark's crc32 are both
+#: standard CRC-32 over the UTF-8 bytes, so build-time placement and
+#: query-time probing agree bit-for-bit (asserted exhaustively in tests).
+_ENTITY_BUCKETS = 4096
+
+
+def _entity_bucket_tables() -> tuple[Column, Column]:
+    """(bucketed names, bucketed values) as TWO expression nodes each:
+    ``from_json`` over a single string literal, which ConstantFolding
+    collapses into one nested-array literal before codegen. Building the
+    table from thousands of per-entry ``lit`` nodes instead makes every
+    optimizer pass walk an ~8.5k-node subtree — multi-second planning
+    per query (measured); the packed-literal form plans in
+    milliseconds."""
+    import json
+    import zlib
+
+    keys: list[list[str]] = [[] for _ in range(_ENTITY_BUCKETS)]
+    vals: list[list[str]] = [[] for _ in range(_ENTITY_BUCKETS)]
+    for name, repl in ENTITY_ITEMS:
+        b = zlib.crc32(name.encode("utf-8")) % _ENTITY_BUCKETS
+        keys[b].append(name)
+        vals[b].append(repl)
+    schema = "array<array<string>>"
+    return (
+        F.from_json(F.lit(json.dumps(keys)), schema),
+        F.from_json(F.lit(json.dumps(vals)), schema),
+    )
+
+
 def _decode_segment(seg: Column) -> Column:
     """Decode one post-``&`` segment: if it starts with ``name;`` for a
     declared name (or an in-range numeric reference), emit the
@@ -79,7 +118,12 @@ def _decode_segment(seg: Column) -> Column:
     semi = F.instr(seg, ";")
     name = F.substring(seg, F.lit(1), semi - 1)
     rest = F.substring(seg, semi + 1, F.length(seg))
-    named = F.try_element_at(_entity_map(), name)
+    bkeys, bvals = _entity_bucket_tables()
+    idx = F.pmod(F.crc32(F.encode(name, "utf-8")), F.lit(_ENTITY_BUCKETS)).cast(
+        "int"
+    )
+    pos = F.array_position(F.get(bkeys, idx), name)
+    named = F.when(pos > 0, F.get(F.get(bvals, idx), (pos - 1).cast("int")))
     code = F.when(
         name.rlike("^#[0-9]{1,7}$"), F.substring(name, 2, 8).cast("int")
     ).when(
@@ -93,12 +137,6 @@ def _decode_segment(seg: Column) -> Column:
     return F.when(
         (semi > 0) & decoded.isNotNull(), F.concat(decoded, rest)
     ).otherwise(F.concat(F.lit("&"), seg))
-
-
-def _entity_map() -> Column:
-    return F.create_map(
-        *[F.lit(s) for name, repl in ENTITY_ITEMS for s in (name, repl)]
-    )
 
 
 def unescape_html_entities(col: Column) -> Column:

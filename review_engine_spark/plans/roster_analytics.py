@@ -825,12 +825,46 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Streaming rolling z-score — q_anomaly_zscore's recurrence under REAL
 # cross-batch GroupState with a BOUNDED ring buffer (last 20 cents per
-# user, O(1) state per key forever). Rows-only by registration (the
-# 50-slot oracle window is full this round) but NOT weakly checked:
-# tests/test_analytics.py asserts EXACT set equality with the batch
-# window query — same integer moments, same IEEE op sequence.
+# user, O(1) state per key forever). The finite-source run is as
+# deterministic as the batch twin (same integer moments, same IEEE op
+# sequence — tests/test_analytics.py asserts exact set equality), so it
+# carries the SAME trailing-window oracle SQL as q_anomaly_zscore.
 # ---------------------------------------------------------------------------
-@declared()
+@declared(
+    oracle="""
+    WITH cents AS (
+        SELECT event_id, user_id, ts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, c,
+               CAST(sum(c) OVER win AS BIGINT) AS s1,
+               CAST(sum(c * c) OVER win AS BIGINT) AS s2,
+               CAST(count(*) OVER win AS BIGINT) AS n
+        FROM cents
+        WINDOW win AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+        )
+    ),
+    z AS (
+        SELECT event_id, user_id,
+               (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE)
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                      / CAST(n - 1 AS DOUBLE)) AS z
+        FROM w
+        WHERE n >= 10
+          AND (CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+              > 0.0
+    )
+    SELECT event_id, user_id, round(z, 3) AS zscore
+    FROM z WHERE abs(z) > 2.5
+    """
+)
 def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from review_engine_spark.streaming.jobs import run_zscore_stateful
 

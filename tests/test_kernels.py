@@ -405,6 +405,28 @@ def test_l2_normalize_rows_matches_expression(spark):
 # --- HTML entity unescape vs html.unescape (embed.py:31) -------------------
 
 
+def test_unescape_every_html5_entity_exhaustive(spark):
+    """ALL ~2.1k semicolon-terminated HTML5 names decode exactly as
+    html.unescape — exhaustive, not sampled, so the crc32 bucket
+    placement (build-time zlib vs query-time Spark) is proven for every
+    name, including multi-codepoint and astral values."""
+    import html
+
+    from review_engine_spark.functions.text import (
+        ENTITY_ITEMS,
+        unescape_html_entities,
+    )
+
+    refs = [f"x&{name};y" for name, _ in ENTITY_ITEMS]
+    df = spark.createDataFrame([(r,) for r in refs], "t string")
+    got = [
+        r[0]
+        for r in df.select(unescape_html_entities(F.col("t"))).collect()
+    ]
+    want = [html.unescape(r) for r in refs]
+    assert got == want
+
+
 def test_unescape_named_and_numeric_entities(spark):
     from review_engine_spark.functions.text import unescape_html_entities
 
@@ -428,8 +450,9 @@ try:
     from review_engine_spark.functions.text import ENTITY_ITEMS
 
     # The declared subset: semicolon-terminated numeric refs in
-    # NUMERIC_RANGES (decimal + either-case hex) and the full 253-name
-    # table (HTML4 names at HTML5 values). html.unescape is the
+    # NUMERIC_RANGES (decimal + either-case hex) and the full ~2.1k-name
+    # HTML5 table (every ";"-terminated html.entities.html5 name, incl.
+    # multi-codepoint and astral values). html.unescape is the
     # reference behavior (embed.py:31); adjacency included — the
     # single-pass decode must handle back-to-back refs like &#38;amp;.
     _entity = st.one_of(
