@@ -268,12 +268,60 @@ def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared()
+@declared(
+    oracle="""
+    WITH RECURSIVE norm AS (
+        SELECT label, vec_id,
+               round(CAST(vec_id * 37 % 97 AS DOUBLE) / 97.0, 6) AS rel,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE)
+                        / (sqrt(list_sum(list_transform(embedding,
+                               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+                           + 1e-9)) AS nv
+        FROM embeddings
+    ),
+    pick AS (
+        SELECT label, CAST(1 AS BIGINT) AS mmr_rank, vec_id, rel,
+               [vec_id] AS sel
+        FROM (SELECT label, vec_id, rel,
+                     row_number() OVER (PARTITION BY label
+                                        ORDER BY rel DESC, vec_id) AS rn
+              FROM norm) t WHERE rn = 1
+      UNION ALL
+        SELECT p.label, p.mmr_rank + 1, b.vec_id, b.rel,
+               list_append(p.sel, b.vec_id)
+        FROM pick p, LATERAL (
+            SELECT c.vec_id, c.rel
+            FROM norm c
+            WHERE c.label = p.label
+              AND NOT list_contains(p.sel, c.vec_id)
+            ORDER BY 0.66e0 * c.rel - (1.0e0 - 0.66e0) * (
+                      SELECT max(list_dot_product(c.nv, s.nv))
+                      FROM norm s WHERE s.label = p.label
+                        AND list_contains(p.sel, s.vec_id)) DESC,
+                     c.rel DESC, c.vec_id ASC
+            LIMIT 1
+        ) b
+        WHERE p.mmr_rank < 5
+    )
+    SELECT label, mmr_rank, vec_id, rel FROM pick
+    """
+)
 def q_mmr_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 scale path: per-group MMR via applyInPandas — one greedy
     diversification per label group running in parallel (the batch
     many-queries-at-once counterpart of q_mmr; asserted equal to the
-    driver-side loop per group in tests)."""
+    driver-side loop per group in tests).
+
+    Oracle: the greedy recursion as a DuckDB recursive CTE — step 1 is
+    the pure-relevance argmax per label; each later step re-derives the
+    lambda*rel - (1-lambda)*max-sim argmax over the not-yet-selected
+    set (first-seen tie order = rel DESC, vec_id ASC, matching numpy
+    argmax over the sorted array). Lambda enters as 0.66e0/(1.0e0 -
+    0.66e0) so both engines use the identical IEEE doubles; the emitted
+    columns (rank, id, 6dp relevance) are float-noise-free, and pick
+    margins dwarf the summation-order ulps between numpy and DuckDB
+    dot products."""
     from review_engine_spark.operators.ranking import mmr_diversify_grouped
 
     emb = read_parquet_table(spark, sf_dir, "embeddings")

@@ -1108,11 +1108,15 @@ def q_ri_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared()
 def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count sketches (rows-only: sketch binary —
-    no DuckDB twin). Per-day HLL sketches of user_id are unioned into a
-    global estimate — the incremental pattern at scale: daily partitions
-    keep sketches, re-aggregation never rescans history. Estimate
-    accuracy vs exact is pinned in tests."""
+    """Mergeable distinct-count sketches (rows-only: the DataSketches
+    HLL binary has no DuckDB twin). Per-day HLL sketches of user_id are
+    unioned into a global estimate — the incremental pattern at scale:
+    daily partitions keep sketches, re-aggregation never rescans
+    history. Estimate accuracy vs exact is pinned in tests, and the
+    REGISTER ALGEBRA (bucket/rho/max-merge/harmonic estimate) is
+    oracle-checked end to end by the md5-twin ``q_hll_md5``
+    (plans/roster_retrieval.py), the same twin pattern as
+    q_minhash_jaccard / q_simhash_md5."""
     ev = read_parquet_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),

@@ -796,3 +796,141 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog md5-twin (q_hll_mergeable's algebra, driver-verifiable) —
+# the production per-day sketches use Spark's native DataSketches HLL
+# (hll_sketch_agg), whose binary DuckDB cannot parse, so that query is
+# rows-only; THIS variant builds explicit m=512 HLL registers from md5
+# hashes (identical on both engines), merges per-day registers into a
+# global sketch by bucket-max (the HLL union), and derives the estimate
+# with exact-integer register sums:
+#   h  = 60-bit md5 prefix; bucket = h % 512; w = h >> 9 (51 bits)
+#   rho = 52 - bitlength(w)   (w = 0 -> 52)
+#   Z scaled by 2^52: sum(2^(52 - rho)) + zero_registers * 2^52 is an
+#   exact BIGINT (< 2^62), so the harmonic mean is order-independent —
+#   no float summation nondeterminism across partitions/engines.
+# Small-range linear counting (E <= 2.5m and V > 0 -> m * ln(m / V))
+# uses the same literal arithmetic text on both engines.
+# ---------------------------------------------------------------------------
+HLL_M = 512
+_HLL_POW52 = 1 << 52
+#: raw harmonic-mean estimate from the exact scaled sum {s}:
+#: alpha_512 * m^2 * 2^52 / S, alpha_m = 0.7213 / (1 + 1.079 / m)
+_HLL_RAW = (
+    "0.7213e0 / (1.0e0 + 1.079e0 / 512.0e0) * 262144.0e0 "
+    "* 4503599627370496.0e0 / CAST({s} AS DOUBLE)"
+)
+_HLL_EST = (
+    "CASE WHEN ({raw}) <= 1280.0e0 AND {v} > 0 "
+    "THEN 512.0e0 * ln(512.0e0 / CAST({v} AS DOUBLE)) "
+    "ELSE ({raw}) END"
+)
+
+
+def _hll_est_sql(s: str, v: str) -> str:
+    raw = _HLL_RAW.format(s=s)
+    return f"round({_HLL_EST.format(raw=raw, v=v)}, 4)"
+
+
+@declared(
+    oracle=f"""
+    WITH h AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_s,
+               user_id,
+               try_cast('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS hv
+        FROM events
+    ),
+    r AS (
+        SELECT day_s, hv % 512 AS bucket,
+               max(CASE WHEN hv // 512 = 0 THEN 52
+                        ELSE 52 - length(bin(hv // 512)) END) AS rho,
+               CAST(count(*) AS BIGINT) AS c
+        FROM h GROUP BY day_s, bucket
+    ),
+    day_s AS (
+        SELECT day_s,
+               sum(CAST(1 AS BIGINT) << (52 - rho))
+                 + (512 - count(*)) * {_HLL_POW52} AS s,
+               512 - count(*) AS v,
+               sum(c) AS n_events
+        FROM r GROUP BY day_s
+    ),
+    day_exact AS (
+        SELECT day_s, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM h GROUP BY day_s
+    ),
+    gregs AS (
+        SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket
+    ),
+    gsum AS (
+        SELECT sum(CAST(1 AS BIGINT) << (52 - rho))
+                 + (512 - count(*)) * {_HLL_POW52} AS s,
+               512 - count(*) AS v
+        FROM gregs
+    )
+    SELECT d.day_s, {_hll_est_sql('d.s', 'd.v')} AS est_users,
+           e.exact_users, CAST(d.n_events AS BIGINT) AS n_events
+    FROM day_s d JOIN day_exact e USING (day_s)
+    UNION ALL
+    SELECT 'ALL' AS day_s, {_hll_est_sql('g.s', 'g.v')} AS est_users,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM h)
+               AS exact_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_events
+    FROM gsum g
+    """
+)
+def q_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_s"),
+        "user_id",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    w = F.expr("hv DIV 512")
+    rho = F.when(w == 0, F.lit(52)).otherwise(52 - F.length(F.bin(w)))
+    regs = (
+        ev.select("day_s", (F.col("hv") % 512).alias("bucket"), rho.alias("rho"))
+        .groupBy("day_s", "bucket")
+        .agg(F.max("rho").alias("rho"), F.count("*").alias("c"))
+    )
+
+    def estimate(grouped: DataFrame) -> DataFrame:
+        s = (
+            F.expr("sum(shiftleft(CAST(1 AS BIGINT), 52 - rho))")
+            + (512 - F.count("*")) * F.lit(_HLL_POW52)
+        ).alias("s")
+        v = (512 - F.count("*")).alias("v")
+        return grouped.agg(s, v)
+
+    day_est = estimate(regs.groupBy("day_s")).join(
+        regs.groupBy("day_s").agg(F.sum("c").alias("n_events")), "day_s"
+    )
+    day_exact = ev.groupBy("day_s").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    per_day = day_est.join(day_exact, "day_s").select(
+        "day_s",
+        F.expr(_hll_est_sql("s", "v")).alias("est_users"),
+        "exact_users",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+    glob = estimate(
+        regs.groupBy("bucket").agg(F.max("rho").alias("rho")).groupBy()
+    )
+    totals = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("*").alias("n_events"),
+    )
+    all_row = glob.join(F.broadcast(totals)).select(
+        F.lit("ALL").alias("day_s"),
+        F.expr(_hll_est_sql("s", "v")).alias("est_users"),
+        "exact_users",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+    return per_day.unionByName(all_row)

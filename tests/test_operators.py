@@ -543,6 +543,20 @@ def test_hll_union_estimate_close_to_exact(spark, sf_dir):
     assert abs(rows["ALL"] - exact) <= max(2, exact * 0.05)
 
 
+def test_hll_md5_twin_estimates_close_to_exact(spark, sf_dir):
+    """The md5-twin's explicit m=512 registers must estimate within
+    HLL's expected error (m=512 → rse ~1.04/sqrt(512) ≈ 4.6%; allow 3
+    sigma) — per day AND for the bucket-max merged ALL row, whose exact
+    twin column the query itself carries."""
+    from review_engine_spark.plans.roster_retrieval import q_hll_md5
+
+    rows = q_hll_md5(spark, sf_dir).collect()
+    assert {r["day_s"] for r in rows} >= {"ALL"}
+    for r in rows:
+        tol = max(3.0, r["exact_users"] * 3 * 1.04 / (512 ** 0.5))
+        assert abs(r["est_users"] - r["exact_users"]) <= tol, r
+
+
 def test_stream_stream_join_matches_batch_interval_join(spark, sf_dir):
     """The watermarked stream-stream attribution join must produce
     exactly the batch interval-join pairs (finite source, generous
