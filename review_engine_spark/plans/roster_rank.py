@@ -233,12 +233,75 @@ def q_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared()  # rows-only: inherently sequential greedy selection (SURVEY §4.3.2)
+@declared(
+    oracle="""
+    WITH RECURSIVE q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    x AS (
+        SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+               unnest(q.qv)::DOUBLE AS b
+        FROM embeddings e CROSS JOIN q
+    ),
+    s AS (
+        SELECT vec_id,
+               round(sum(a * b)
+                     / (sqrt(sum(a * a)) * sqrt(sum(b * b)) + 1e-9),
+                     6) AS relevance
+        FROM x GROUP BY vec_id
+    ),
+    top AS (
+        SELECT s.vec_id, s.relevance, e.embedding
+        FROM s JOIN embeddings e USING (vec_id)
+        ORDER BY s.relevance DESC, s.vec_id LIMIT 50
+    ),
+    norm AS (
+        SELECT vec_id, relevance,
+               list_transform(embedding,
+                   v -> CAST(v AS DOUBLE)
+                        / (sqrt(list_sum(list_transform(embedding,
+                               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+                           + 1e-9)) AS nv
+        FROM top
+    ),
+    pick AS (
+        SELECT CAST(1 AS BIGINT) AS mmr_rank, vec_id, relevance,
+               [vec_id] AS sel
+        FROM (SELECT vec_id, relevance,
+                     row_number() OVER (ORDER BY relevance DESC, vec_id)
+                         AS rn
+              FROM norm) t WHERE rn = 1
+      UNION ALL
+        SELECT p.mmr_rank + 1, b.vec_id, b.relevance,
+               list_append(p.sel, b.vec_id)
+        FROM pick p, LATERAL (
+            SELECT c.vec_id, c.relevance
+            FROM norm c
+            WHERE NOT list_contains(p.sel, c.vec_id)
+            ORDER BY 0.66e0 * c.relevance - (1.0e0 - 0.66e0) * (
+                      SELECT max(list_dot_product(c.nv, s2.nv))
+                      FROM norm s2
+                      WHERE list_contains(p.sel, s2.vec_id)) DESC,
+                     c.relevance DESC, c.vec_id ASC
+            LIMIT 1
+        ) b
+        WHERE p.mmr_rank < 10
+    )
+    SELECT mmr_rank, vec_id, relevance FROM pick
+    """
+)
 def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: MMR diversification (rank.py:282-325), λ=0.66, k=10 over the
     top-50 cosine candidates vs the vec_id=0 query vector. The candidate
     set is collected (≤200 rows — the reference's own cut) and the greedy
-    loop runs driver-side; deterministic, golden-tested in pytest."""
+    loop runs driver-side; deterministic, golden-tested in pytest.
+
+    Oracle: the same recursive-CTE greedy re-derivation as
+    q_mmr_grouped, single group, over the DuckDB-side top-50 cosine cut
+    (the 6dp cosine parity of that cut is the already-driver-green
+    q_cosine_topk formula). Driver-loop float sums vs DuckDB list ops
+    differ only in ulps; pick margins dominate, and the emitted columns
+    (rank, id, 6dp relevance) are noise-free."""
     from review_engine_spark.operators.ranking import mmr_diversify
     from review_engine_spark.functions.vector import cosine_similarity
 
