@@ -333,15 +333,27 @@ def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     oracle="""
-    WITH RECURSIVE norm AS (
-        SELECT label, vec_id,
-               round(CAST(vec_id * 37 % 97 AS DOUBLE) / 97.0, 6) AS rel,
+    WITH RECURSIVE cut AS (
+        SELECT label, vec_id, rel, embedding
+        FROM (
+            SELECT label, vec_id, embedding,
+                   round(CAST(vec_id * 37 % 97 AS DOUBLE) / 97.0, 6) AS rel,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY round(CAST(vec_id * 37 % 97
+                                                     AS DOUBLE) / 97.0, 6)
+                                                DESC,
+                                                vec_id) AS rn
+            FROM embeddings
+        ) c WHERE rn <= 64
+    ),
+    norm AS (
+        SELECT label, vec_id, rel,
                list_transform(embedding,
                    x -> CAST(x AS DOUBLE)
                         / (sqrt(list_sum(list_transform(embedding,
                                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
                            + 1e-9)) AS nv
-        FROM embeddings
+        FROM cut
     ),
     pick AS (
         SELECT label, CAST(1 AS BIGINT) AS mmr_rank, vec_id, rel,
@@ -384,7 +396,13 @@ def q_mmr_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.66e0) so both engines use the identical IEEE doubles; the emitted
     columns (rank, id, 6dp relevance) are float-noise-free, and pick
     margins dwarf the summation-order ulps between numpy and DuckDB
-    dot products."""
+    dot products.
+
+    Scale contract: candidates are PRE-CUT to the top-64 by relevance
+    per group (rank window, mirrored in the oracle) before the greedy
+    runs — the standard production form (the reference itself cuts
+    top-200 before MMR, rank.py:213) — so every applyInPandas group is
+    memory-bounded no matter how large a label grows at 100 TB."""
     from review_engine_spark.operators.ranking import mmr_diversify_grouped
 
     emb = read_parquet_table(spark, sf_dir, "embeddings")
@@ -395,6 +413,12 @@ def q_mmr_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stub scores): modular hash of the id
         (F.round((F.col("vec_id") * 37 % 97) / 97.0, 6)).alias("rel"),
         "embedding",
+    )
+    wcut = Window.partitionBy("label").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cands = (
+        cands.withColumn("_rn", F.row_number().over(wcut))
+        .filter(F.col("_rn") <= 64)
+        .drop("_rn")
     )
     return mmr_diversify_grouped(
         cands, "label", "vec_id", "rel", "embedding", k=5
