@@ -102,20 +102,27 @@ def main() -> int:
     rows = []
     for name, fn in qs.items():
         t_small = t_big = None
-        for sf_dir in (SF_DIR, out_dir):
-            best = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            if sf_dir == SF_DIR:
-                t_small = best
-            else:
-                t_big = best
+        try:
+            for sf_dir in (SF_DIR, out_dir):
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                if sf_dir == SF_DIR:
+                    t_small = best
+                else:
+                    t_big = best
+        except Exception as e:  # noqa: BLE001 — fixture-layout dependent
+            print(f"skip      {name}: {repr(e)[:100]}", flush=True)
+            continue
         ratio = t_big / max(t_small, 1e-9)
         rows.append((name, t_small, t_big, ratio))
-        print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s  ({ratio:.1f}x)")
+        print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s  ({ratio:.1f}x)", flush=True)
+    if not rows:
+        print("# no queries ran")
+        return 1
     worst = max(rows, key=lambda r: r[3])
     print(
         f"# worst ratio {worst[0]} {worst[3]:.1f}x vs input {k}x — "
