@@ -1833,14 +1833,19 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pair graph is clique-y (true dup clusters) or chain-y
     (lexical drift).
 
-    Canonical-orientation triangle join: edges kept only as l < r, so
-    each triangle is counted exactly once as (e1: a→b, e2: b→c,
-    e3: a→c). The edge list is materialized once (localCheckpoint) —
-    three self-join arms of one tiny keyed table, never a re-derive of
-    the levenshtein block join. Scale: with edges oriented by degree
-    (low→high) instead of id the same plan is the O(m^1.5)
-    wedge-counting algorithm; id orientation suffices for the
-    block-bounded fixture graph.
+    Degree-ordered compact-forward counting (the O(m^1.5) algorithm):
+    every undirected edge is oriented from its (degree, id)-smaller
+    endpoint to the larger, wedges are pairs of out-neighbors of a
+    common vertex, and a triangle u<a<b (in that total order) is
+    counted exactly once when the closing a→b edge exists. Out-degrees
+    under this orientation are O(sqrt(m)), which bounds the wedge join
+    — the property that keeps skewed/clique-dense graphs (exactly what
+    a near-dup pair graph becomes at scale) from blowing the wedge
+    volume cubically. Any total order yields the same triangle count,
+    so this is plan-only: results are identical to the id-oriented
+    form. The edge list is materialized once (localCheckpoint) — the
+    wedge arms re-join one tiny keyed table, never the levenshtein
+    block join.
     """
     part = read_parquet_table(spark, sf_dir, "part")
     a = part.select(
@@ -1858,11 +1863,32 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l", "r")
         .localCheckpoint()
     )
-    e1 = e.select(F.col("l").alias("x"), F.col("r").alias("y"))
-    e2 = e.select(F.col("l").alias("y"), F.col("r").alias("z"))
-    e3 = e.select(F.col("l").alias("x"), F.col("r").alias("z"))
-    return (
-        e1.join(e2, "y")
-        .join(e3, ["x", "z"])
-        .agg(F.count("*").alias("n_triangles"))
+    deg = (
+        e.select(F.col("l").alias("v"))
+        .unionByName(e.select(F.col("r").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    l_first = (F.col("dl") < F.col("dr")) | (
+        (F.col("dl") == F.col("dr")) & (F.col("l") < F.col("r"))
+    )
+    ed = (
+        e.join(deg.select(F.col("v").alias("l"), F.col("d").alias("dl")), "l")
+        .join(deg.select(F.col("v").alias("r"), F.col("d").alias("dr")), "r")
+        .select(
+            F.when(l_first, F.col("l")).otherwise(F.col("r")).alias("u"),
+            F.when(l_first, F.col("r")).otherwise(F.col("l")).alias("w"),
+            F.when(l_first, F.col("dr")).otherwise(F.col("dl")).alias("dw"),
+        )
+        .localCheckpoint()
+    )
+    w1 = ed.select("u", F.col("w").alias("x"), F.col("dw").alias("dx"))
+    w2 = ed.select("u", F.col("w").alias("y"), F.col("dw").alias("dy"))
+    wedges = w1.join(w2, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = ed.select(F.col("u").alias("x"), F.col("w").alias("y"))
+    return wedges.join(closing, ["x", "y"]).agg(
+        F.count("*").alias("n_triangles")
     )

@@ -70,7 +70,19 @@ def main() -> int:
     spark = get_spark("stress-tpch", extra_conf={"spark.driver.memory": "24g"})
     got = spark.conf.get("spark.driver.memory", "unset")
     assert got == "24g", f"spark.driver.memory={got}; 24g did not take effect"
-    out_dir = tempfile.mkdtemp(prefix="stress_tpch_")
+    # STRESS_DIR: reuse an already-replicated corpus (chunked sweeps over
+    # many queries re-run this script; replication is the expensive part).
+    import os
+
+    reuse = os.environ.get("STRESS_DIR")
+    if reuse and Path(reuse, "lineitem.parquet").exists():
+        print(f"# reusing replica {reuse} (K must match its build)")
+        out_dir = reuse
+        return _run(spark, k, wanted, out_dir)
+    out_dir = os.environ.get("STRESS_DIR") or tempfile.mkdtemp(
+        prefix="stress_tpch_"
+    )
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
     print(f"# replicating {SF_DIR} {k}x -> {out_dir}")
     for name, keys in KEY_COLS.items():
         base = read_parquet_table(spark, SF_DIR, name)
@@ -86,11 +98,16 @@ def main() -> int:
         else:
             scaled = base  # dims shared across copies (broadcast at any K)
         scaled.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
-    # embeddings aren't used by any stressed roster; symlink reads to the
-    # original so read_parquet_table still resolves it.
+    # embeddings aren't replicated (no fact-table keys); symlink reads to
+    # the original so read_parquet_table still resolves it.
     for name in ("embeddings",):
-        Path(f"{out_dir}/{name}.parquet").symlink_to(f"{SF_DIR}/{name}.parquet")
+        link = Path(f"{out_dir}/{name}.parquet")
+        if not link.exists():
+            link.symlink_to(f"{SF_DIR}/{name}.parquet")
+    return _run(spark, k, wanted, out_dir)
 
+
+def _run(spark, k: int, wanted: list[str], out_dir: str) -> int:
     import __spark_entry__ as entrymod
 
     qs = {
