@@ -46,69 +46,104 @@ from review_engine_spark.plans import roster_mining  # noqa: E402,F401
 # Driver-facing ordering. The harness checks only the FIRST 50 oracle
 # entries in registration order, so the dicts are re-ordered to put the
 # highest-verification-value queries first:
-#   tier 1 — reserved for queries whose oracle/plan was FIXED this round
-#            (none in r05: the r04 gate was fully green);
-#   tier 2 — any oracle-bearing query not yet driver-green: the 42
-#            round-4 additions never driver-checked, plus anything newly
-#            added or newly oracled this round (falls out of
-#            "not in _DRIVER_GREEN");
-#   tier 3 — the queries the driver already proved green in r01–r04;
+#   tier 1 — queries whose oracle/plan was FIXED this round (r6:
+#            q_mann_whitney, the one r5 red — DECIMAL u_stat cast to
+#            DOUBLE via 2e0 literals);
+#   tier 2 — any oracle-bearing query never driver-green (r6: none —
+#            the r1-r5 union checked all 224 oracles, 223 green);
+#   tier 3 — driver-green queries by ASCENDING last-proven round: r1
+#            greens were proven against round-1 code, so re-proving the
+#            oldest first guards against silent drift. ~49 spare slots
+#            per round rotate through this tier.
 #   tier 4 — rows-only queries (no oracle; bench covers execution).
 # ---------------------------------------------------------------------------
 
-_TIER1_FIXED: list[str] = []
+_TIER1_FIXED: list[str] = ["q_mann_whitney"]
 
-#: Union of driver-green rows from CORRECTNESS_r01..r04.json
-#: (rows_match & schema_match & hash_match; 178 names). These keep their
-#: oracles but yield their first-50 slots to unproven queries.
-_DRIVER_GREEN = [
-    "q_abtest_ttest", "q_anomaly_zscore", "q_asof_cogroup", "q_asof_join",
-    "q_assign_ids", "q_autocorr", "q_bayes_rating", "q_benford",
-    "q_bitmap_distinct", "q_bloom_membership", "q_bm25", "q_boilerplate",
-    "q_bucketed_join", "q_char_entropy", "q_chi2_independence",
-    "q_chunk_docs", "q_clean_text", "q_cohort_retention", "q_contamination",
-    "q_cooccur_topk", "q_corrupt_records", "q_cosine_topk", "q_countmin",
-    "q_crosstab", "q_csv_roundtrip", "q_cube", "q_cusum", "q_data_profile",
-    "q_date_trunc", "q_decontaminate", "q_dedup_apply", "q_dedup_clusters",
-    "q_dedup_exact", "q_distinct_count", "q_domain_cap", "q_dot", "q_ewma",
-    "q_except", "q_except_all", "q_extract_summary", "q_fingerprint",
-    "q_freq_items", "q_full_outer", "q_funnel", "q_fuzzy_pairs",
-    "q_gini_udaf", "q_group_collect", "q_group_count", "q_group_percentiles",
-    "q_grouping_sets", "q_hard_negatives", "q_histogram", "q_hop_window",
-    "q_implicit_ratings", "q_incremental_dedup", "q_intersect",
-    "q_intersect_all", "q_inverted_index", "q_join_anti", "q_join_meta",
-    "q_json_extract", "q_kmeans", "q_knn_batch", "q_knn_bruteforce",
-    "q_ks_test", "q_l2norm", "q_lang_id", "q_lateral_topk",
-    "q_length_buckets", "q_map_explode", "q_markov_transitions",
-    "q_meanpool", "q_minhash_jaccard", "q_mix_upsample", "q_mixture_apply",
-    "q_mixture_weights", "q_near_dup_embedding", "q_negative_sample",
-    "q_ngram_jaccard", "q_null_safe_join", "q_observe_metrics",
-    "q_orc_roundtrip", "q_pagerank", "q_parse_budget", "q_partitioned_prune",
-    "q_percentile_norm", "q_pii_scrub", "q_pivot", "q_pmi_bigrams",
-    "q_popularity", "q_price_fit", "q_price_stats", "q_psi_drift",
-    "q_python_datasource", "q_quality_gate", "q_quality_score",
-    "q_quantize_embeddings", "q_range_join", "q_rank_blend", "q_rate_sample",
-    "q_recsys_eval", "q_repetition_stats", "q_resample_ffill", "q_ri_check",
-    "q_rollup", "q_salted_collect", "q_salted_join", "q_scan_docs",
-    "q_scan_embeddings", "q_schema_evolution", "q_semantic_dedup",
-    "q_semi_join", "q_sentence_udtf", "q_sequence_pack", "q_sessionize",
-    "q_sessionize_state", "q_simhash_hamming", "q_simhash_md5",
-    "q_sink_roundtrip", "q_skew_profile", "q_skipgram_pairs", "q_span_dedup",
-    "q_star_join", "q_stats_agg", "q_stratified_sample", "q_stream_dedup",
-    "q_stream_ewma", "q_stream_sink_parquet", "q_stream_stream_join",
-    "q_stream_tumbling", "q_stream_upsert", "q_text_stats", "q_tfidf",
-    "q_token_count_bpe", "q_token_filter", "q_tokenize", "q_top_tokens",
-    "q_topk_window", "q_tpch_q1", "q_tpch_q10", "q_tpch_q11", "q_tpch_q12",
-    "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
-    "q_tpch_q18", "q_tpch_q19", "q_tpch_q2", "q_tpch_q20", "q_tpch_q21",
-    "q_tpch_q22", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
-    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_train_split", "q_trend_slope",
-    "q_triangle_count", "q_try_arithmetic", "q_ts_window",
-    "q_unigram_logprob", "q_union", "q_unpivot", "q_upsert_latest",
-    "q_variant_json", "q_wilson_ci", "q_window_analytics", "q_window_lag",
-    "q_window_range", "q_window_running", "q_winnow_md5", "q_xml_extract",
-    "q_zorder_key",
-]
+#: name -> last round the driver proved it green (CORRECTNESS_r01..r05
+#: union: rows_match & schema_match & hash_match). 223 entries.
+_LAST_GREEN: dict[str, int] = {
+    # proven green in round 1 (29 queries)
+    "q_cube": 1, "q_data_profile": 1, "q_dedup_exact": 1,
+    "q_distinct_count": 1, "q_except": 1, "q_extract_summary": 1,
+    "q_fingerprint": 1, "q_group_count": 1, "q_group_percentiles": 1,
+    "q_grouping_sets": 1, "q_histogram": 1, "q_intersect": 1, "q_join_anti": 1,
+    "q_join_meta": 1, "q_parse_budget": 1, "q_percentile_norm": 1,
+    "q_pivot": 1, "q_price_stats": 1, "q_ri_check": 1, "q_rollup": 1,
+    "q_salted_join": 1, "q_semi_join": 1, "q_skew_profile": 1,
+    "q_star_join": 1, "q_stats_agg": 1, "q_tfidf": 1, "q_topk_window": 1,
+    "q_union": 1, "q_zorder_key": 1,
+    # proven green in round 2 (47 queries)
+    "q_asof_join": 2, "q_assign_ids": 2, "q_boilerplate": 2,
+    "q_bucketed_join": 2, "q_chunk_docs": 2, "q_cohort_retention": 2,
+    "q_contamination": 2, "q_cooccur_topk": 2, "q_cosine_topk": 2,
+    "q_date_trunc": 2, "q_dedup_apply": 2, "q_dedup_clusters": 2,
+    "q_domain_cap": 2, "q_dot": 2, "q_funnel": 2, "q_group_collect": 2,
+    "q_implicit_ratings": 2, "q_incremental_dedup": 2, "q_json_extract": 2,
+    "q_kmeans": 2, "q_knn_batch": 2, "q_knn_bruteforce": 2, "q_l2norm": 2,
+    "q_meanpool": 2, "q_mix_upsample": 2, "q_mixture_apply": 2,
+    "q_mixture_weights": 2, "q_pii_scrub": 2, "q_quality_gate": 2,
+    "q_quantize_embeddings": 2, "q_rank_blend": 2, "q_rate_sample": 2,
+    "q_recsys_eval": 2, "q_repetition_stats": 2, "q_salted_collect": 2,
+    "q_schema_evolution": 2, "q_semantic_dedup": 2, "q_sequence_pack": 2,
+    "q_span_dedup": 2, "q_text_stats": 2, "q_tokenize": 2, "q_top_tokens": 2,
+    "q_train_split": 2, "q_ts_window": 2, "q_window_analytics": 2,
+    "q_window_lag": 2, "q_window_running": 2,
+    # proven green in round 3 (48 queries)
+    "q_asof_cogroup": 3, "q_bayes_rating": 3, "q_bitmap_distinct": 3,
+    "q_char_entropy": 3, "q_corrupt_records": 3, "q_crosstab": 3,
+    "q_csv_roundtrip": 3, "q_except_all": 3, "q_full_outer": 3,
+    "q_fuzzy_pairs": 3, "q_gini_udaf": 3, "q_hard_negatives": 3,
+    "q_intersect_all": 3, "q_lang_id": 3, "q_lateral_topk": 3,
+    "q_map_explode": 3, "q_near_dup_embedding": 3, "q_negative_sample": 3,
+    "q_ngram_jaccard": 3, "q_null_safe_join": 3, "q_observe_metrics": 3,
+    "q_orc_roundtrip": 3, "q_partitioned_prune": 3, "q_pmi_bigrams": 3,
+    "q_popularity": 3, "q_price_fit": 3, "q_python_datasource": 3,
+    "q_quality_score": 3, "q_range_join": 3, "q_resample_ffill": 3,
+    "q_sentence_udtf": 3, "q_sessionize": 3, "q_sessionize_state": 3,
+    "q_sink_roundtrip": 3, "q_stratified_sample": 3, "q_stream_dedup": 3,
+    "q_stream_sink_parquet": 3, "q_stream_stream_join": 3,
+    "q_stream_upsert": 3, "q_token_count_bpe": 3, "q_triangle_count": 3,
+    "q_try_arithmetic": 3, "q_unigram_logprob": 3, "q_unpivot": 3,
+    "q_upsert_latest": 3, "q_variant_json": 3, "q_window_range": 3,
+    "q_xml_extract": 3,
+    # proven green in round 4 (50 queries)
+    "q_abtest_ttest": 4, "q_anomaly_zscore": 4, "q_autocorr": 4,
+    "q_benford": 4, "q_bloom_membership": 4, "q_bm25": 4,
+    "q_chi2_independence": 4, "q_countmin": 4, "q_cusum": 4,
+    "q_decontaminate": 4, "q_ewma": 4, "q_freq_items": 4, "q_hop_window": 4,
+    "q_inverted_index": 4, "q_ks_test": 4, "q_length_buckets": 4,
+    "q_markov_transitions": 4, "q_minhash_jaccard": 4, "q_pagerank": 4,
+    "q_psi_drift": 4, "q_simhash_hamming": 4, "q_simhash_md5": 4,
+    "q_skipgram_pairs": 4, "q_stream_ewma": 4, "q_stream_tumbling": 4,
+    "q_tpch_q1": 4, "q_tpch_q10": 4, "q_tpch_q11": 4, "q_tpch_q12": 4,
+    "q_tpch_q13": 4, "q_tpch_q14": 4, "q_tpch_q15": 4, "q_tpch_q16": 4,
+    "q_tpch_q17": 4, "q_tpch_q18": 4, "q_tpch_q19": 4, "q_tpch_q2": 4,
+    "q_tpch_q20": 4, "q_tpch_q21": 4, "q_tpch_q22": 4, "q_tpch_q3": 4,
+    "q_tpch_q4": 4, "q_tpch_q5": 4, "q_tpch_q6": 4, "q_tpch_q7": 4,
+    "q_tpch_q8": 4, "q_tpch_q9": 4, "q_trend_slope": 4, "q_wilson_ci": 4,
+    "q_winnow_md5": 4,
+    # proven green in round 5 (49 queries)
+    "q_abc_class": 5, "q_assoc_rules": 5, "q_assortativity": 5,
+    "q_attribution": 5, "q_bfs_levels": 5, "q_bom_rollup": 5,
+    "q_clean_text": 5, "q_collation": 5, "q_concurrency": 5, "q_croston": 5,
+    "q_cumulative_distinct": 5, "q_dau_mau": 5, "q_degree_hist": 5,
+    "q_dense_report": 5, "q_dup_payments": 5, "q_gap_islands": 5,
+    "q_geo_knn": 5, "q_hll_md5": 5, "q_holt_linear": 5, "q_holt_winters": 5,
+    "q_interval_merge": 5, "q_inventory_balance": 5, "q_mmr": 5,
+    "q_mmr_grouped": 5, "q_new_returning": 5, "q_ols_regression": 5,
+    "q_path_topk": 5, "q_peaks": 5, "q_python_stream_source": 5,
+    "q_resource_allocation": 5, "q_rfm": 5, "q_robust_zscore": 5,
+    "q_rolling_active": 5, "q_runs_test": 5, "q_scan_docs": 5,
+    "q_scan_embeddings": 5, "q_scd2_build": 5, "q_seasonal_decompose": 5,
+    "q_seasonal_naive": 5, "q_spend_deciles": 5, "q_sql_script": 5,
+    "q_stream_anomaly": 5, "q_stream_static_join": 5, "q_survival_km": 5,
+    "q_theil_sen": 5, "q_time_weighted_avg": 5, "q_token_filter": 5,
+    "q_winsorize": 5, "q_yoy_growth": 5,
+}
+
+# Backward-compat name used by tools/plan_audit.py and tests.
+_DRIVER_GREEN = sorted(_LAST_GREEN)
 
 
 def _driver_order() -> list[str]:
@@ -121,10 +156,18 @@ def _driver_order() -> list[str]:
                 seen.add(n)
                 ordered.append(n)
 
-    green = set(_DRIVER_GREEN)
+    green = set(_LAST_GREEN)
     take(_TIER1_FIXED)
     take(n for n in QUERIES if n in ORACLES and n not in green)
-    take(n for n in QUERIES if n in ORACLES)
+    # tier 3: oldest proof first, so the ~49 spare slots per round
+    # re-prove the stalest greens (registration order breaks ties via
+    # the stable sort).
+    take(
+        sorted(
+            (n for n in QUERIES if n in ORACLES),
+            key=lambda n: _LAST_GREEN.get(n, 0),
+        )
+    )
     take(QUERIES)
     return ordered
 

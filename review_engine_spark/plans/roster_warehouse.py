@@ -424,7 +424,7 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r
     )
     SELECT n1 AS n_click, n2 AS n_view,
-           round((ra2 - 2.0 * n1 * (n1 + 1) / 2.0) / 2.0, 4) AS u_stat,
+           round((ra2 - 2e0 * n1 * (n1 + 1) / 2e0) / 2e0, 4) AS u_stat,
            round(((ra2 - 2.0 * n1 * (n1 + 1) / 2.0) / 2.0
                   - CAST(n1 AS DOUBLE) * n2 / 2.0)
                  / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
@@ -462,7 +462,11 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         "n1 AS n_click",
         "n2 AS n_view",
-        "round((ra2 - 2.0 * n1 * (n1 + 1) / 2.0) / 2.0, 4) AS u_stat",
+        # 2e0 not 2.0: Spark parses 2.0 as DECIMAL(2,1), which propagates
+        # through round() and hands the driver a Decimal cell (r5's one
+        # red). 2e0 is DOUBLE in both engines; u_stat is a half-integer,
+        # exact in binary64, so the shared formula stays bit-identical.
+        "round((ra2 - 2e0 * n1 * (n1 + 1) / 2e0) / 2e0, 4) AS u_stat",
         "round(((ra2 - 2.0 * n1 * (n1 + 1) / 2.0) / 2.0"
         "       - CAST(n1 AS DOUBLE) * n2 / 2.0)"
         "      / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0"

@@ -42,3 +42,31 @@ def test_entry_runs(spark):
 def test_query_runs_at_sf0001(spark, sf_dir, name):
     df = entrymod.queries()[name](spark, sf_dir)
     assert df.count() >= 0
+
+
+# Structural gate for the three known driver-hash killers (NOTES.md; r5's
+# one red): DecimalType (Spark parses bare `2.0` SQL literals as
+# DECIMAL(2,1) → pandas Decimal objects vs DuckDB float64), DateType
+# (datetime.date vs datetime64), and ArrayType (crashes the driver
+# canonicalizer's sort). Oracle-checked outputs must stick to the
+# hash-portable scalar types. IntegerType is allowed: 23 driver-green
+# queries (r1-r5) emit int32 columns, so the driver canonicalizes integer
+# widths — the hazard is Decimal/Date/Array, not narrow ints.
+_PORTABLE = {
+    "LongType", "IntegerType", "DoubleType", "StringType", "BooleanType",
+    "TimestampType",
+}
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
+def test_oracle_query_output_dtypes_portable(spark, sf_dir, name):
+    schema = entrymod.queries()[name](spark, sf_dir).schema
+    bad = {
+        f.name: type(f.dataType).__name__
+        for f in schema.fields
+        if type(f.dataType).__name__ not in _PORTABLE
+    }
+    assert not bad, (
+        f"{name} declares non-portable output column(s) {bad}; the driver "
+        f"value-hash is dtype-sensitive — cast to one of {sorted(_PORTABLE)}"
+    )

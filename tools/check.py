@@ -115,14 +115,31 @@ def main() -> int:
         # (b) an int64-vs-float64 dtype split hash-mismatches even when
         # values are numerically equal. Flag both as failures here.
         if ok:
+            import decimal as _decimal
+
             for frame, side in ((sdf, "spark"), (odf, "oracle")):
-                if len(frame) and any(
-                    isinstance(frame[c].iloc[0], (list, tuple))
-                    or type(frame[c].iloc[0]).__name__ == "ndarray"
-                    for c in frame.columns
-                ):
-                    ok = False
-                    msgs.append(f"{side} returns array cells (driver canonicalizer would crash)")
+                if not len(frame):
+                    continue
+                for c in frame.columns:
+                    cell = frame[c].iloc[0]
+                    if isinstance(cell, (list, tuple)) or type(cell).__name__ == "ndarray":
+                        ok = False
+                        msgs.append(
+                            f"{side} returns array cells in '{c}' (driver canonicalizer would crash)"
+                        )
+                        break
+                    # Decimal == float compares NUMERICALLY in Python, so a
+                    # DecimalType output passed this gate in r4 while the
+                    # driver's dtype-sensitive hash failed it (q_mann_whitney,
+                    # r5's one red). Any Decimal cell is a hard failure.
+                    if isinstance(cell, _decimal.Decimal):
+                        ok = False
+                        msgs.append(
+                            f"{side} returns decimal.Decimal in '{c}' (driver value-hash "
+                            f"would differ; CAST to DOUBLE / use 2e0 literals)"
+                        )
+                        break
+                if not ok:
                     break
         # Driver-hazard replication: the harness compares the DuckDB result
         # TYPE against the Spark schema before hashing, while canon_cell
@@ -147,7 +164,12 @@ def main() -> int:
             num = {"i", "u", "f"}
             for c in sdf.columns:
                 sk, okind = sdf[c].dtype.kind, odf[c].dtype.kind
-                if sk != okind and sk in num and okind in num:
+                # object-vs-numeric is a driver hash mismatch too (e.g. a
+                # Decimal column on one side): treat it like a kind split.
+                if sk != okind and (
+                    (sk in num and okind in num)
+                    or (sk == "O") != (okind == "O")
+                ):
                     ok = False
                     msgs.append(
                         f"dtype kind mismatch on '{c}': spark={sdf[c].dtype} "
