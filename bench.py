@@ -55,6 +55,30 @@ def main() -> int:
     # query, not session bring-up
     spark.read.parquet(f"{args.sf_dir}/part.parquet").count()
 
+    # Contention canary: three fast pure-Catalyst queries timed at sweep
+    # start and re-timed at sweep end. Their code never changes mid-run,
+    # so end/start drift beyond 1.5x means the MACHINE got slower while
+    # the sweep ran (r5's headline "regression" was exactly this —
+    # driver-host contention hitting the Python-worker-heavy paths). The
+    # "contended" flag lets a noisy host neither masquerade as a code
+    # regression nor mask a real one.
+    canary_names = ["q_group_count", "q_dot", "q_token_filter"]
+
+    def canary_pass() -> float:
+        total = 0.0
+        all_qs = entrymod.queries()
+        for cname in canary_names:
+            cfn = all_qs.get(cname)
+            if cfn is None:
+                continue
+            c0 = time.perf_counter()
+            cfn(spark, args.sf_dir).count()
+            total += time.perf_counter() - c0
+        return total
+
+    canary_pass()  # pay codegen JIT so the measured pass is steady-state
+    canary_start = canary_pass()
+
     timings: dict[str, float] = {}
     failed: list[str] = []
     for name, fn in qs.items():
@@ -78,6 +102,9 @@ def main() -> int:
         # persists otherwise squeeze the heap as the sweep progresses
         spark.catalog.clearCache()
 
+    canary_end = canary_pass()
+    canary_drift = round(canary_end / max(canary_start, 1e-9), 2)
+
     m = re.search(r"sf([0-9.]+)", args.sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
     sidecar = os.path.join(
@@ -96,6 +123,10 @@ def main() -> int:
         # death (e.g. a concurrent local Spark fighting for the same
         # resources) can never masquerade as a speedup
         "n_failed": len(failed),
+        "canary_start_s": round(canary_start, 3),
+        "canary_end_s": round(canary_end, 3),
+        "canary_drift": canary_drift,
+        "contended": canary_drift > 1.5,
     }
     # subset invocations (explicit query args) must not clobber the
     # full-roster sidecar the driver/analysis reads

@@ -33,6 +33,7 @@ Determinism strategy (per roster_analytics / roster_warehouse):
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -921,14 +922,17 @@ def q_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_parquet_table(spark, sf_dir, "orders")
     probe = orders.select("o_totalprice")
-    probe.createOrReplaceTempView("v_script_orders")
-    # The script plan is lazy (CompoundBody) and re-executes on every
-    # collect, so the cache must outlive this function: cache the
-    # projection and leave it cached (bounded: one DOUBLE column, keyed
-    # by logical plan so a repeat call reuses the entry). The first
-    # probe materializes it; every later pass is a memory scan.
-    if not spark.catalog.isCached("v_script_orders"):
-        spark.catalog.cacheTable("v_script_orders")
+    # View name keyed by sf_dir: replacing ONE shared name with a
+    # different dir's plan made isCached() report false for the new plan
+    # while the old plan's cache entry stayed alive unreferenced. Per-dir
+    # names make isCached() answer for the right plan and bound the cache
+    # at one 1.2 MB double column per distinct fixture dir. The cache
+    # outlives this function on purpose: the first probe materializes it
+    # and every later pass (and bench repeat) is a memory scan.
+    view = "v_script_orders_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    probe.createOrReplaceTempView(view)
+    if not spark.catalog.isCached(view):
+        spark.catalog.cacheTable(view)
     # Seed pass 1: n, a fallback upper bound, and a tight approximate
     # bracket around the median (rank error <= n/1e5, vs the 0.005*n
     # margin the 0.495/0.505 pair leaves — 500x slack). 1 row: bounded.
@@ -964,17 +968,21 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bracket instead of the ~16 sequential COUNTs a binary bisection
     # issues. The struct variable carries (lo, hi, f(hi)) so the loop
     # body is a single SET and the final SELECT touches no data. AQE is
-    # disabled around the script build: each scripting statement runs
+    # disabled around the script EXECUTION: each scripting statement runs
     # its own tiny query, and adaptive re-planning roughly doubles that
     # fixed per-statement cost for zero benefit on 1-row results. The
     # shuffle width is pinned to 1 for the same reason: every exchange
-    # inside the script moves <= 33 histogram rows.
+    # inside the script moves <= 33 histogram rows. The CompoundBody plan
+    # is lazy and re-executes on every collect, so the script is
+    # materialized INSIDE the pinned region (1 row) and the caller gets a
+    # driver-built DataFrame — returning the lazy plan would restore the
+    # confs before any statement ever ran under them.
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
     shuf = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     try:
-        return spark.sql(f"""
+        row = spark.sql(f"""
         BEGIN
           DECLARE w BIGINT;
           DECLARE br STRUCT<nlo BIGINT, nhi BIGINT, chi BIGINT>
@@ -989,7 +997,7 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
                          (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                           - br.nlo * 100 + w * 100 - 1) DIV (w * 100))) AS mi,
                        count(*) AS c
-                FROM v_script_orders
+                FROM {view}
                 GROUP BY 1
               ),
               f AS (
@@ -1011,10 +1019,14 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT br.nhi AS threshold,
                  CAST(br.chi AS DOUBLE) / {n} AS covered_frac;
         END
-        """)
+        """).collect()[0]
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         spark.conf.set("spark.sql.shuffle.partitions", shuf)
+    return spark.createDataFrame(
+        [(int(row["threshold"]), float(row["covered_frac"]))],
+        schema="threshold BIGINT, covered_frac DOUBLE",
+    )
 
 
 # ---------------------------------------------------------------------------

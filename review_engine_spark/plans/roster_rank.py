@@ -344,7 +344,7 @@ def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 DESC,
                                                 vec_id) AS rn
             FROM embeddings
-        ) c WHERE rn <= 64
+        ) c WHERE rn <= 200
     ),
     norm AS (
         SELECT label, vec_id, rel,
@@ -398,11 +398,11 @@ def q_mmr_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     margins dwarf the summation-order ulps between numpy and DuckDB
     dot products.
 
-    Scale contract: candidates are PRE-CUT to the top-64 by relevance
+    Scale contract: candidates are PRE-CUT to the top-200 by relevance
     per group (rank window, mirrored in the oracle) before the greedy
-    runs — the standard production form (the reference itself cuts
-    top-200 before MMR, rank.py:213) — so every applyInPandas group is
-    memory-bounded no matter how large a label grows at 100 TB."""
+    runs — the same cut the reference applies before MMR (rank.py:213)
+    — so every applyInPandas group is memory-bounded (200 x dim floats)
+    no matter how large a label grows at 100 TB."""
     from review_engine_spark.operators.ranking import mmr_diversify_grouped
 
     emb = read_parquet_table(spark, sf_dir, "embeddings")
@@ -417,7 +417,7 @@ def q_mmr_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcut = Window.partitionBy("label").orderBy(F.desc("rel"), F.asc("vec_id"))
     cands = (
         cands.withColumn("_rn", F.row_number().over(wcut))
-        .filter(F.col("_rn") <= 64)
+        .filter(F.col("_rn") <= 200)
         .drop("_rn")
     )
     return mmr_diversify_grouped(

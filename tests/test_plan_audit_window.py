@@ -19,8 +19,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 from plan_audit import final_plan_only, global_window_violations  # noqa: E402
 
-SF = "/root/testdata/sf0.001"
-
 
 def _formatted(df):
     df.collect()  # finalize the adaptive plan before explaining
@@ -31,18 +29,18 @@ def _formatted(df):
     )
 
 
-def test_unbounded_global_window_fires(spark):
+def test_unbounded_global_window_fires(spark, sf_dir):
     # the in-line comment marker that used to silence the source sweep
     w = Window.orderBy("p_retailprice")  # bounded
-    bad = spark.read.parquet(f"{SF}/part.parquet").withColumn(
+    bad = spark.read.parquet(f"{sf_dir}/part.parquet").withColumn(
         "r", F.row_number().over(w)
     )
     assert global_window_violations(_formatted(bad))
 
 
-def test_rank_after_limit_passes(spark):
+def test_rank_after_limit_passes(spark, sf_dir):
     top = (
-        spark.read.parquet(f"{SF}/part.parquet")
+        spark.read.parquet(f"{sf_dir}/part.parquet")
         .orderBy(F.desc("p_retailprice"))
         .limit(5)
     )
@@ -52,9 +50,9 @@ def test_rank_after_limit_passes(spark):
     assert global_window_violations(_formatted(ok)) == []
 
 
-def test_aggregate_fed_global_window_passes(spark):
+def test_aggregate_fed_global_window_passes(spark, sf_dir):
     per_brand = (
-        spark.read.parquet(f"{SF}/part.parquet")
+        spark.read.parquet(f"{sf_dir}/part.parquet")
         .groupBy("p_brand")
         .agg(F.count("*").alias("n"))
     )
@@ -62,8 +60,8 @@ def test_aggregate_fed_global_window_passes(spark):
     assert global_window_violations(_formatted(ok)) == []
 
 
-def test_partitioned_window_ignored(spark):
-    part = spark.read.parquet(f"{SF}/part.parquet").withColumn(
+def test_partitioned_window_ignored(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").withColumn(
         "r",
         F.row_number().over(
             Window.partitionBy("p_brand").orderBy("p_retailprice")

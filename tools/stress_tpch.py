@@ -116,7 +116,16 @@ def _run(spark, k: int, wanted: list[str], out_dir: str) -> int:
         if (n in wanted if wanted else n.startswith("q_tpch_"))
     }
     print(f"# {len(qs)} queries, input ratio {k}x on fact tables")
+    # Only fixture-LAYOUT errors are skippable (a replica dir lacks the
+    # partitioned/bucketed/binary side-fixtures some queries build from):
+    # AnalysisException = missing table/path/column at plan time. Anything
+    # else — executor OOM, Py4J error, wrong results shape — is exactly
+    # the scale regression this harness exists to catch, so it propagates
+    # and fails the run instead of printing 'skip'.
+    from pyspark.errors import AnalysisException
+
     rows = []
+    skipped = []
     for name, fn in qs.items():
         t_small = t_big = None
         try:
@@ -131,12 +140,15 @@ def _run(spark, k: int, wanted: list[str], out_dir: str) -> int:
                     t_small = best
                 else:
                     t_big = best
-        except Exception as e:  # noqa: BLE001 — fixture-layout dependent
+        except AnalysisException as e:
+            skipped.append(name)
             print(f"skip      {name}: {repr(e)[:100]}", flush=True)
             continue
         ratio = t_big / max(t_small, 1e-9)
         rows.append((name, t_small, t_big, ratio))
         print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s  ({ratio:.1f}x)", flush=True)
+    if skipped:
+        print(f"# skipped (fixture layout): {' '.join(skipped)}")
     if not rows:
         print("# no queries ran")
         return 1
