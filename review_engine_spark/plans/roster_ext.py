@@ -375,8 +375,15 @@ def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared()
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (rolling-hash) fingerprints (rows-only; the md5 content
-    fingerprint q_fingerprint is the oracle-checked counterpart)."""
+    """Winnowing (rolling-hash) fingerprints. Rows-only BY TWIN: the
+    production path hashes shingles with xxhash64 (not bit-portable
+    across engines), so — exactly like minhash/simhash — its
+    verification surrogate is the md5-twin `q_winnow_md5`
+    (roster_retrieval), which runs the same winnowing algebra (k-token
+    shingle hash, min per sliding window of w, distinct per doc) over
+    md5 digests both engines compute bit-identically, and is
+    driver-green since r4. Only the hash function differs between twin
+    and production path."""
     from review_engine_spark.operators.textstats import winnow_fingerprints
 
     docs = read_parquet_table(spark, sf_dir, "documents")

@@ -1310,14 +1310,58 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared()
+@declared(
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           true AS p50_in_bound, true AS p99_in_bound
+    FROM lineitem GROUP BY l_returnflag
+    """
+)
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile sketch per group (rows-only: sketch-dependent;
-    error vs exact interpolated percentiles pinned in tests)."""
-    li = read_parquet_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
-        F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+    """approx_percentile sketch per group with its RANK-ERROR GUARANTEE
+    verified in-query: approx_percentile(col, p, acc) must return an
+    actual data value whose rank is within n/acc of p*n (Greenwald-
+    Khanna bound). The query computes the exact rank interval of each
+    returned sketch value (count < x, count <= x) on a second scan and
+    emits per-group booleans; the oracle asserts them constant-true, so
+    a sketch ever exceeding its bound becomes a driver hash mismatch —
+    the sketch VALUE stays approx, the BOUND is what's oracle-checked.
+
+    Scale: agg (3 groups) is broadcast back onto the fact scan; two
+    scans total, no shuffle beyond the two partial aggs."""
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    ap = li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("p50"),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.99), F.lit(10000)
+        ).alias("p99"),
+    )
+    j = li.join(F.broadcast(ap), "l_returnflag")
+    chk = j.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_if(F.col("l_extendedprice") < F.col("p50")).alias("lt50"),
+        F.count_if(F.col("l_extendedprice") <= F.col("p50")).alias("le50"),
+        F.count_if(F.col("l_extendedprice") < F.col("p99")).alias("lt99"),
+        F.count_if(F.col("l_extendedprice") <= F.col("p99")).alias("le99"),
+    )
+    # rank interval [lt+1, le] of the returned value must intersect
+    # [ceil((p - eps)*n), floor((p + eps)*n)] with eps = 1/accuracy
+    # (+1-row slack for the discrete target-rank rounding convention).
+    def in_bound(lt, le, p):
+        eps = 1.0 / 10000
+        lo = F.ceil((F.lit(p) - eps) * F.col("n_rows")) - 1
+        hi = F.floor((F.lit(p) + eps) * F.col("n_rows")) + 1
+        return (F.col(lt) + 1 <= hi) & (F.col(le) >= lo)
+
+    return chk.select(
+        "l_returnflag",
+        "n_rows",
+        in_bound("lt50", "le50", 0.5).alias("p50_in_bound"),
+        in_bound("lt99", "le99", 0.99).alias("p99_in_bound"),
     )
 
 
