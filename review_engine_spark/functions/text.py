@@ -39,10 +39,17 @@ __all__ = [
 #:     astral math-script characters) — a strict superset of the HTML4
 #:     252 + ``&apos;`` covered through round 4;
 #:   - numeric character references, decimal ``&#39;`` and either-case
-#:     hex ``&#x27;``/``&#X27;``, for code points 32–126 and 160–255;
-#: all semicolon-terminated (html.unescape additionally accepts
-#: unterminated refs like ``&amp`` without ``;``; those stay out of the
-#: declared subset — property-tested parity holds on terminated refs).
+#:     hex ``&#x27;``/``&#X27;``, for code points 32–126 and 160–255,
+#:     with or without the terminating ``;`` (``&#38x`` → ``&x``);
+#:   - UNTERMINATED named refs (round 6): the HTML5 legacy no-semicolon
+#:     set (106 names), resolved by longest prefix exactly like
+#:     html.unescape — ``&ampx`` → ``&x``, ``&notin`` → ``¬in``,
+#:     ``&notit;`` → ``¬it;`` (failed full-name lookups fall back to
+#:     the prefix scan, matching the stdlib's matched-group semantics).
+#: The remaining declared-subset restriction is numeric codes outside
+#: 32–126/160–255 (control chars, astral numerics): html.unescape maps
+#: those through its invalid/replacement tables; the engine keeps them
+#: verbatim on both sides.
 #:
 #: The decode is SINGLE-PASS by construction — split on ``&`` and decode
 #: at most one reference per segment via map lookup — so html.unescape's
@@ -75,6 +82,24 @@ ENTITY_ITEMS: list[tuple[str, str]] = _named_entity_items()
 #: ASCII + Latin-1 supplement; both Spark's char() and DuckDB's chr()
 #: agree with Python chr() on these).
 NUMERIC_RANGES: list[tuple[int, int]] = [(32, 126), (160, 255)]
+
+
+def _legacy_entity_items() -> list[tuple[str, str]]:
+    import html.entities as _he
+
+    # The HTML5 legacy set: names valid WITHOUT a terminating ";"
+    # (the no-suffix keys, 106 entries, lengths 2-6). html.unescape
+    # resolves an unterminated ref by the LONGEST of these matching a
+    # prefix of the following text.
+    return sorted(
+        (name, char) for name, char in _he.html5.items()
+        if not name.endswith(";")
+    )
+
+
+LEGACY_ITEMS: list[tuple[str, str]] = _legacy_entity_items()
+_LEGACY_MAXLEN = max(len(n) for n, _ in LEGACY_ITEMS)
+_LEGACY_MINLEN = min(len(n) for n, _ in LEGACY_ITEMS)
 
 
 #: Bucket count for the O(1) named-entity lookup. Spark's map/array
@@ -111,10 +136,54 @@ def _entity_bucket_tables() -> tuple[Column, Column]:
     )
 
 
+def _legacy_map() -> Column:
+    """name → replacement for the 106 legacy (no-semicolon) names, as a
+    single create_map over literals (folded to one map literal)."""
+    return F.create_map(
+        *[F.lit(x) for pair in LEGACY_ITEMS for x in pair]
+    )
+
+
+def _decode_unterminated(seg: Column) -> Column:
+    """html.unescape's no-semicolon path over one post-``&`` segment:
+    the LONGEST legacy name matching a prefix of the leading name-char
+    run decodes (``&ampx`` → ``&x``, ``&notin`` → ``¬in``), and a
+    leading in-range numeric reference decodes without its ``;``
+    (``&#38x`` → ``&x``). NULL when nothing matches. Equivalent to the
+    stdlib's matched-group + longest-prefix resolution because after
+    the prefix replacement the remainder is copied verbatim either
+    way (group boundaries only ever delimit copied text)."""
+    lmap = _legacy_map()
+    run = F.regexp_extract(seg, r"^[^\t\n\f <&#;]{1,32}", 0)
+    tries = []
+    for L in range(_LEGACY_MAXLEN, _LEGACY_MINLEN - 1, -1):
+        hit = lmap[F.substring(run, 1, L)]
+        tries.append(
+            F.when(
+                (F.length(run) >= L) & hit.isNotNull(),
+                F.concat(hit, F.substring(seg, L + 1, F.length(seg))),
+            )
+        )
+    dnum = F.regexp_extract(seg, "^#([0-9]{1,7})", 1)
+    hnum = F.regexp_extract(seg, "^#[xX]([0-9a-fA-F]{1,6})", 1)
+    code = F.when(dnum != "", dnum.cast("int")).when(
+        hnum != "", F.conv(hnum, 16, 10).cast("int")
+    )
+    in_range = F.lit(False)
+    for lo, hi in NUMERIC_RANGES:
+        in_range = in_range | ((code >= lo) & (code <= hi))
+    skip = F.when(dnum != "", F.length(dnum) + 1).otherwise(F.length(hnum) + 2)
+    num = F.when(
+        in_range, F.concat(F.char(code), F.substring(seg, skip + 1, F.length(seg)))
+    )
+    return F.coalesce(*tries, num)
+
+
 def _decode_segment(seg: Column) -> Column:
     """Decode one post-``&`` segment: if it starts with ``name;`` for a
     declared name (or an in-range numeric reference), emit the
-    replacement plus the rest; otherwise restore the ``&`` verbatim."""
+    replacement plus the rest; else try the unterminated/legacy-prefix
+    path; otherwise restore the ``&`` verbatim."""
     semi = F.instr(seg, ";")
     name = F.substring(seg, F.lit(1), semi - 1)
     rest = F.substring(seg, semi + 1, F.length(seg))
@@ -134,9 +203,11 @@ def _decode_segment(seg: Column) -> Column:
     for lo, hi in NUMERIC_RANGES:
         in_range = in_range | ((code >= lo) & (code <= hi))
     decoded = F.coalesce(named, F.when(in_range, F.char(code)))
-    return F.when(
-        (semi > 0) & decoded.isNotNull(), F.concat(decoded, rest)
-    ).otherwise(F.concat(F.lit("&"), seg))
+    return F.coalesce(
+        F.when((semi > 0) & decoded.isNotNull(), F.concat(decoded, rest)),
+        _decode_unterminated(seg),
+        F.concat(F.lit("&"), seg),
+    )
 
 
 def unescape_html_entities(col: Column) -> Column:

@@ -13,8 +13,11 @@ from __future__ import annotations
 from review_engine_spark.functions.text import (
     BUDGET_PATTERNS,
     ENTITY_ITEMS,
+    LEGACY_ITEMS,
     NUMERIC_RANGES,
     STOPWORDS,
+    _LEGACY_MAXLEN,
+    _LEGACY_MINLEN,
 )
 
 # --- H1-H7 clean_text chain (embed.py:13-51) -------------------------------
@@ -44,13 +47,44 @@ def sql_unescape(expr: str) -> str:
         f"WHEN regexp_matches(n, '^#[xX][0-9a-fA-F]{{1,6}}$') AND ({hex_ok}) "
         f"THEN chr({hex_code}) END)"
     )
+    # Unterminated/legacy fallback (mirrors _decode_unterminated):
+    # longest legacy-name prefix of the leading name-char run, else a
+    # leading in-range numeric ref without its ";". NULL → verbatim.
+    lnames = ", ".join(_sq(n) for n, _ in LEGACY_ITEMS)
+    lvals = ", ".join(_sq(r) for _, r in LEGACY_ITEMS)
+    legacy_tries = ", ".join(
+        f"CASE WHEN length(r) >= {L} THEN "
+        f"list_transform([map([{lnames}], [{lvals}])[substr(r, 1, {L})][1]], "
+        f"h -> h || substr(s, {L} + 1))[1] END"
+        for L in range(_LEGACY_MAXLEN, _LEGACY_MINLEN - 1, -1)
+    )
+    u_dec = "regexp_extract(s, '^#([0-9]{1,7})', 1)"
+    u_hex = "regexp_extract(s, '^#[xX]([0-9a-fA-F]{1,6})', 1)"
+    u_code = (
+        f"CASE WHEN {u_dec} <> '' THEN try_cast({u_dec} AS INT) "
+        f"WHEN {u_hex} <> '' THEN try_cast('0x' || {u_hex} AS INT) END"
+    )
+    u_skip = (
+        f"CASE WHEN {u_dec} <> '' THEN length({u_dec}) + 1 "
+        f"ELSE length({u_hex}) + 2 END"
+    )
+    u_ok = " OR ".join(f"c BETWEEN {lo} AND {hi}" for lo, hi in NUMERIC_RANGES)
+    unterm = (
+        "list_transform([regexp_extract(s, '^[^\\t\\n\\f <&#;]{1,32}', 0)], "
+        f"r -> COALESCE({legacy_tries}, "
+        f"list_transform([{u_code}], c -> "
+        f"CASE WHEN ({u_ok}) THEN chr(c) || substr(s, {u_skip} + 1) END)[1]"
+        "))[1]"
+    )
     decode = (
-        "list_transform([strpos(s, ';')], p -> "
-        "CASE WHEN p = 0 THEN '&' || s ELSE "
+        "list_transform([strpos(s, ';')], p -> COALESCE("
+        "CASE WHEN p > 0 THEN "
         "list_transform([substr(s, 1, p - 1)], n -> "
         f"list_transform([{lookup}], d -> "
-        "CASE WHEN d IS NULL THEN '&' || s "
-        "ELSE d || substr(s, p + 1) END)[1])[1] END)[1]"
+        "CASE WHEN d IS NULL THEN NULL "
+        "ELSE d || substr(s, p + 1) END)[1])[1] END, "
+        f"{unterm}, "
+        "'&' || s))[1]"
     )
     return (
         f"CASE WHEN strpos({expr}, '&') = 0 THEN {expr} "

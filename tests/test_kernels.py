@@ -455,12 +455,25 @@ try:
     # multi-codepoint and astral values). html.unescape is the
     # reference behavior (embed.py:31); adjacency included — the
     # single-pass decode must handle back-to-back refs like &#38;amp;.
+    from review_engine_spark.functions.text import LEGACY_ITEMS
+
     _entity = st.one_of(
         st.integers(32, 126).map(lambda c: f"&#{c};"),
         st.integers(160, 255).map(lambda c: f"&#{c};"),
         st.integers(32, 126).map(lambda c: f"&#x{c:x};"),
         st.integers(160, 255).map(lambda c: f"&#X{c:X};"),
         st.sampled_from([f"&{name};" for name, _ in ENTITY_ITEMS]),
+        # Unterminated refs (round 6): legacy no-semicolon names resolve
+        # by longest prefix exactly like html.unescape, and in-range
+        # numeric refs decode without the ";". The numeric forms carry a
+        # "z" guard (non-digit, non-hex) so a following _plain digit
+        # can't extend the run past the declared code-point subset —
+        # html.unescape decodes any code, the engine only the declared
+        # ranges. Legacy names need no guard: both sides run the same
+        # longest-prefix resolution over the same 106-name table.
+        st.sampled_from([f"&{name}" for name, _ in LEGACY_ITEMS]),
+        st.integers(32, 126).map(lambda c: f"&#{c}z"),
+        st.integers(160, 255).map(lambda c: f"&#x{c:x}z"),
     )
     _plain = st.text(
         alphabet="abcXYZ 019.!?", min_size=0, max_size=6
