@@ -16,8 +16,6 @@ from review_engine_spark.functions.text import (
     LEGACY_ITEMS,
     NUMERIC_RANGES,
     STOPWORDS,
-    _LEGACY_MAXLEN,
-    _LEGACY_MINLEN,
 )
 
 # --- H1-H7 clean_text chain (embed.py:13-51) -------------------------------
@@ -48,15 +46,19 @@ def sql_unescape(expr: str) -> str:
         f"THEN chr({hex_code}) END)"
     )
     # Unterminated/legacy fallback (mirrors _decode_unterminated):
-    # longest legacy-name prefix of the leading name-char run, else a
-    # leading in-range numeric ref without its ";". NULL → verbatim.
+    # longest legacy-name prefix via a length-descending ordered
+    # alternation (first-match-wins == longest under RE2 and Java
+    # regex), else a leading in-range numeric ref without its ";".
+    # NULL → verbatim.
+    from review_engine_spark.functions.text import _LEGACY_ALT
+
     lnames = ", ".join(_sq(n) for n, _ in LEGACY_ITEMS)
     lvals = ", ".join(_sq(r) for _, r in LEGACY_ITEMS)
-    legacy_tries = ", ".join(
-        f"CASE WHEN length(r) >= {L} THEN "
-        f"list_transform([map([{lnames}], [{lvals}])[substr(r, 1, {L})][1]], "
-        f"h -> h || substr(s, {L} + 1))[1] END"
-        for L in range(_LEGACY_MAXLEN, _LEGACY_MINLEN - 1, -1)
+    legacy = (
+        f"list_transform([regexp_extract(s, {_sq(_LEGACY_ALT)}, 1)], "
+        f"r -> CASE WHEN r <> '' THEN "
+        f"map([{lnames}], [{lvals}])[r][1] || substr(s, length(r) + 1) "
+        "END)[1]"
     )
     u_dec = "regexp_extract(s, '^#([0-9]{1,7})', 1)"
     u_hex = "regexp_extract(s, '^#[xX]([0-9a-fA-F]{1,6})', 1)"
@@ -70,11 +72,10 @@ def sql_unescape(expr: str) -> str:
     )
     u_ok = " OR ".join(f"c BETWEEN {lo} AND {hi}" for lo, hi in NUMERIC_RANGES)
     unterm = (
-        "list_transform([regexp_extract(s, '^[^\\t\\n\\f <&#;]{1,32}', 0)], "
-        f"r -> COALESCE({legacy_tries}, "
+        "CASE WHEN starts_with(s, '#') THEN "
         f"list_transform([{u_code}], c -> "
-        f"CASE WHEN ({u_ok}) THEN chr(c) || substr(s, {u_skip} + 1) END)[1]"
-        "))[1]"
+        f"CASE WHEN ({u_ok}) THEN chr(c) || substr(s, {u_skip} + 1) END)[1] "
+        f"ELSE {legacy} END"
     )
     decode = (
         "list_transform([strpos(s, ';')], p -> COALESCE("
