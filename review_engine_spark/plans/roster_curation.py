@@ -498,8 +498,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination APPLY: training docs sharing ≥50% of any probe
     document's 3-grams (q_contamination's scan) are anti-joined out of
     the corpus — the materialized form, closing the loop the way
-    q_dedup_apply does for dedup. The contaminated-id set is tiny
-    (broadcast anti-join); the corpus never reshuffles."""
+    q_dedup_apply does for dedup. The contaminated-id set is small for
+    any fixed benchmark suite but still corpus-proportional in the
+    worst case, so the anti-join is left unpinned: AQE broadcasts it at
+    runtime while small and shuffles co-partitioned at scale."""
     from review_engine_spark.operators.dedup import contamination_check
 
     docs = read_parquet_table(spark, sf_dir, "documents")
@@ -509,9 +511,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = (
         hits.filter(F.col("overlap_frac") >= 0.5).select("doc_id").distinct()
     )
-    return corpus.join(
-        F.broadcast(contaminated), "doc_id", "left_anti"
-    ).select("doc_id", "lang", "source")
+    return corpus.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1462,9 +1462,12 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End of the dedup story: materialize the deduplicated corpus.
     Cluster labels from the per-block union-find (same block-decomposed
     edges as q_dedup_clusters); every cluster keeps its min-id member,
-    and the non-survivors anti-join out of the fact table — the shuffle
-    carries only the (small) dropped-id set, broadcast against the
-    corpus."""
+    and the non-survivors anti-join out of the fact table. The dropped
+    set is DUPLICATE-proportional, i.e. it grows with the corpus — so
+    the join is left unpinned: AQE converts it to broadcast at runtime
+    while it is small, and falls back to a co-partitioned shuffle
+    anti-join at scale (a pinned F.broadcast here shipped ~19 MB task
+    binaries at the 100x stress scale and would OOM at 100 TB)."""
     from review_engine_spark.operators.cluster import (
         blocked_connected_components,
     )
@@ -1490,9 +1493,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = labels.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("p_partkey")
     )
-    return part.join(
-        F.broadcast(dropped), "p_partkey", "left_anti"
-    ).select("p_partkey")
+    return part.join(dropped, "p_partkey", "left_anti").select("p_partkey")
 
 
 @declared(
