@@ -24,14 +24,28 @@ recursive-CTE transitive closure even though the Spark side iterates.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "blocked_connected_components",
     "connected_components",
+    "iter_checkpoint",
     "pagerank",
 ]
+
+
+def iter_checkpoint(df: DataFrame) -> DataFrame:
+    """Lineage-truncating checkpoint for iterative loops, stored
+    SERIALIZED with disk spill (MEMORY_AND_DISK). The bare
+    ``localCheckpoint()`` default keeps deserialized Java objects in
+    the storage pool; across rounds of an iterative algorithm those
+    unroll spikes plus superseded-round blocks OOM'd a 24 g heap at the
+    100x stress scale (q_bfs_levels, r6). Serialized blocks are ~4-8x
+    smaller and evict to disk under pressure instead of failing the
+    task."""
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
 
 def connected_components(
@@ -55,13 +69,13 @@ def connected_components(
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .transform(iter_checkpoint)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(iter_checkpoint)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -83,7 +97,7 @@ def connected_components(
             F.col("x.node").alias("node"),
             F.coalesce(F.col("y.label"), F.col("x.label")).alias("label"),
         )
-        new_labels = jumped.localCheckpoint()
+        new_labels = jumped.transform(iter_checkpoint)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -185,12 +199,12 @@ def pagerank(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    e = e.distinct().localCheckpoint()
+    e = e.distinct().transform(iter_checkpoint)
     nodes = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(iter_checkpoint)
     )
     n = nodes.count()
     deg = e.groupBy("a").agg(F.count("*").alias("out_deg"))
@@ -204,11 +218,11 @@ def pagerank(
     ew = (
         e.join(deg, "a")
         .select("a", "b", (1.0 / F.col("out_deg")).alias("w"))
-        .localCheckpoint()
+        .transform(iter_checkpoint)
     )
     dang = (
         nodes.join(deg.withColumnRenamed("a", "node"), "node", "left_anti")
-        .localCheckpoint()
+        .transform(iter_checkpoint)
     )
     has_dangling = bool(dang.head(1))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
@@ -231,5 +245,5 @@ def pagerank(
             )
             out = out.crossJoin(F.broadcast(dangling))
             new_rank = new_rank + damping * F.col("dm") / n
-        ranks = out.select("node", new_rank.alias("rank")).localCheckpoint()
+        ranks = out.select("node", new_rank.alias("rank")).transform(iter_checkpoint)
     return ranks.select("node", F.round("rank", 9).alias("rank"))

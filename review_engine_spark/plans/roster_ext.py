@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from review_engine_spark.functions.text import STOPWORDS
+from review_engine_spark.operators.cluster import iter_checkpoint
 from review_engine_spark.plans import declared
 from review_engine_spark.sources.io import read_parquet_table, write_jsonl_gz
 
@@ -1869,7 +1870,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l") < F.col("r"))
         .filter(F.levenshtein("lname", "rname") <= 8)
         .select("l", "r")
-        .localCheckpoint()
+        .transform(iter_checkpoint)
     )
     deg = (
         e.select(F.col("l").alias("v"))
@@ -1888,7 +1889,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(l_first, F.col("r")).otherwise(F.col("l")).alias("w"),
             F.when(l_first, F.col("dr")).otherwise(F.col("dl")).alias("dw"),
         )
-        .localCheckpoint()
+        .transform(iter_checkpoint)
     )
     w1 = ed.select("u", F.col("w").alias("x"), F.col("dw").alias("dx"))
     w2 = ed.select("u", F.col("w").alias("y"), F.col("dw").alias("dy"))

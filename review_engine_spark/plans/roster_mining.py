@@ -39,6 +39,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from review_engine_spark.operators.cluster import iter_checkpoint
 from review_engine_spark.plans import declared
 from review_engine_spark.sources.io import read_parquet_table
 
@@ -479,7 +480,7 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             levels.unionByName(nxt)
             .groupBy("node")
             .agg(F.min("lvl").alias("lvl"))
-            .localCheckpoint()
+            .transform(iter_checkpoint)
         )
         # True BFS early exit: once no node sits at the new level, every
         # later frontier is empty too — the remaining rounds are pure

@@ -67,7 +67,18 @@ def main() -> int:
         "stress_tpch must launch its own JVM to set spark.driver.memory; "
         "run it in a fresh process"
     )
-    spark = get_spark("stress-tpch", extra_conf={"spark.driver.memory": "24g"})
+    # Partition count scales with the data (capped): a K=100 corpus in
+    # the fixture's 32 partitions gives per-task aggregates ~100x the
+    # tuned size and OOM'd the 24 g heap (q_bfs_levels, r6). On a real
+    # cluster this is the "partitions ∝ input bytes, AQE coalesces the
+    # small stages back down" doctrine from session.py; the stress JVM
+    # must apply it too or it measures heap exhaustion, not plans.
+    shuffle_parts = min(1024, 32 * max(1, k // 4))
+    spark = get_spark(
+        "stress-tpch",
+        shuffle_partitions=shuffle_parts,
+        extra_conf={"spark.driver.memory": "24g"},
+    )
     got = spark.conf.get("spark.driver.memory", "unset")
     assert got == "24g", f"spark.driver.memory={got}; 24g did not take effect"
     # STRESS_DIR: reuse an already-replicated corpus (chunked sweeps over
