@@ -46,6 +46,25 @@ KEY_COLS = {
 }
 STRIDE = 10_000_000
 
+#: table → text columns that carry cross-row SIMILARITY (fuzzy levenshtein
+#: blocks, shingle sets, simhash features) → salting mode. Key shifting
+#: alone leaves these byte-identical across copies, which makes every row
+#: a K-clique in any near-dup graph — the corpus stops being K independent
+#: shards and the harness measures dup-density growth instead of shard
+#: scaling (observed at K=100: q_pagerank's fuzzy part graph became ~20k
+#: overlapping 100-cliques, >1000 s per power iteration). Each copy is
+#: therefore re-salted: mode "prefix" prepends a 12-hex-char per-copy
+#: token (levenshtein between two copies' salts is ~11 > the roster's ≤8
+#: match radius), mode "tokens" prepends a 4-hex per-copy tag to EVERY
+#: whitespace token (all k-gram shingles differ across copies ⇒
+#: cross-copy Jaccard 0, simhash hamming ~half the bits). Within-copy
+#: similarity structure is preserved exactly — the same salt is applied
+#: uniformly inside a copy.
+TEXT_SALT_COLS = {
+    "part": {"p_name": "prefix"},
+    "documents": {"text": "tokens"},
+}
+
 
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
@@ -105,7 +124,33 @@ def main() -> int:
                 copies = copies.withColumn(
                     c, F.col(c) + F.col("_copy") * F.lit(STRIDE)
                 )
-            scaled = copies.drop("_copy")
+            salts = TEXT_SALT_COLS.get(name, {})
+            if salts:
+                copies = copies.withColumn(
+                    "_salt", F.md5(F.col("_copy").cast("string"))
+                )
+            for c, mode in salts.items():
+                if mode == "prefix":
+                    copies = copies.withColumn(
+                        c,
+                        F.concat(
+                            F.substring("_salt", 1, 12), F.lit(" "), F.col(c)
+                        ),
+                    )
+                else:  # "tokens"
+                    copies = copies.withColumn(
+                        c,
+                        F.array_join(
+                            F.transform(
+                                F.split(F.col(c), " "),
+                                lambda t: F.concat(
+                                    F.substring("_salt", 1, 4), t
+                                ),
+                            ),
+                            " ",
+                        ),
+                    )
+            scaled = copies.drop("_copy", "_salt")
         else:
             scaled = base  # dims shared across copies (broadcast at any K)
         scaled.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
