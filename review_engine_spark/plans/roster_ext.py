@@ -879,40 +879,96 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, qs, k=5)
 
 
+#: Sorted-neighborhood window for the fuzzy part-pair builder. The
+#: (brand, size) blocking keys have FIXED cardinality (25 brands × ~50
+#: sizes), so block size — and the old exhaustive in-block cross product
+#: — grows linearly with the catalog: O(N²/1250) candidates, measured at
+#: >650 s per PageRank checkpoint on the 100× stress corpus. Sorted
+#: neighborhood caps candidate generation at O(N·W): within each block,
+#: rows sorted by (p_name, p_partkey) pair only with their next W
+#: neighbors (near-identical names sort adjacently — the property that
+#: makes this the standard record-linkage candidate generator). W=32
+#: covers the largest fixture block (28 rows at sf0.1), so the pair set
+#: is IDENTICAL to the exhaustive block join at every test scale; at
+#: larger corpora W is the declared recall bound.
+_FUZZY_W = 32
+
+#: DuckDB mirror of `_fuzzy_part_pairs` — spliced into every oracle that
+#: consumes the fuzzy pair graph so both engines share one definition.
+_FUZZY_PAIRS_SQL = f"""
+    rnk AS (
+        SELECT p_brand AS brand, p_size AS size, p_partkey AS pk,
+               p_name AS name,
+               row_number() OVER (
+                   PARTITION BY p_brand, p_size
+                   ORDER BY p_name, p_partkey
+               ) AS rn
+        FROM part
+    ),
+    fuzzy_pairs AS (
+        SELECT a.brand, a.size,
+               LEAST(a.pk, b.pk) AS left_id,
+               GREATEST(a.pk, b.pk) AS right_id,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+        FROM rnk a JOIN rnk b
+          ON a.brand = b.brand AND a.size = b.size
+         AND b.rn > a.rn AND b.rn <= a.rn + {_FUZZY_W}
+        WHERE levenshtein(a.name, b.name) <= 8
+    )
+"""
+
+
+def _fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup part pairs (levenshtein ≤ 8) via sorted-neighborhood
+    candidate generation inside (brand, size) blocks — O(N·W) candidates
+    at any corpus size (see `_FUZZY_W`). Returns
+    (brand, size, left_id < right_id, edit_dist)."""
+    part = read_parquet_table(spark, sf_dir, "part")
+    w = Window.partitionBy("brand", "size").orderBy("name", "pk")
+    r = part.select(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("pk"), F.col("p_name").alias("name"),
+    ).withColumn("rn", F.row_number().over(w))
+    lhs = r.select(
+        "brand", "size", "pk", "name",
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + _FUZZY_W)
+        ).alias("rn_r"),
+    )
+    rhs = r.select(
+        "brand", "size", F.col("pk").alias("pk_r"),
+        F.col("name").alias("name_r"), F.col("rn").alias("rn_r"),
+    )
+    return (
+        lhs.join(rhs, ["brand", "size", "rn_r"])
+        .withColumn(
+            "edit_dist", F.levenshtein("name", "name_r").cast("long")
+        )
+        .filter(F.col("edit_dist") <= 8)
+        .select(
+            "brand", "size",
+            F.least("pk", "pk_r").alias("left_id"),
+            F.greatest("pk", "pk_r").alias("right_id"),
+            "edit_dist",
+        )
+    )
+
+
 @declared(
-    oracle="""
-    SELECT a.p_partkey AS left_id, b.p_partkey AS right_id,
-           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
-    FROM part a
-    JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-     AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 8
+    oracle=f"""
+    WITH {_FUZZY_PAIRS_SQL}
+    SELECT left_id, right_id, edit_dist FROM fuzzy_pairs
     """
 )
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.K fuzzy near-dup: Levenshtein within (brand, size) blocks.
-    Blocking bounds the pair count to O(sum block²) ≪ N², the classic
-    record-linkage shape; the edit-distance UDF-free builtin keeps it
-    JVM-side on both engines."""
-    part = read_parquet_table(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
-        F.col("p_partkey").alias("left_id"), F.col("p_name").alias("lname"),
-    )
-    b = part.select(
-        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
-        F.col("p_partkey").alias("right_id"), F.col("p_name").alias("rname"),
-    )
-    return (
-        a.join(b, ["brand", "size"])
-        .filter(F.col("left_id") < F.col("right_id"))
-        .select(
-            "left_id",
-            "right_id",
-            F.levenshtein("lname", "rname").cast("long").alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") <= 8)
+    """§2.K fuzzy near-dup: Levenshtein within (brand, size) blocks,
+    sorted-neighborhood candidate generation (`_fuzzy_part_pairs`):
+    O(N·W) candidates instead of the O(N²/#blocks) exhaustive block
+    cross product (the blocking keys' cardinality is fixed, so blocks
+    grow linearly with the catalog). The edit-distance UDF-free builtin
+    keeps verification JVM-side on both engines."""
+    return _fuzzy_part_pairs(spark, sf_dir).select(
+        "left_id", "right_id", "edit_dist"
     )
 
 
@@ -1072,15 +1128,9 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
-    oracle="""
-    WITH RECURSIVE e AS (
-        SELECT a.p_partkey AS a, b.p_partkey AS b
-        FROM part a
-        JOIN part b
-          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-         AND a.p_partkey < b.p_partkey
-        WHERE levenshtein(a.p_name, b.p_name) <= 8
-    ),
+    oracle=f"""
+    WITH RECURSIVE {_FUZZY_PAIRS_SQL},
+    e AS (SELECT left_id AS a, right_id AS b FROM fuzzy_pairs),
     sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
     reach(node, r) AS (
         SELECT DISTINCT a AS node, a AS r FROM sym
@@ -1095,30 +1145,19 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: connected components over the fuzzy near-dup
-    pair graph (q_fuzzy_pairs edges). (brand, size) blocking is
-    single-membership, so the graph decomposes per block and the
-    per-block union-find replaces the global iterative loop — one
-    shuffle instead of O(log d) join rounds. The deterministic output
-    (component = min member id) is oracle-checked against a
-    recursive-CTE transitive closure."""
+    pair graph (q_fuzzy_pairs edges via `_fuzzy_part_pairs` —
+    sorted-neighborhood candidate generation, O(N·W) at any corpus
+    size). (brand, size) blocking is single-membership, so the graph
+    decomposes per block and the per-block union-find replaces the
+    global iterative loop — one shuffle instead of O(log d) join
+    rounds. The deterministic output (component = min member id) is
+    oracle-checked against a recursive-CTE transitive closure."""
     from review_engine_spark.operators.cluster import (
         blocked_connected_components,
     )
 
-    part = read_parquet_table(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
-        F.col("p_partkey").alias("left_id"), F.col("p_name").alias("lname"),
-    )
-    b = part.select(
-        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
-        F.col("p_partkey").alias("right_id"), F.col("p_name").alias("rname"),
-    )
-    edges = (
-        a.join(b, ["brand", "size"])
-        .filter(F.col("left_id") < F.col("right_id"))
-        .filter(F.levenshtein("lname", "rname") <= 8)
-        .select("brand", "size", "left_id", "right_id")
+    edges = _fuzzy_part_pairs(spark, sf_dir).select(
+        "brand", "size", "left_id", "right_id"
     )
     labels = blocked_connected_components(
         edges, "left_id", "right_id", block_cols=["brand", "size"]
@@ -1249,14 +1288,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
-    oracle="""
-    WITH RECURSIVE pairs AS (
-        SELECT a.p_partkey AS left_id, b.p_partkey AS right_id
-        FROM part a JOIN part b
-          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-         AND a.p_partkey < b.p_partkey
-        WHERE levenshtein(a.p_name, b.p_name) <= 8
-    ),
+    oracle=f"""
+    WITH RECURSIVE {_FUZZY_PAIRS_SQL},
+    pairs AS (SELECT left_id, right_id FROM fuzzy_pairs),
     e AS (
         SELECT left_id AS a, right_id AS b FROM pairs
         UNION ALL
@@ -1292,24 +1326,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dangling mass on either side), ranks rounded to 6dp BEFORE the
     top-100 cut so the ordering is float-divergence-proof. The recursive
     CTE needs RECURSIVE before the first CTE and aggregate-in-recursive
-    support (DuckDB ≥ 0.9)."""
+    support (DuckDB ≥ 0.9). Edges come from `_fuzzy_part_pairs`
+    (sorted-neighborhood candidate generation, O(N·W) at any corpus
+    size — the exhaustive block join was quadratic-in-block and
+    measured >650 s per checkpoint at the 100× stress scale)."""
     from review_engine_spark.operators.cluster import pagerank
 
-    part = read_parquet_table(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
-        F.col("p_partkey").alias("left_id"), F.col("p_name").alias("lname"),
-    )
-    b = part.select(
-        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
-        F.col("p_partkey").alias("right_id"), F.col("p_name").alias("rname"),
-    )
-    pairs = (
-        a.join(b, ["brand", "size"])
-        .filter(F.col("left_id") < F.col("right_id"))
-        .filter(F.levenshtein("lname", "rname") <= 8)
-        .select("left_id", "right_id")
-    )
+    pairs = _fuzzy_part_pairs(spark, sf_dir).select("left_id", "right_id")
     edges = pairs.unionByName(
         pairs.select(
             F.col("right_id").alias("left_id"), F.col("left_id").alias("right_id")
@@ -1436,15 +1459,9 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
-    oracle="""
-    WITH RECURSIVE e AS (
-        SELECT a.p_partkey AS a, b.p_partkey AS b
-        FROM part a
-        JOIN part b
-          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-         AND a.p_partkey < b.p_partkey
-        WHERE levenshtein(a.p_name, b.p_name) <= 8
-    ),
+    oracle=f"""
+    WITH RECURSIVE {_FUZZY_PAIRS_SQL},
+    e AS (SELECT left_id AS a, right_id AS b FROM fuzzy_pairs),
     sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
     reach(node, r) AS (
         SELECT DISTINCT a AS node, a AS r FROM sym
@@ -1468,25 +1485,16 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join is left unpinned: AQE converts it to broadcast at runtime
     while it is small, and falls back to a co-partitioned shuffle
     anti-join at scale (a pinned F.broadcast here shipped ~19 MB task
-    binaries at the 100x stress scale and would OOM at 100 TB)."""
+    binaries at the 100x stress scale and would OOM at 100 TB). Edges
+    come from `_fuzzy_part_pairs` (sorted-neighborhood candidate
+    generation, O(N·W) at any corpus size)."""
     from review_engine_spark.operators.cluster import (
         blocked_connected_components,
     )
 
     part = read_parquet_table(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
-        F.col("p_partkey").alias("left_id"), F.col("p_name").alias("lname"),
-    )
-    b = part.select(
-        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
-        F.col("p_partkey").alias("right_id"), F.col("p_name").alias("rname"),
-    )
-    edges = (
-        a.join(b, ["brand", "size"])
-        .filter(F.col("left_id") < F.col("right_id"))
-        .filter(F.levenshtein("lname", "rname") <= 8)
-        .select("brand", "size", "left_id", "right_id")
+    edges = _fuzzy_part_pairs(spark, sf_dir).select(
+        "brand", "size", "left_id", "right_id"
     )
     labels = blocked_connected_components(
         edges, "left_id", "right_id", block_cols=["brand", "size"]
@@ -1821,15 +1829,9 @@ def q_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
-    oracle="""
-    WITH e AS (
-        SELECT a.p_partkey AS l, b.p_partkey AS r
-        FROM part a
-        JOIN part b
-          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-         AND a.p_partkey < b.p_partkey
-        WHERE levenshtein(a.p_name, b.p_name) <= 8
-    )
+    oracle=f"""
+    WITH {_FUZZY_PAIRS_SQL},
+    e AS (SELECT left_id AS l, right_id AS r FROM fuzzy_pairs)
     SELECT CAST(count(*) AS BIGINT) AS n_triangles
     FROM e e1
     JOIN e e2 ON e1.r = e2.l
@@ -1852,24 +1854,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     a near-dup pair graph becomes at scale) from blowing the wedge
     volume cubically. Any total order yields the same triangle count,
     so this is plan-only: results are identical to the id-oriented
-    form. The edge list is materialized once (localCheckpoint) — the
-    wedge arms re-join one tiny keyed table, never the levenshtein
-    block join.
+    form. The edge list comes from `_fuzzy_part_pairs` (sorted-
+    neighborhood candidate generation, O(N·W) at any corpus size) and
+    is materialized once (checkpoint) — the wedge arms re-join one
+    tiny keyed table, never the candidate join.
     """
-    part = read_parquet_table(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
-        F.col("p_partkey").alias("l"), F.col("p_name").alias("lname"),
-    )
-    b = part.select(
-        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
-        F.col("p_partkey").alias("r"), F.col("p_name").alias("rname"),
-    )
     e = (
-        a.join(b, ["brand", "size"])
-        .filter(F.col("l") < F.col("r"))
-        .filter(F.levenshtein("lname", "rname") <= 8)
-        .select("l", "r")
+        _fuzzy_part_pairs(spark, sf_dir)
+        .select(F.col("left_id").alias("l"), F.col("right_id").alias("r"))
         .transform(iter_checkpoint)
     )
     deg = (
