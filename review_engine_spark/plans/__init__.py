@@ -58,7 +58,19 @@ from review_engine_spark.plans import roster_mining  # noqa: E402,F401
 #   tier 4 — rows-only queries (no oracle; bench covers execution).
 # ---------------------------------------------------------------------------
 
-_TIER1_FIXED: list[str] = ["q_mann_whitney"]
+#: q_mann_whitney: the one r5 red (DECIMAL u_stat, fixed r6).
+#: The fuzzy-family queries were refactored r6 (sorted-neighborhood
+#: candidate generation replacing the exhaustive block join) — their
+#: existing driver proofs predate the change, so they lead the window
+#: for re-proof against the new plans.
+_TIER1_FIXED: list[str] = [
+    "q_mann_whitney",
+    "q_fuzzy_pairs",
+    "q_dedup_clusters",
+    "q_pagerank",
+    "q_dedup_apply",
+    "q_triangle_count",
+]
 
 #: name -> last round the driver proved it green (CORRECTNESS_r01..r05
 #: union: rows_match & schema_match & hash_match). 223 entries.
