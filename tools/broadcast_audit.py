@@ -94,6 +94,7 @@ WHITELIST: dict[str, str] = {
     # types / 64 bloom words / calendar days), so the build is
     # |categories| rows whatever the corpus volume
     "q_robust_zscore": "per-event-type median+MAD rows (5 categories)",
+    "q_approx_percentile": "per-returnflag sketch rows (3 flag values)",
     "q_chi2_independence": "contingency margin rows (|types| x |dows|)",
     "q_bloom_membership": "64-word bloom filter rows (fixed width)",
     "q_winsorize": "per-event-type percentile cutoff rows (5 categories)",
