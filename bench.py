@@ -2,9 +2,10 @@
 
 Runs every declared roster query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], timing plan-build +
-execution to completion (count(), or collect() for top-k results) and
-reporting best-of-N (default 2: first run pays one-time codegen JIT,
-the warm run is steady state).
+execution to completion via the noop sink (count() would let Catalyst
+prune projection-only work — a map-only query would be timed as a bare
+scan) and reporting best-of-N (default 2: first run pays one-time
+codegen JIT, the warm run is steady state).
 
 The FINAL stdout line is ONE compact JSON object:
 
@@ -55,6 +56,13 @@ def main() -> int:
     # query, not session bring-up
     spark.read.parquet(f"{args.sf_dir}/part.parquet").count()
 
+    def materialize(df) -> None:
+        # NOT count(): Catalyst prunes projection-only work under a
+        # count, so a map-only query (regex scrub, tokenization) would
+        # be timed as a bare parquet scan. The noop sink evaluates every
+        # output column and discards the rows.
+        df.write.format("noop").mode("overwrite").save()
+
     # Contention canary: three fast pure-Catalyst queries timed at sweep
     # start and re-timed at sweep end. Their code never changes mid-run,
     # so end/start drift beyond 1.5x means the MACHINE got slower while
@@ -72,7 +80,7 @@ def main() -> int:
             if cfn is None:
                 continue
             c0 = time.perf_counter()
-            cfn(spark, args.sf_dir).count()
+            materialize(cfn(spark, args.sf_dir))
             total += time.perf_counter() - c0
         return total
 
@@ -88,7 +96,7 @@ def main() -> int:
             t0 = time.perf_counter()
             try:
                 df = fn(spark, args.sf_dir)
-                df.count()
+                materialize(df)
                 ok = True
             except Exception as e:  # noqa: BLE001
                 print(f"# {name} FAILED: {e}", file=sys.stderr)

@@ -189,7 +189,13 @@ def _run(spark, k: int, wanted: list[str], out_dir: str) -> int:
                 best = None
                 for _ in range(2):
                     t0 = time.perf_counter()
-                    fn(spark, sf_dir).count()
+                    # noop sink, not count(): count lets Catalyst prune
+                    # projection-only work (a map-only query would be
+                    # "timed" as a bare scan — observed as phantom 1.0x
+                    # ratios at K=100 for the regex/tokenizer queries)
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
                     dt = time.perf_counter() - t0
                     best = dt if best is None else min(best, dt)
                 if sf_dir == SF_DIR:
