@@ -230,6 +230,11 @@ def evaluate_cooccur_recommender(
     train_orders = ranked.filter(F.col("rn") > 1).select("o_orderkey", "o_custkey")
     li = lineitem.select("l_orderkey", "l_partkey", "l_quantity")
 
+    # train_li feeds both the anchor aggregation and the co-occurrence
+    # trainer; no persist needed — the consumers share the identical
+    # shuffle subtree and ReuseExchange dedupes it (verified: persisting
+    # changed nothing at sf0.1), so caching would only materialize a
+    # corpus-sized table for no reuse gain.
     train_li = li.join(
         train_orders, li["l_orderkey"] == train_orders["o_orderkey"]
     ).select("l_orderkey", "l_partkey", "l_quantity", "o_custkey")
