@@ -226,7 +226,7 @@ def pagerank(
     )
     has_dangling = bool(dang.head(1))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         contribs = (
             ew.join(ranks.withColumnRenamed("node", "a"), "a")
             .select(F.col("b").alias("node"), (F.col("rank") * F.col("w")).alias("c"))
@@ -245,5 +245,13 @@ def pagerank(
             )
             out = out.crossJoin(F.broadcast(dangling))
             new_rank = new_rank + damping * F.col("dm") / n
-        ranks = out.select("node", new_rank.alias("rank")).transform(iter_checkpoint)
+        ranks = out.select("node", new_rank.alias("rank"))
+        # Truncate lineage every OTHER round (and on the last): each
+        # eager checkpoint costs a full materialization, which at 8
+        # rounds was ~8x the per-round compute at fixture scale. Two
+        # un-truncated rounds keep the plan a bounded join→agg→join
+        # chain; the storage pool also holds half the superseded-round
+        # blocks.
+        if it % 2 == 1 or it == max_iter - 1:
+            ranks = iter_checkpoint(ranks)
     return ranks.select("node", F.round("rank", 9).alias("rank"))
