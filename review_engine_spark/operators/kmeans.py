@@ -88,20 +88,30 @@ def kmeans_fit(
     }
 
     def _assign(centroids: dict[int, list[float]]) -> DataFrame:
-        # centroids enter the plan as a literal array of structs and the
-        # argmin is array_min over (distance, cid) structs — struct
+        # centroids enter the plan as ONE string literal parsed by
+        # from_json (ConstantFolding collapses it to a single nested
+        # literal) — NOT per-entry F.lit nodes: k·dim lit nodes cost
+        # optimizer-walk seconds PER PLAN BUILD, and this plan is built
+        # iters+1 times (the round-5 planning-tax lesson, NOTES.md).
+        # The argmin is array_min over (distance, cid) structs — struct
         # ordering IS (d, then cid), so ties resolve to the lower
         # cluster id. A NARROW per-row pass with zero exchanges (a
         # join+window argmin would shuffle N·k rows per iteration — 8×
-        # the corpus per round at k=8).
-        cent_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).alias("cid"),
-                    F.array(*[F.lit(float(x)) for x in v]).alias("cvec"),
+        # the corpus per round at k=8). json.dumps round-trips binary64
+        # exactly (shortest-repr), so assignments are bit-identical to
+        # the literal-array form.
+        import json as _json
+
+        cent_arr = F.from_json(
+            F.lit(
+                _json.dumps(
+                    [
+                        {"cid": cid, "cvec": [float(x) for x in v]}
+                        for cid, v in sorted(centroids.items())
+                    ]
                 )
-                for cid, v in sorted(centroids.items())
-            ]
+            ),
+            "array<struct<cid:int,cvec:array<double>>>",
         )
         best = F.array_min(
             F.transform(
