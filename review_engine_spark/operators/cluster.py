@@ -225,6 +225,24 @@ def pagerank(
         .transform(iter_checkpoint)
     )
     has_dangling = bool(dang.head(1))
+    # Checkpoint cadence. With dangling nodes, EVERY round: a dangling
+    # graph evaluates the un-truncated previous-round rank subplan twice
+    # per round (once under contribs' shuffle join, once under the
+    # dangling-mass broadcast agg — broadcast and shuffle exchanges don't
+    # reuse each other), so skipping a round roughly doubles that round's
+    # compute instead of saving the materialization. Without dangling
+    # nodes (the symmetric near-dup graphs this engine builds), the
+    # every-other-round saving is real — and on a SMALL graph the ~0.5 s
+    # per materialization dominates the ~50 ms join, so stretch further:
+    # the cadence is 100 TB lineage insurance, which a fixture-scale
+    # graph shouldn't pay per round. Edge count is free (ew is already
+    # materialized by its own checkpoint).
+    if has_dangling:
+        ckpt_every = 1
+    elif ew.count() < 200_000:
+        ckpt_every = 4
+    else:
+        ckpt_every = 2
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(max_iter):
         contribs = (
@@ -246,12 +264,12 @@ def pagerank(
             out = out.crossJoin(F.broadcast(dangling))
             new_rank = new_rank + damping * F.col("dm") / n
         ranks = out.select("node", new_rank.alias("rank"))
-        # Truncate lineage every OTHER round (and on the last): each
-        # eager checkpoint costs a full materialization, which at 8
-        # rounds was ~8x the per-round compute at fixture scale. Two
+        # Truncate lineage every ckpt_every rounds (and on the last):
+        # each eager checkpoint costs a full materialization, which at 8
+        # rounds was ~8x the per-round compute at fixture scale. A few
         # un-truncated rounds keep the plan a bounded join→agg→join
-        # chain; the storage pool also holds half the superseded-round
+        # chain; the storage pool also holds fewer superseded-round
         # blocks.
-        if it % 2 == 1 or it == max_iter - 1:
+        if it % ckpt_every == ckpt_every - 1 or it == max_iter - 1:
             ranks = iter_checkpoint(ranks)
     return ranks.select("node", F.round("rank", 9).alias("rank"))

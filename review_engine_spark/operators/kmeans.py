@@ -101,7 +101,19 @@ def kmeans_fit(
         # exactly (shortest-repr), so assignments are bit-identical to
         # the literal-array form.
         import json as _json
+        import math as _math
 
+        # json.dumps would emit bare NaN/Infinity for non-finite values
+        # and from_json would silently return NULL for the whole array —
+        # every row would get NULL cluster_id with no error. A degenerate
+        # centroid state (empty cluster mean, overflow) must fail loudly
+        # on the driver instead; k·dim scalar checks are free.
+        for cid, v in centroids.items():
+            for x in v:
+                if not _math.isfinite(x):
+                    raise ValueError(
+                        f"non-finite centroid component in cluster {cid}: {x}"
+                    )
         cent_arr = F.from_json(
             F.lit(
                 _json.dumps(

@@ -888,9 +888,13 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: rows sorted by (p_name, p_partkey) pair only with their next W
 #: neighbors (near-identical names sort adjacently — the property that
 #: makes this the standard record-linkage candidate generator). W=32
-#: covers the largest fixture block (28 rows at sf0.1), so the pair set
-#: is IDENTICAL to the exhaustive block join at every test scale; at
-#: larger corpora W is the declared recall bound.
+#: covers the largest fixture block (28 rows ≤ W+1) at the CORRECTNESS
+#: scales (sf≤0.1), so the pair set is identical to the exhaustive block
+#: join THERE — tests/test_roster.py asserts max-block ≤ W+1 at the
+#: correctness scale, so the equivalence is enforced rather than assumed.
+#: At larger corpora (sf1: ~160 rows per block) W is the declared recall
+#: bound and the semantics deliberately diverge from the exhaustive
+#: definition.
 _FUZZY_W = 32
 
 #: DuckDB mirror of `_fuzzy_part_pairs` — spliced into every oracle that

@@ -58,6 +58,34 @@ _PORTABLE = {
 }
 
 
+@pytest.mark.parametrize(
+    "scale_dir",
+    [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                 "/root/testdata/sf0.1") if __import__("os").path.isdir(d)],
+)
+def test_fuzzy_block_within_sorted_neighborhood_window(spark, scale_dir):
+    """The sorted-neighborhood pair builder (_FUZZY_W) is only equivalent
+    to the exhaustive (brand, size) block join when every block fits in
+    the window (max block rows <= W+1). The oracle mirrors W, so checks
+    would pass either way — this enforces that the *claimed* exhaustive
+    equivalence actually holds at every correctness scale."""
+    from pyspark.sql import functions as F
+
+    from review_engine_spark.plans.roster_ext import _FUZZY_W
+    from review_engine_spark.sources.io import read_parquet_table
+
+    part = read_parquet_table(spark, scale_dir, "part")
+    biggest = (
+        part.groupBy("p_brand", "p_size").count()
+        .agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    assert biggest <= _FUZZY_W + 1, (
+        f"largest (brand,size) block at {scale_dir} is {biggest} rows > "
+        f"W+1={_FUZZY_W + 1}: sorted-neighborhood pairs no longer equal the "
+        "exhaustive block join — raise _FUZZY_W or scope the claim"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
 def test_oracle_query_output_dtypes_portable(spark, sf_dir, name):
     schema = entrymod.queries()[name](spark, sf_dir).schema

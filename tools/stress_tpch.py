@@ -53,9 +53,9 @@ STRIDE = 10_000_000
 #: shards and the harness measures dup-density growth instead of shard
 #: scaling (observed at K=100: q_pagerank's fuzzy part graph became ~20k
 #: overlapping 100-cliques, >1000 s per power iteration). Each copy is
-#: therefore re-salted: mode "prefix" prepends a 12-hex-char per-copy
-#: token (levenshtein between two copies' salts is ~11 > the roster's ≤8
-#: match radius), mode "tokens" prepends a 4-hex per-copy tag to EVERY
+#: therefore re-salted: mode "prefix" prepends a PREFIX_LEN-hex per-copy
+#: token (pairwise levenshtein VERIFIED > the roster's ≤8 match radius at
+#: build time), mode "tokens" prepends a TOKEN_TAG_LEN-hex tag to EVERY
 #: whitespace token (all k-gram shingles differ across copies ⇒
 #: cross-copy Jaccard 0, simhash hamming ~half the bits). Within-copy
 #: similarity structure is preserved exactly — the same salt is applied
@@ -64,6 +64,57 @@ TEXT_SALT_COLS = {
     "part": {"p_name": "prefix"},
     "documents": {"text": "tokens"},
 }
+
+#: bump when the salting scheme changes; replicas record it so a reused
+#: STRESS_DIR built under an older (collision-prone) scheme is rebuilt
+#: instead of silently skewing the measurements.
+SALT_VERSION = "v2-verified-24hex"
+
+# Salt geometry: token tags are the first TOKEN_TAG_LEN hex chars of the
+# per-copy salt, prefixes the first PREFIX_LEN. v1 used 4/12, which at
+# K=100 collides with ~7% probability on the tag (birthday over 16^4)
+# and puts ~0.5% of prefix pairs within the roster's levenshtein<=8
+# match radius — both re-admit cross-copy edges into the near-dup
+# graphs, partially reintroducing the dup-density artifact the salting
+# exists to remove. v2 lengthens both AND verifies the realized salt
+# set at build time (regenerating with a nonce on violation), so the
+# invariant is checked, not probabilistic.
+TOKEN_TAG_LEN = 8
+PREFIX_LEN = 24
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def build_salts(k: int) -> list[str]:
+    """K per-copy salts with VERIFIED separation: token tags (first
+    TOKEN_TAG_LEN hex) pairwise distinct, prefixes (first PREFIX_LEN hex)
+    pairwise levenshtein > 8 (the roster's widest fuzzy-match radius).
+    Deterministic: nonce 0 first, bump only on violation."""
+    import hashlib
+
+    nonce = 0
+    while True:
+        salts = [
+            hashlib.md5(f"{i}:{nonce}".encode()).hexdigest() for i in range(k)
+        ]
+        tags = {s[:TOKEN_TAG_LEN] for s in salts}
+        if len(tags) == k and all(
+            _levenshtein(salts[i][:PREFIX_LEN], salts[j][:PREFIX_LEN]) > 8
+            for i in range(k)
+            for j in range(i + 1, k)
+        ):
+            return salts
+        nonce += 1
 
 
 def main() -> int:
@@ -106,14 +157,29 @@ def main() -> int:
 
     reuse = os.environ.get("STRESS_DIR")
     if reuse and Path(reuse, "lineitem.parquet").exists():
-        print(f"# reusing replica {reuse} (K must match its build)")
-        out_dir = reuse
-        return _run(spark, k, wanted, out_dir)
+        marker = Path(reuse, "SALT_VERSION")
+        have = marker.read_text().strip() if marker.exists() else "v1"
+        if have == SALT_VERSION:
+            print(f"# reusing replica {reuse} (K must match its build)")
+            return _run(spark, k, wanted, reuse)
+        print(
+            f"# replica {reuse} has salt scheme {have} != {SALT_VERSION};"
+            " rebuilding"
+        )
+        import shutil
+
+        shutil.rmtree(reuse)
     out_dir = os.environ.get("STRESS_DIR") or tempfile.mkdtemp(
         prefix="stress_tpch_"
     )
     Path(out_dir).mkdir(parents=True, exist_ok=True)
     print(f"# replicating {SF_DIR} {k}x -> {out_dir}")
+    import json as _json
+
+    salt_list = build_salts(k)
+    # one literal array, indexed by _copy — the realized (verified) salts,
+    # not a per-row Spark-side md5 that the driver never sees.
+    salt_arr = F.from_json(F.lit(_json.dumps(salt_list)), "array<string>")
     for name, keys in KEY_COLS.items():
         base = read_parquet_table(spark, SF_DIR, name)
         if keys:
@@ -127,14 +193,17 @@ def main() -> int:
             salts = TEXT_SALT_COLS.get(name, {})
             if salts:
                 copies = copies.withColumn(
-                    "_salt", F.md5(F.col("_copy").cast("string"))
+                    "_salt",
+                    F.element_at(salt_arr, (F.col("_copy") + 1).cast("int")),
                 )
             for c, mode in salts.items():
                 if mode == "prefix":
                     copies = copies.withColumn(
                         c,
                         F.concat(
-                            F.substring("_salt", 1, 12), F.lit(" "), F.col(c)
+                            F.substring("_salt", 1, PREFIX_LEN),
+                            F.lit(" "),
+                            F.col(c),
                         ),
                     )
                 else:  # "tokens"
@@ -144,7 +213,7 @@ def main() -> int:
                             F.transform(
                                 F.split(F.col(c), " "),
                                 lambda t: F.concat(
-                                    F.substring("_salt", 1, 4), t
+                                    F.substring("_salt", 1, TOKEN_TAG_LEN), t
                                 ),
                             ),
                             " ",
@@ -160,6 +229,7 @@ def main() -> int:
         link = Path(f"{out_dir}/{name}.parquet")
         if not link.exists():
             link.symlink_to(f"{SF_DIR}/{name}.parquet")
+    Path(out_dir, "SALT_VERSION").write_text(SALT_VERSION + "\n")
     return _run(spark, k, wanted, out_dir)
 
 
