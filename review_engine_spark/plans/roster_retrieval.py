@@ -934,3 +934,109 @@ def q_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
     )
     return per_day.unionByName(all_row)
+
+
+# ---------------------------------------------------------------------------
+# Rolling 28-day MAU via mergeable HLL registers — the sketch companion
+# to the exact `q_dau_mau` (roster_mining.py). The exact form's rolling
+# distinct carries (days x users) dedup state, measured an honest 23.6x
+# at 100x input (SCALING.md) because the user population itself scales;
+# THIS form collapses each day to m=512 md5-HLL registers FIRST (one
+# narrow agg, state ∝ users only transiently inside that agg), then the
+# 28-day rolling union is a per-(rday, bucket) max over days x 512 x 28
+# register rows — INDEPENDENT of user count. 100x users changes only
+# the day-compression agg (sub-linear, same shape as q_hll_md5); the
+# rolling stage's cost is fixed by the calendar. Same register algebra
+# as q_hll_md5 (exact-BIGINT scaled harmonic sums, linear counting on
+# the same literal text), so the estimate is engine-portable and the
+# oracle checks it value-exact. DAU stays exact (single narrow
+# group-by); the error-vs-exact pin lives in tests/test_roster_ext.py
+# (sketch MAU within HLL's 3-sigma band of q_dau_mau's exact MAU).
+# ---------------------------------------------------------------------------
+@declared(
+    oracle=f"""
+    WITH h AS (
+        SELECT date_trunc('day', ts) AS day, user_id,
+               try_cast('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS hv
+        FROM events
+    ),
+    r AS (
+        SELECT day, hv % 512 AS bucket,
+               max(CASE WHEN hv // 512 = 0 THEN 52
+                        ELSE 52 - length(bin(hv // 512)) END) AS rho
+        FROM h GROUP BY day, bucket
+    ),
+    days AS (SELECT DISTINCT day FROM h),
+    roll AS (
+        SELECT d.day AS rday, r.bucket, max(r.rho) AS rho
+        FROM r JOIN days d
+          ON d.day >= r.day AND d.day < r.day + INTERVAL 28 DAY
+        GROUP BY d.day, r.bucket
+    ),
+    msum AS (
+        SELECT rday,
+               sum(CAST(1 AS BIGINT) << (52 - rho))
+                 + (512 - count(*)) * {_HLL_POW52} AS s,
+               512 - count(*) AS v
+        FROM roll GROUP BY rday
+    ),
+    dau AS (
+        SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM h GROUP BY day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day_s, d.dau,
+           {_hll_est_sql('m.s', 'm.v')} AS mau_est,
+           round(CAST(d.dau AS DOUBLE) / ({_hll_est_sql('m.s', 'm.v')}), 6)
+               AS stickiness_est
+    FROM dau d JOIN msum m ON m.rday = d.day
+    """
+)
+def q_dau_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    w = F.expr("hv DIV 512")
+    rho = F.when(w == 0, F.lit(52)).otherwise(52 - F.length(F.bin(w)))
+    # day-compression: users enter ONCE, leave as 512 registers/day
+    regs = (
+        ev.select("day", (F.col("hv") % 512).alias("bucket"), rho.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    days = ev.select("day").distinct()
+    # rolling union: register rows x 28 (calendar-bounded, user-free);
+    # the days side is |calendar| rows — always broadcast-sized
+    roll = (
+        regs.select(
+            "bucket",
+            "rho",
+            F.explode(F.sequence(F.lit(0), F.lit(27))).alias("i"),
+            "day",
+        )
+        .select("bucket", "rho", F.expr("timestampadd(DAY, i, day)").alias("rday"))
+        .join(F.broadcast(days), F.col("rday") == days.day)
+        .groupBy("rday", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    msum = roll.groupBy("rday").agg(
+        (
+            F.expr("sum(shiftleft(CAST(1 AS BIGINT), 52 - rho))")
+            + (512 - F.count("*")) * F.lit(_HLL_POW52)
+        ).alias("s"),
+        (512 - F.count("*")).alias("v"),
+    )
+    dau = ev.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    est = F.expr(_hll_est_sql("s", "v"))
+    return dau.join(msum, dau.day == msum.rday).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "dau",
+        est.alias("mau_est"),
+        F.round(F.col("dau").cast("double") / est, 6).alias("stickiness_est"),
+    )

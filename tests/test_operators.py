@@ -557,6 +557,26 @@ def test_hll_md5_twin_estimates_close_to_exact(spark, sf_dir):
         assert abs(r["est_users"] - r["exact_users"]) <= tol, r
 
 
+def test_dau_mau_hll_tracks_exact_rolling_mau(spark, sf_dir):
+    """The sketch companion's rolling 28-day MAU must sit within HLL's
+    3-sigma band (m=512 → rse ≈ 4.6%) of q_dau_mau's exact rolling
+    distinct, for EVERY day both queries emit — the error-vs-exact pin
+    that licenses shipping the sketch at the scale where the exact form
+    is 23.6x super-linear (SCALING.md)."""
+    from review_engine_spark.plans.roster_mining import q_dau_mau
+    from review_engine_spark.plans.roster_retrieval import q_dau_mau_hll
+
+    exact = {
+        r["day"].strftime("%Y-%m-%d"): r["mau"]
+        for r in q_dau_mau(spark, sf_dir).collect()
+    }
+    est = {r["day_s"]: r["mau_est"] for r in q_dau_mau_hll(spark, sf_dir).collect()}
+    assert set(est) == set(exact)
+    for day, mau in exact.items():
+        tol = max(3.0, mau * 3 * 1.04 / (512 ** 0.5))
+        assert abs(est[day] - mau) <= tol, (day, est[day], mau)
+
+
 def test_stream_stream_join_matches_batch_interval_join(spark, sf_dir):
     """The watermarked stream-stream attribution join must produce
     exactly the batch interval-join pairs (finite source, generous
