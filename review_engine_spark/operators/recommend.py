@@ -22,9 +22,13 @@ Scale notes (100 TB):
   (``max_basket``), which also bounds per-task memory for the basket
   rows.
 - ``als_recommend`` is iterative (driver-coordinated MLlib); its
-  shuffles are block-to-block and scale with the rating count, and the
-  final ``recommendForAllUsers`` is a blocked cross-product — the k cut
-  happens inside each block pair, never materializing |U| x |I|.
+  shuffles are block-to-block and scale with the rating count. Scoring
+  defaults to ANN over the item-factor matrix (broadcast
+  sign-random-projection index, shuffle-free per-user probe + exact
+  dot-product rerank): work is linear in users, unlike
+  ``recommendForAllUsers``'s blocked |U|×|I| factor cross (kept as
+  ``method="exact"`` — the recall yardstick, measured ≥390× at the
+  100× stress scale and hence unshippable at 100 TB).
 """
 
 from __future__ import annotations
@@ -135,24 +139,20 @@ def cooccurrence_topk(
     )
 
 
-def als_recommend(
+def _fit_als(
     ratings: DataFrame,
-    k: int = 5,
-    rank: int = 8,
-    max_iter: int = 5,
-    reg_param: float = 0.1,
-    alpha: float = 1.0,
-    seed: int = 42,
-    num_blocks: int | None = None,
-    user_col: str = "user_id",
-    item_col: str = "item_id",
-    rating_col: str = "rating",
-) -> DataFrame:
-    """MLlib ALS on implicit feedback → flat (user, item, rank, score).
-
-    ``implicitPrefs=True`` matches the quantity-as-confidence input from
-    ``implicit_ratings``; the seed pins initialization so a fixed input
-    gives a fixed model (rows-only check — iterative, not SQL).
+    rank: int,
+    max_iter: int,
+    reg_param: float,
+    alpha: float,
+    seed: int,
+    num_blocks: int | None,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+):
+    """Fit the implicit-feedback MLlib ALS model (shared by the exact and
+    ANN recommend paths).
 
     ``num_blocks`` sizes the ALS block grid (shuffle width of every
     iteration). The default scales with available parallelism instead
@@ -180,24 +180,228 @@ def als_recommend(
         ratingCol=rating_col,
         coldStartStrategy="drop",
     )
-    model = als.fit(
+    return als.fit(
         ratings.select(
             F.col(user_col).cast("int").alias(user_col),
             F.col(item_col).cast("int").alias(item_col),
             F.col(rating_col).cast("float").alias(rating_col),
         )
     )
-    recs = model.recommendForAllUsers(k)
-    flat = recs.select(
-        F.col(user_col).cast("long").alias(user_col),
-        F.posexplode("recommendations").alias("pos", "rec"),
+
+
+def als_recommend(
+    ratings: DataFrame,
+    k: int = 5,
+    rank: int = 8,
+    max_iter: int = 5,
+    reg_param: float = 0.1,
+    alpha: float = 1.0,
+    seed: int = 42,
+    num_blocks: int | None = None,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    rating_col: str = "rating",
+    method: str = "ann",
+) -> DataFrame:
+    """MLlib ALS on implicit feedback → flat (user, item, rank, score).
+
+    ``implicitPrefs=True`` matches the quantity-as-confidence input from
+    ``implicit_ratings``; the seed pins initialization so a fixed input
+    gives a fixed model (rows-only check — iterative, not SQL).
+
+    ``method`` picks the scoring plan:
+
+    - ``"exact"`` — MLlib ``recommendForAllUsers``: a blocked |U|×|I|
+      factor cross-product. Exact, but the work is inherently U×I —
+      measured ≥390× at the 100× stress scale (SCALING.md) — so it is
+      the one plan you could NOT ship at 100 TB. Kept as the recall
+      yardstick.
+    - ``"ann"`` (default) — ANN over the item-factor matrix: a
+      broadcast median-balanced sign-random-projection index over the
+      item factors, probed per user with query-directed multi-probe in
+      one shuffle-free Arrow pass, candidates re-scored with the EXACT
+      dot product (``_ann_topk_from_factors``) so approximation affects
+      recall only, never the reported score or order of surfaced items.
+      Code width grows with log(catalog), holding expected bucket size
+      constant — per-user work is O(tables · probes · bucket), linear
+      in users, the 100 TB shape. Per-user recall vs the exact path is
+      pinned in tests/test_recommend.py (like q_knn_lsh's recall pin).
+    """
+    model = _fit_als(
+        ratings, rank, max_iter, reg_param, alpha, seed, num_blocks,
+        user_col, item_col, rating_col,
     )
-    return flat.select(
-        user_col,
-        F.col(f"rec.{item_col}").cast("long").alias(item_col),
-        (F.col("pos") + 1).cast("long").alias("rec_rank"),
-        F.round(F.col("rec.rating").cast("double"), 6).alias("score"),
+    if method == "exact":
+        recs = model.recommendForAllUsers(k)
+        flat = recs.select(
+            F.col(user_col).cast("long").alias(user_col),
+            F.posexplode("recommendations").alias("pos", "rec"),
+        )
+        return flat.select(
+            user_col,
+            F.col(f"rec.{item_col}").cast("long").alias(item_col),
+            (F.col("pos") + 1).cast("long").alias("rec_rank"),
+            F.round(F.col("rec.rating").cast("double"), 6).alias("score"),
+        )
+    if method != "ann":
+        raise ValueError(f"method must be 'ann' or 'exact', got {method!r}")
+    return _ann_topk_from_factors(
+        ratings.sparkSession,
+        model.userFactors,
+        model.itemFactors,
+        k=k,
+        user_col=user_col,
+        item_col=item_col,
+        seed=seed,
     )
+
+
+def _ann_topk_from_factors(
+    spark,
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    k: int,
+    user_col: str,
+    item_col: str,
+    seed: int,
+    n_tables: int = 6,
+    target_bucket: int = 128,
+    n_flip: int = 4,
+) -> DataFrame:
+    """Top-k max-inner-product items per user: a broadcast item-side
+    LSH index probed per user in one shuffle-free Arrow pass, with
+    exact dot-product rerank of the candidates.
+
+    Index (driver-built, broadcast): ``n_tables`` sign-random-projection
+    code tables over the item factors. Each table concatenates ``r``
+    sign bits of seeded Gaussian projections with
+
+        r = max(1, ceil(log2(|I| / target_bucket)))
+
+    so expected bucket size stays ~``target_bucket`` AS THE CATALOG
+    GROWS — the blocking-key-cardinality-must-scale rule every near-dup
+    operator in this engine follows. Each bit is offset by the ITEM
+    MEDIAN of its projection (balanced binary hashing): ALS implicit
+    factors share a strong common direction, so raw sign(p·x) codes
+    collapse into a few mega-buckets (measured: expected bucket 440-680
+    vs the 78 target at sf0.1 — a 6x candidate inflation); the median
+    offset makes every bit split the catalog 50/50 by construction.
+
+    Probe (executors, mapInPandas over the user factors): per table,
+    a user visits its own bucket plus QUERY-DIRECTED flips (multi-probe
+    LSH, Lv et al. VLDB 2007) of the ``n_flip`` lowest-|margin| bits —
+    the ones actually likely to disagree with a near item — plus the
+    double-flip of the two smallest: a CONSTANT n_flip+2 probes per
+    table at any catalog size. Candidates are deduped per user and
+    re-scored with the EXACT dot product (rounded before the cut), so
+    the approximation affects recall only, never the reported score or
+    order of surfaced items. Sweep at sf0.1 (15k users x 20k items):
+    recall@5 vs the exact cross = 0.89-0.91 across seeds at the
+    defaults; the MIPS->cosine augmentation (Bachrach et al. RecSys
+    2014) was measured WORSE (0.44-0.80 — the appended sqrt(M²−‖i‖²)
+    component dominates the sign bits) and is deliberately absent; the
+    pin lives in tests/test_recommend.py (like q_knn_lsh's recall pin).
+
+    Scale shape (100 TB): the RATINGS are the 100 TB side; the item
+    catalog is the dimension table. The index costs ~(4·dim + 8 +
+    4·n_tables) bytes/item — ~60 MB at 1M items, ~6 GB at 100M — the
+    same broadcast budget class as MLlib ALS's own blocked factor
+    matrices, traded for ZERO candidate shuffle: per-user work is
+    O(tables · probes · bucket) local numpy gather+matmul, linear in
+    users, and no (user,item) pair ever crosses the network (the
+    equi-join formulation it replaces shuffled ~80M candidate pairs at
+    sf0.1 — 90 s vs ~5 s for identical candidates). Past the broadcast
+    budget the escalation is the code-table EQUI-JOIN (hash both sides
+    to (table,code), shuffle-hash join, dedup, rerank) — same algebra,
+    shuffle-bound; not shipped because a >100M-item rank-8 catalog is
+    beyond any workload this engine declares.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ip = item_factors.toPandas()  # driver: linear in CATALOG (the
+    # dimension side, ~44 B/item) — the deliberate memory-for-shuffle
+    # trade of every broadcast join; never linear in users/ratings
+    iid = ip["id"].to_numpy(np.int64)
+    ivec = np.asarray(ip["features"].tolist(), dtype=np.float32)
+    n_items, dim = ivec.shape
+    r = max(1, int(np.ceil(np.log2(max(2.0, n_items / target_bucket)))))
+    n_flip = min(n_flip, r)
+    bits = 1 << np.arange(r)
+    rng = np.random.RandomState(seed)
+    projs = rng.standard_normal((n_tables, r, dim)).astype(np.float32)
+    offs = np.empty((n_tables, r), dtype=np.float32)
+    tables = []
+    for t in range(n_tables):
+        m = ivec @ projs[t].T
+        offs[t] = -np.median(m, axis=0)
+        codes = ((m + offs[t]) >= 0) @ bits
+        order = np.argsort(codes, kind="stable").astype(np.int32)
+        sorted_codes = codes[order]
+        lo = np.searchsorted(sorted_codes, np.arange(1 << r)).astype(np.int32)
+        hi = np.searchsorted(
+            sorted_codes, np.arange(1 << r), side="right"
+        ).astype(np.int32)
+        tables.append((order, lo, hi))
+    index_bc = spark.sparkContext.broadcast(
+        (iid, ivec, projs, offs, tables)
+    )
+    out_schema = (
+        f"{user_col} long, {item_col} long, rec_rank long, score double"
+    )
+
+    def probe(batches):
+        b_iid, b_ivec, b_projs, b_offs, b_tables = index_bc.value
+        for pdf in batches:
+            uids = pdf["id"].to_numpy(np.int64)
+            uvec = np.asarray(pdf["features"].tolist(), dtype=np.float32)
+            n_u = len(uids)
+            cand = [[] for _ in range(n_u)]
+            for t in range(n_tables):
+                mu = uvec @ b_projs[t].T + b_offs[t]
+                cu = (mu >= 0) @ bits
+                flip_order = np.argsort(np.abs(mu), axis=1)[:, :n_flip]
+                probes = [cu] + [
+                    cu ^ (1 << flip_order[:, j]) for j in range(n_flip)
+                ]
+                if n_flip >= 2:
+                    probes.append(
+                        cu
+                        ^ (1 << flip_order[:, 0])
+                        ^ (1 << flip_order[:, 1])
+                    )
+                order, lo, hi = b_tables[t]
+                for p in probes:
+                    for u in range(n_u):
+                        c = int(p[u])
+                        if hi[c] > lo[c]:
+                            cand[u].append(order[lo[c] : hi[c]])
+            rows_u, rows_i, rows_rk, rows_s = [], [], [], []
+            for u in range(n_u):
+                if not cand[u]:
+                    continue
+                cs = np.unique(np.concatenate(cand[u]))
+                scores = np.round(
+                    (b_ivec[cs] @ uvec[u]).astype(np.float64), 6
+                )
+                # (-score, item_id) order — same tie-break as the
+                # window form: descending exact score, ascending id
+                top = np.lexsort((b_iid[cs], -scores))[:k]
+                rows_u.append(np.full(len(top), uids[u], dtype=np.int64))
+                rows_i.append(b_iid[cs][top])
+                rows_rk.append(np.arange(1, len(top) + 1, dtype=np.int64))
+                rows_s.append(scores[top])
+            if rows_u:
+                yield pd.DataFrame(
+                    {
+                        user_col: np.concatenate(rows_u),
+                        item_col: np.concatenate(rows_i),
+                        "rec_rank": np.concatenate(rows_rk),
+                        "score": np.concatenate(rows_s),
+                    }
+                )
+
+    return user_factors.mapInPandas(probe, out_schema)
 
 
 def evaluate_cooccur_recommender(

@@ -89,6 +89,32 @@ def test_als_recommend_shape_and_order(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_als_ann_recall_against_exact(spark, sf_dir):
+    """The ANN scoring path (SRP buckets + exact rerank) must recover
+    most of recommendForAllUsers' exact top-5 per user — the same
+    recall-vs-exact pin q_knn_lsh carries. Scores for surfaced items are
+    exact dots, so only membership can differ."""
+    from review_engine_spark.sources.io import read_parquet_table
+
+    ratings = implicit_ratings(
+        read_parquet_table(spark, sf_dir, "orders"),
+        read_parquet_table(spark, sf_dir, "lineitem"),
+    )
+    exact = {}
+    for r in als_recommend(ratings, k=5, method="exact").collect():
+        exact.setdefault(r["user_id"], set()).add(r["item_id"])
+    approx = {}
+    for r in als_recommend(ratings, k=5, method="ann").collect():
+        approx.setdefault(r["user_id"], set()).add(r["item_id"])
+    # every trained user must surface (multi-probe always hits the
+    # user's own bucket, which is never empty of candidates for a
+    # healthy model — a user with zero candidates means broken hashing)
+    assert set(exact) == set(approx)
+    hits = sum(len(exact[u] & approx[u]) for u in exact)
+    total = sum(len(exact[u]) for u in exact)
+    assert hits / total >= 0.8, f"ANN recall@5 {hits / total:.3f} < 0.8"
+
+
 def test_eval_no_test_leakage(spark):
     """An item pair that co-occurs ONLY in held-out orders must never be
     recommended — the recommender trains strictly on training baskets."""
