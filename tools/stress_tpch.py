@@ -43,8 +43,32 @@ KEY_COLS = {
     # parallel-shard scaling (the 100 TB shape), not per-key growth.
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 STRIDE = 10_000_000
+
+#: table → {small-range group-key column: stride}. Same disjoint-shard
+#: doctrine as KEY_COLS, but for low-cardinality int32 keys where the
+#: 10M stride would overflow or explode group count past realism:
+#: embeddings.label is 0..9, stride 10 keeps 10 labels PER COPY (group
+#: size constant — shard scaling, not per-key growth).
+SMALL_KEY_COLS = {
+    "embeddings": {"label": 10},
+}
+
+#: table → vector column rotated by a per-copy random ORTHOGONAL matrix
+#: (copy 0 = identity). Key shifting alone leaves vectors byte-identical
+#: across copies — every vector gains K−1 exact cosine-1 twins, so any
+#: near-dup / top-k / clustering query measures dup-density growth, the
+#: same artifact TEXT_SALT_COLS removes for text. Rotation is the vector
+#: analogue with an exactness bonus: within-copy inner products and
+#: norms are EXACTLY preserved (R^T R = I ⇒ ⟨Rx, Ry⟩ = ⟨x, y⟩), so each
+#: copy's internal similarity structure is the fixture's, while
+#: cross-copy cosines are ~N(0, 1/64) noise (P(>0.3) ≈ 0.8%) — K
+#: independent shards of one big vector corpus.
+VECTOR_ROT_COLS = {
+    "embeddings": "embedding",
+}
 
 #: table → text columns that carry cross-row SIMILARITY (fuzzy levenshtein
 #: blocks, shingle sets, simhash features) → salting mode. Key shifting
@@ -68,7 +92,7 @@ TEXT_SALT_COLS = {
 #: bump when the salting scheme changes; replicas record it so a reused
 #: STRESS_DIR built under an older (collision-prone) scheme is rebuilt
 #: instead of silently skewing the measurements.
-SALT_VERSION = "v2-verified-24hex"
+SALT_VERSION = "v3-emb-rotated"
 
 # Salt geometry: token tags are the first TOKEN_TAG_LEN hex chars of the
 # per-copy salt, prefixes the first PREFIX_LEN. v1 used 4/12, which at
@@ -219,16 +243,44 @@ def main() -> int:
                             " ",
                         ),
                     )
+            for c, stride in SMALL_KEY_COLS.get(name, {}).items():
+                copies = copies.withColumn(
+                    c,
+                    (
+                        F.col(c).cast("long") + F.col("_copy") * F.lit(stride)
+                    ).cast(dict(base.dtypes)[c]),
+                )
+            vec_col = VECTOR_ROT_COLS.get(name)
+            if vec_col is not None:
+                import numpy as np
+
+                dim = len(
+                    base.select(vec_col).first()[0]
+                )
+                rng = np.random.RandomState(7042)
+                rots = np.empty((k, dim, dim), dtype=np.float32)
+                rots[0] = np.eye(dim, dtype=np.float32)
+                for i in range(1, k):
+                    q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+                    rots[i] = q.astype(np.float32)
+                rot_bc = spark.sparkContext.broadcast(rots)
+
+                def _rotate(batches, _vc=vec_col):
+                    import numpy as _np
+
+                    R = rot_bc.value
+                    for pdf in batches:
+                        X = _np.stack(pdf[_vc].to_numpy()).astype(_np.float32)
+                        C = pdf["_copy"].to_numpy().astype(_np.int64)
+                        Y = _np.einsum("nij,nj->ni", R[C], X)
+                        pdf[_vc] = list(Y)
+                        yield pdf
+
+                copies = copies.mapInPandas(_rotate, copies.schema)
             scaled = copies.drop("_copy", "_salt")
         else:
             scaled = base  # dims shared across copies (broadcast at any K)
         scaled.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
-    # embeddings aren't replicated (no fact-table keys); symlink reads to
-    # the original so read_parquet_table still resolves it.
-    for name in ("embeddings",):
-        link = Path(f"{out_dir}/{name}.parquet")
-        if not link.exists():
-            link.symlink_to(f"{SF_DIR}/{name}.parquet")
     Path(out_dir, "SALT_VERSION").write_text(SALT_VERSION + "\n")
     return _run(spark, k, wanted, out_dir)
 
