@@ -56,6 +56,80 @@ def _state_partitions(spark: SparkSession, n: int):
 
 
 
+def _snapshot(
+    spark: SparkSession, stream_df: DataFrame, mode: str, name: str
+) -> DataFrame:
+    """Drive a finite streaming DataFrame to completion and return the
+    result snapshot as a batch DataFrame.
+
+    Sink selection (``SPARK_GRAFT_STREAM_SINK``):
+
+    - ``memory`` (default) — the memory sink + an Arrow ``toPandas``
+      snapshot. Driver-bound by design: correct and fast for the
+      sf0.01/sf0.1 oracle contract, where every runner's full output is
+      a few thousand rows, but it would funnel a large source through
+      the driver.
+    - ``files`` — the production-shaped path, used by the 100× stress
+      chunk (SCALING.md) so the measurement never bottlenecks on a
+      driver collect. ``append``-mode queries land in a parquet
+      ``FileStreamSink`` (exactly-once via its ``_spark_metadata``
+      transaction log); ``update``/``complete`` queries run through
+      ``foreachBatch`` parquet writes (update appends each batch's
+      emitted rows — the same row multiset the memory sink accumulates;
+      complete overwrites, so the directory holds the final snapshot —
+      what a complete-mode memory sink shows). The return value is the
+      directory read back through the DISTRIBUTED batch reader — no
+      row ever crosses the driver. Parity between both paths is pinned
+      per output mode in tests/test_streaming_sinks.py.
+    """
+    import os
+
+    use_files = (
+        os.environ.get("SPARK_GRAFT_STREAM_SINK", "memory") == "files"
+    )
+    with _state_partitions(spark, 8), tempfile.TemporaryDirectory() as ckpt:
+        if not use_files:
+            q = (
+                stream_df.writeStream.outputMode(mode)
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+            out = spark.table(name)
+            # snapshot through Arrow before the memory table goes away
+            # (collect->python rows is 10x slower at 100k rows)
+            return spark.createDataFrame(out.toPandas(), out.schema)
+        out_dir = tempfile.mkdtemp(prefix=f"{name}_sink_")
+        if mode == "append":
+            q = (
+                stream_df.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+        else:
+            write_mode = "overwrite" if mode == "complete" else "append"
+
+            def land(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode(write_mode).parquet(out_dir)
+
+            q = (
+                stream_df.writeStream.outputMode(mode)
+                .foreachBatch(land)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        return spark.read.parquet(out_dir)
+
+
 def _events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -127,22 +201,7 @@ def run_tumbling_count_batchlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     # readStream needs a directory: point at sf_dir with a glob filter
     stream = _events_stream(spark, sf_dir)
     agg = tumbling_counts(stream)
-    name = "stream_tumbling_out"
-    with _state_partitions(spark, 8), tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
-    # materialize before the memory sink table goes away
-    out = spark.table(name)
-    # snapshot through Arrow (collect->python rows is 10x slower at 100k rows)
-    return spark.createDataFrame(out.toPandas(), out.schema)
+    return _snapshot(spark, agg, "complete", "stream_tumbling_out")
 
 
 def run_sessionize_stateful(
@@ -246,21 +305,7 @@ def run_sessionize_stateful(
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    name = "sessionize_stateful_out"
-    with _state_partitions(spark, 8), tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            sessions.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
-    out = spark.table(name)
-    # snapshot through Arrow (collect->python rows is 10x slower at 100k rows)
-    return spark.createDataFrame(out.toPandas(), out.schema)
+    return _snapshot(spark, sessions, "update", "sessionize_stateful_out")
 
 
 def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
@@ -306,20 +351,7 @@ def run_stream_dedup(
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    name = "stream_dedup_out"
-    with _state_partitions(spark, 8), tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            deduped.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
-    out = spark.table(name)
-    return spark.createDataFrame(out.toPandas(), out.schema)
+    return _snapshot(spark, deduped, "append", "stream_dedup_out")
 
 
 def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,20 +398,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ),
     ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts")
-    name = "stream_stream_join_out"
-    with _state_partitions(spark, 8), tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
-    out = spark.table(name)
-    return spark.createDataFrame(out.toPandas(), out.schema)
+    return _snapshot(spark, joined, "append", "stream_stream_join_out")
 
 
 def run_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,20 +575,7 @@ def run_ewma_stateful(
     ewma = stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    name = "ewma_stateful_out"
-    with _state_partitions(spark, 8), tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            ewma.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
-    out = spark.table(name)
-    return spark.createDataFrame(out.toPandas(), out.schema)
+    return _snapshot(spark, ewma, "update", "ewma_stateful_out")
 
 
 def run_zscore_stateful(
@@ -641,20 +647,7 @@ def run_zscore_stateful(
     anomalies = stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
-    name = "zscore_stateful_out"
-    with _state_partitions(spark, 8), tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            anomalies.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
-    out = spark.table(name)
-    return spark.createDataFrame(out.toPandas(), out.schema)
+    return _snapshot(spark, anomalies, "append", "zscore_stateful_out")
 
 
 def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -688,17 +681,4 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents"
         ),
     )
-    name = "stream_static_out"
-    with _state_partitions(spark, 8), tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
-    out = spark.table(name)
-    return spark.createDataFrame(out.toPandas(), out.schema)
+    return _snapshot(spark, agg, "complete", "stream_static_out")

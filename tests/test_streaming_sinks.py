@@ -1,0 +1,38 @@
+"""File-sink vs memory-sink parity for the streaming runners.
+
+The oracle gate drives every streaming runner through the default
+memory-sink snapshot (driver-bound, fine at fixture scale); the 100x
+stress chunk sets SPARK_GRAFT_STREAM_SINK=files to route the SAME
+queries through executor-side file sinks (parquet FileStreamSink for
+append mode, foreachBatch parquet writes for update/complete). These
+tests pin that the two paths produce identical rows — one runner per
+output mode, covering each sink branch in jobs._snapshot.
+"""
+
+import os
+
+import pytest
+
+from review_engine_spark.streaming import jobs
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "runner",
+    [
+        jobs.run_stream_dedup,  # append -> parquet FileStreamSink
+        jobs.run_tumbling_count_batchlike,  # complete -> foreachBatch overwrite
+        jobs.run_ewma_stateful,  # update -> foreachBatch append
+    ],
+    ids=["append", "complete", "update"],
+)
+def test_file_sink_matches_memory_sink(spark, sf_dir, runner, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SINK", raising=False)
+    via_memory = _rows(runner(spark, sf_dir))
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SINK", "files")
+    via_files = _rows(runner(spark, sf_dir))
+    assert via_files == via_memory
+    assert len(via_memory) > 0
