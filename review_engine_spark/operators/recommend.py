@@ -401,6 +401,14 @@ def _ann_topk_from_factors(
                     }
                 )
 
+    # ALS emits userFactors in its block-grid partitioning — often far
+    # fewer partitions than cores (observed: 4 partitions for a 1.5M-user
+    # corpus → 4 busy workers on a 32-core box). The probe is the only
+    # remaining per-user work, so spread it: one narrow shuffle of
+    # (id, 8 floats) rows costs ~nothing next to an 8x parallelism loss.
+    par = user_factors.sparkSession.sparkContext.defaultParallelism
+    if user_factors.rdd.getNumPartitions() < par:
+        user_factors = user_factors.repartition(par)
     return user_factors.mapInPandas(probe, out_schema)
 
 
