@@ -453,14 +453,31 @@ def embedding_near_dups(
     vec_col: str,
     id_col: str,
     min_cosine: float = 0.8,
-    num_bits: int = 16,
+    num_bits: int | None = None,
     n_blocks: int = 4,
+    target_bucket: int = 64,
+    max_bucket_size: int = 20_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
 
     signature → band into ``n_blocks`` blocks (pigeonhole: two signatures
     within hamming ≤ n_blocks−1 share a block) → equi-join on
     (block, value) → exact cosine verification on the candidate pairs.
+
+    Band width SCALES WITH THE CORPUS (the blocking-key-cardinality
+    rule): when ``num_bits`` is None it is derived as
+
+        n_blocks · max(4, ceil(log2(N / target_bucket)))
+
+    so expected bucket size stays ~``target_bucket`` as N grows. A
+    fixed width is the classic latent O(N²): at 8-bit bands a 100×
+    corpus packs ~780 rows per bucket value and the banding self-join
+    explodes to ~600M candidate pairs (measured: filled the stress
+    box's disk with shuffle spill before round 7 made the width
+    data-sized). Buckets larger than ``max_bucket_size`` are dropped
+    outright — same boilerplate guard as ``minhash_lsh_pairs``: a
+    degenerate bucket (a mass of near-identical vectors) contributes
+    O(bucket²) candidates and nothing a sane near-dup report needs.
 
     The banding join shuffles (id, 8-byte block) rows only; vectors are
     joined back by id for verification, so the wide rows move just for
@@ -470,10 +487,16 @@ def embedding_near_dups(
     the banding self-join consume them (id + one long per row — tiny,
     spills if not).
     """
+    import math
+
     from pyspark import StorageLevel
 
     from review_engine_spark.functions.vector import cosine_similarity
 
+    if num_bits is None:
+        n = df.count()  # 1-row agg — bounded driver work at any corpus
+        width = max(4, math.ceil(math.log2(max(2.0, n / target_bucket))))
+        num_bits = n_blocks * width
     sigs = rh_signatures_batch(df, vec_col, id_col, num_bits).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -494,6 +517,15 @@ def embedding_near_dups(
     banded = sigs.select(F.col(id_col), F.explode(blocks).alias("bb")).select(
         F.col(id_col), F.col("bb.blk").alias("blk"), F.col("bb.blk_val").alias("blk_val")
     )
+    bucket_sizes = banded.groupBy("blk", "blk_val").agg(
+        F.count("*").alias("bucket_n")
+    )
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bucket_n") <= max_bucket_size).hint(
+            "shuffle_hash"
+        ),
+        ["blk", "blk_val"],
+    ).drop("bucket_n")
     left = banded.select("blk", "blk_val", F.col(id_col).alias("left_id"))
     right = banded.select("blk", "blk_val", F.col(id_col).alias("right_id"))
     # banding sides and the vector join-backs all scale with the corpus —

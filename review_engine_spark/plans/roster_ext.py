@@ -364,13 +364,16 @@ def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from review_engine_spark.operators.dedup import embedding_near_dups
 
     emb = read_parquet_table(spark, sf_dir, "embeddings")
-    # 32-bit signature in 4 blocks = 8-bit buckets: candidate volume is
-    # ~n_blocks·N²/2^8 instead of N² (block width is the candidates-vs-
-    # recall dial; hyperplane LSH recall is tuned for the ≥0.9 near-dup
-    # regime — this fixture's max pairwise cosine is only ~0.51, so the
-    # threshold sits at 0.4 and recall is deliberately partial here).
+    # band width is data-sized (n_blocks·max(4, log2(N/64)) bits) so
+    # expected bucket size stays ~64 at any corpus — a FIXED 8-bit band
+    # packed ~780 rows/bucket at the 100× stress scale and the banding
+    # self-join spilled the disk full (round-7 lesson; see
+    # embedding_near_dups). Block count is the candidates-vs-recall
+    # dial; hyperplane LSH recall is tuned for the ≥0.9 near-dup regime
+    # — this fixture's max pairwise cosine is only ~0.51, so the
+    # threshold sits at 0.4 and recall is deliberately partial here.
     return embedding_near_dups(
-        emb, "embedding", "vec_id", min_cosine=0.4, num_bits=32, n_blocks=4
+        emb, "embedding", "vec_id", min_cosine=0.4, n_blocks=4
     )
 
 
