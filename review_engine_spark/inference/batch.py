@@ -20,32 +20,7 @@ from collections.abc import Callable
 
 import numpy as np
 
-__all__ = [
-    "embedder_batch_udf",
-    "scorer_batch_udf",
-    "spread_for_inference",
-    "stub_embed_model",
-    "stub_score_model",
-]
-
-
-def spread_for_inference(df):
-    """Repartition a model-inference input to full parallelism when the
-    scan under-partitions it.
-
-    Parquet split sizing is byte-proportional (maxPartitionBytes) —
-    right for IO-bound scans, wrong in front of a model: minutes of
-    per-row inference CPU hide behind a few hundred MB of text
-    (measured at the 100× stress scale: the embed pipelines ran
-    ~1-core, 109-117 s, because 500k docs fit in a handful of splits).
-    One narrow shuffle of the raw rows costs seconds and buys every
-    core — the same doctrine as repartitioning before a GPU stage.
-    """
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    return df
+__all__ = ["embedder_batch_udf", "scorer_batch_udf", "stub_embed_model", "stub_score_model"]
 
 
 def stub_embed_model(dim: int = 16) -> Callable:

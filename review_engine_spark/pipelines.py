@@ -54,9 +54,6 @@ def build_product_embeddings(
     is the relational D2 plan — two aggregations on (asin, pos) / (asin),
     12-byte rows, map-side combined.
     """
-    from review_engine_spark.inference.batch import spread_for_inference
-
-    reviews = spread_for_inference(reviews)
     cleaned = reviews.select(
         "parent_asin",
         clean_text(

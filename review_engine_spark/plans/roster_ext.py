@@ -605,10 +605,9 @@ def q_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 pipeline shape: clean → filter → per-doc embed via Arrow-batched
     UDF (embed.py:73-78 analog; stub model)."""
     from review_engine_spark.functions.text import clean_text, token_count
-    from review_engine_spark.inference.batch import spread_for_inference
     from review_engine_spark.inference.stubs import stub_embed_udf
 
-    docs = spread_for_inference(read_parquet_table(spark, sf_dir, "documents"))
+    docs = read_parquet_table(spark, sf_dir, "documents")
     cleaned = docs.select("doc_id", clean_text(F.col("text")).alias("clean"))
     kept = cleaned.filter(token_count(F.col("clean")) > 5)
     embed = stub_embed_udf()
@@ -626,12 +625,9 @@ def q_embed_batch_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     query keeps honest. Output is the embedding L2 norm per doc (scalar,
     so the rows-only check also pins the vector's magnitude)."""
     from review_engine_spark.functions.text import clean_text, token_count
-    from review_engine_spark.inference.batch import (
-        embedder_batch_udf,
-        spread_for_inference,
-    )
+    from review_engine_spark.inference.batch import embedder_batch_udf
 
-    docs = spread_for_inference(read_parquet_table(spark, sf_dir, "documents"))
+    docs = read_parquet_table(spark, sf_dir, "documents")
     cleaned = docs.select("doc_id", clean_text(F.col("text")).alias("clean"))
     kept = cleaned.filter(token_count(F.col("clean")) > 5)
     embed = embedder_batch_udf(dim=16, batch_size=700)
@@ -762,10 +758,9 @@ def q_embed_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributes: the only shuffles are the two mean-pool aggregations on
     (lang, pos) and (lang)."""
     from review_engine_spark.functions.text import clean_text, token_count
-    from review_engine_spark.inference.batch import spread_for_inference
     from review_engine_spark.inference.stubs import stub_embed_udf
 
-    docs = spread_for_inference(read_parquet_table(spark, sf_dir, "documents"))
+    docs = read_parquet_table(spark, sf_dir, "documents")
     cleaned = docs.select(
         "doc_id", "lang", clean_text(F.col("text")).alias("clean")
     ).filter(token_count(F.col("clean")) > 5)
