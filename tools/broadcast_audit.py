@@ -55,6 +55,8 @@ CARTESIAN_OK: dict[str, str] = {
 #: query → reason the corpus-table broadcast under it is BOUNDED (reviewed
 #: by hand; the bound is in the query's own docstring).
 WHITELIST: dict[str, str] = {
+    "q_dau_mau_hll": "distinct calendar days — bounded by the calendar "
+    "(≤ a few thousand rows at any corpus age), not the corpus",
     "q_mmr": "collected ≤200-row candidate set (reference semantics)",
     "q_dot": "1-row query vector (vec_id=0 filtered slice)",
     "q_knn_ivf": "≤2 query vectors + k centroid rows (both bounded)",
