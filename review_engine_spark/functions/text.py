@@ -249,7 +249,26 @@ def clean_text(col: Column) -> Column:
     out = F.regexp_replace(out, r"http\S+|www\S+", "")  # H3 (embed.py:36-37)
     out = F.regexp_replace(out, r"<.*?>", "")  # H4 (embed.py:39-40)
     out = F.regexp_replace(out, r"[@#]\w+", "")  # H5 (embed.py:42-43)
-    out = F.regexp_replace(out, r"""[^a-z0-9\s.,!?;:'"-]""", "")  # H6 (embed.py:45-46)
+    # H6 (embed.py:45-46), as POSITIVE-run extraction: deleting every
+    # char outside whitelist W is identical to concatenating the
+    # maximal [W]+ runs (each char is either kept in order or dropped;
+    # greedy + makes runs maximal; nulls propagate through both forms).
+    # Why not regexp_replace(out, '[^W]+', ''): Spark's RegExpReplace
+    # hits a ~26x slow path for negated classes that mix ranges with
+    # single chars — measured 2.9-3.7 ms/doc-core vs 0.11 ms for this
+    # extraction, on the same corpus, same JVM, while pure
+    # java.util.regex shows no such gap ([^a-z0-9]+ is fast, adding
+    # ONE literal char makes it ~50x slower; this one class was 97% of
+    # the whole cleaning chain's CPU). The DuckDB oracle keeps the
+    # regexp_replace form (RE2 has no such cliff) — the two engines'
+    # results are identical by the argument above and by the 226-query
+    # oracle gate.
+    out = F.array_join(
+        F.regexp_extract_all(
+            out, F.lit(r"""[a-z0-9\s.,!?;:'"-]+"""), 0
+        ),
+        "",
+    )
     out = F.regexp_replace(out, r"\s+", " ")  # H7 (embed.py:48)
     return F.trim(out)
 

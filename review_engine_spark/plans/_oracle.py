@@ -100,7 +100,7 @@ def sql_clean_text(expr: str) -> str:
     out = rf"regexp_replace({out}, 'http\S+|www\S+', '', 'g')"
     out = rf"regexp_replace({out}, '<.*?>', '', 'g')"
     out = rf"regexp_replace({out}, '[@#]\w+', '', 'g')"
-    out = rf"regexp_replace({out}, '[^a-z0-9\s.,!?;:''\"-]', '', 'g')"
+    out = rf"regexp_replace({out}, '[^a-z0-9\s.,!?;:''\"-]+', '', 'g')"
     out = rf"regexp_replace({out}, '\s+', ' ', 'g')"
     return f"trim({out})"
 
