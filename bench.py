@@ -5,7 +5,10 @@ Runs every declared roster query at $SPARK_GRAFT_SF_DIR (default
 execution to completion via the noop sink (count() would let Catalyst
 prune projection-only work — a map-only query would be timed as a bare
 scan) and reporting best-of-N (default 2: first run pays one-time
-codegen JIT, the warm run is steady state).
+codegen JIT, the warm run is steady state). The slowest ~15 queries are
+then re-run 3x and recorded as the MEDIAN (single-sweep numbers on the
+heavy tier carry ±20% noise — see NOTES.md round-7); the sidecar's
+"median3_queries" map says which entries that applies to.
 
 The FINAL stdout line is ONE compact JSON object:
 
@@ -110,6 +113,37 @@ def main() -> int:
         # persists otherwise squeeze the heap as the sweep progresses
         spark.catalog.clearCache()
 
+    # Median-of-3 refinement for the slow tier: a single-sweep timing on
+    # the heaviest queries carries ±20% run-to-run noise (r7: q_pagerank
+    # recorded 5.44 s in the sweep vs 4.33 s solo — a phantom regression
+    # that cost a round of chasing). Re-run the slowest ~15 three times
+    # each and replace their sweep numbers with the MEDIAN, which solo
+    # re-measures reproduce within ~5%. The sweep stays the headline for
+    # the other ~230 queries (their costs are too small for the noise to
+    # matter cross-round).
+    top_tier = [
+        n
+        for n, _ in sorted(
+            timings.items(), key=lambda kv: kv[1], reverse=True
+        )[:15]
+        if n not in failed
+    ]
+    median3: dict[str, float] = {}
+    for name in top_tier:
+        runs: list[float] = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            try:
+                materialize(qs[name](spark, args.sf_dir))
+            except Exception as e:  # noqa: BLE001
+                print(f"# {name} median3 FAILED: {e}", file=sys.stderr)
+                break
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        if len(runs) == 3:
+            median3[name] = round(sorted(runs)[1], 3)
+            timings[name] = median3[name]
+
     canary_end = canary_pass()
     canary_drift = round(canary_end / max(canary_start, 1e-9), 2)
 
@@ -137,10 +171,12 @@ def main() -> int:
         "contended": canary_drift > 1.5,
     }
     # subset invocations (explicit query args) must not clobber the
-    # full-roster sidecar the driver/analysis reads
+    # full-roster sidecar the driver/analysis reads. The sidecar also
+    # records which slow-tier entries are median-of-3 (the final line
+    # has no room for the map).
     if not args.queries:
         with open(sidecar, "w") as fh:
-            json.dump(full, fh, indent=1, sort_keys=True)
+            json.dump(dict(full, median3_queries=median3), fh, indent=1, sort_keys=True)
     for name, dt in timings.items():
         print(f"# timing {name} {dt}", file=sys.stderr)
     # Tail-budget guard: the harness captures a bounded stdout tail, so

@@ -38,6 +38,13 @@ from pyspark.sql import functions as F
 
 __all__ = ["implicit_ratings", "cooccurrence_topk", "als_recommend", "evaluate_cooccur_recommender"]
 
+#: Catalog-size ceiling for the driver-built broadcast SRP index
+#: (method="ann"). The index costs ~(4·dim + 8 + 4·n_tables) bytes/item
+#: — ~1.3 GB at 20M rank-8 items, the same budget class as a broadcast
+#: join build side. Past it, method="ann_join" runs the identical code
+#: algebra as a distributed equi-join with no driver materialization.
+ANN_BROADCAST_MAX_ITEMS = 20_000_000
+
 
 def implicit_ratings(
     orders: DataFrame,
@@ -226,7 +233,20 @@ def als_recommend(
       constant — per-user work is O(tables · probes · bucket), linear
       in users, the 100 TB shape. Per-user recall vs the exact path is
       pinned in tests/test_recommend.py (like q_knn_lsh's recall pin).
+    - ``"ann_join"`` — the same SRP code algebra as ``"ann"`` expressed
+      as a distributed code-table EQUI-JOIN (``_ann_topk_join``): no
+      driver-side index, so it has no broadcast-budget ceiling. Slower
+      at any catalog that DOES fit the broadcast budget (the candidate
+      pairs cross a shuffle), so it is the escalation path, not the
+      default; ``"ann"`` asserts the catalog is under budget and names
+      this fallback.
     """
+    # validate before the expensive ALS fit — a typo'd method must not
+    # cost max_iter alternating-least-squares sweeps first (ADVICE r7)
+    if method not in ("ann", "exact", "ann_join"):
+        raise ValueError(
+            f"method must be 'ann', 'ann_join' or 'exact', got {method!r}"
+        )
     model = _fit_als(
         ratings, rank, max_iter, reg_param, alpha, seed, num_blocks,
         user_col, item_col, rating_col,
@@ -243,8 +263,25 @@ def als_recommend(
             (F.col("pos") + 1).cast("long").alias("rec_rank"),
             F.round(F.col("rec.rating").cast("double"), 6).alias("score"),
         )
-    if method != "ann":
-        raise ValueError(f"method must be 'ann' or 'exact', got {method!r}")
+    if method == "ann_join":
+        return _ann_topk_join(
+            ratings.sparkSession,
+            model.userFactors,
+            model.itemFactors,
+            k=k,
+            user_col=user_col,
+            item_col=item_col,
+            seed=seed,
+        )
+    n_items = model.itemFactors.count()
+    if n_items > ANN_BROADCAST_MAX_ITEMS:
+        raise ValueError(
+            f"catalog has {n_items} items — past the ~"
+            f"{ANN_BROADCAST_MAX_ITEMS}-item broadcast budget of the "
+            "driver-built SRP index; use method='ann_join' (the "
+            "code-table equi-join runs the same algebra with no "
+            "broadcast ceiling)"
+        )
     return _ann_topk_from_factors(
         ratings.sparkSession,
         model.userFactors,
@@ -311,10 +348,9 @@ def _ann_topk_from_factors(
     users, and no (user,item) pair ever crosses the network (the
     equi-join formulation it replaces shuffled ~80M candidate pairs at
     sf0.1 — 90 s vs ~5 s for identical candidates). Past the broadcast
-    budget the escalation is the code-table EQUI-JOIN (hash both sides
-    to (table,code), shuffle-hash join, dedup, rerank) — same algebra,
-    shuffle-bound; not shipped because a >100M-item rank-8 catalog is
-    beyond any workload this engine declares.
+    budget (``ANN_BROADCAST_MAX_ITEMS``) the caller escalates to
+    ``_ann_topk_join`` — the code-table EQUI-JOIN form of the same
+    algebra, shuffle-bound but with no driver materialization.
     """
     import numpy as np
     import pandas as pd
@@ -381,8 +417,14 @@ def _ann_topk_from_factors(
                 if not cand[u]:
                     continue
                 cs = np.unique(np.concatenate(cand[u]))
+                # float64 dot of float32 inputs: every product is exact
+                # (24+24 < 53 bits), so the score is reduction-order
+                # stable across BLAS kernels — the equi-join twin
+                # (_ann_topk_join) must round to the same 6dp value
                 scores = np.round(
-                    (b_ivec[cs] @ uvec[u]).astype(np.float64), 6
+                    b_ivec[cs].astype(np.float64)
+                    @ uvec[u].astype(np.float64),
+                    6,
                 )
                 # (-score, item_id) order — same tie-break as the
                 # window form: descending exact score, ascending id
@@ -410,6 +452,201 @@ def _ann_topk_from_factors(
     if user_factors.rdd.getNumPartitions() < par:
         user_factors = user_factors.repartition(par)
     return user_factors.mapInPandas(probe, out_schema)
+
+
+def _ann_topk_join(
+    spark,
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    k: int,
+    user_col: str,
+    item_col: str,
+    seed: int,
+    n_tables: int = 6,
+    target_bucket: int = 128,
+    n_flip: int = 4,
+) -> DataFrame:
+    """Top-k max-inner-product items per user as a distributed
+    code-table equi-join — ``_ann_topk_from_factors``' escalation path
+    for catalogs past the broadcast budget (``ANN_BROADCAST_MAX_ITEMS``).
+
+    Identical SRP algebra to the broadcast-index form — same seeded
+    Gaussian projections, same ``r = ceil(log2(|I|/target_bucket))``
+    data-sized code width, same median-balanced bits, same
+    query-directed multi-probe flips, same exact-dot rerank and
+    (-score, item_id) tie-break — so at matched parameters it surfaces
+    the same top-k (pinned in tests/test_recommend.py). Only the
+    EXECUTION differs: nothing is ever collected to the driver.
+
+    Plan (three Arrow passes + one keyed shuffle):
+
+    1. exact per-(table, bit) projection medians via a distributed
+       ``percentile(…, 0.5)`` aggregate over the item projections —
+       2 float64 scans of the catalog, no driver materialization;
+    2. item side hashed to (table, code, item_id) rows (n_tables rows
+       per item), user side to (table, probe_code, user_id) rows
+       (n_tables·(n_flip+2) rows per user);
+    3. SHUFFLE_HASH equi-join on (table, code) — both sides are
+       corpus-scaled, so broadcast is structurally excluded — then
+       (user, item) dedup, factor re-join, exact float32 dot rerank in
+       Arrow batches, per-user top-k window.
+
+    Cost shape: the join moves O(users · tables · probes · bucket)
+    candidate rows through one shuffle — the price of removing the
+    driver-side index (measured 90-213 s vs ~5 s for the broadcast form
+    at sf0.1, NOTES.md r7). Use only past the broadcast budget.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_items = item_factors.count()
+    dim = len(item_factors.select("features").head()["features"])
+    r = max(1, int(np.ceil(np.log2(max(2.0, n_items / target_bucket)))))
+    n_flip = min(n_flip, r)
+    bits = 1 << np.arange(r)
+    rng = np.random.RandomState(seed)
+    projs = rng.standard_normal((n_tables, r, dim)).astype(np.float32)
+    projs_bc = spark.sparkContext.broadcast(projs)
+
+    # pass 1: exact medians of each (table, bit) projection over the
+    # catalog, computed distributed (the broadcast form uses np.median
+    # on the driver copy; percentile(,0.5) is the same sort-based exact
+    # median, interpolating midpoints identically up to float32 ulps)
+    proj_schema = "tbl int, " + ", ".join(
+        f"p{j} double" for j in range(r)
+    )
+
+    def proj_rows(batches):
+        pr = projs_bc.value
+        for pdf in batches:
+            vec = np.asarray(pdf["features"].tolist(), dtype=np.float32)
+            for t in range(n_tables):
+                m = vec @ pr[t].T  # float32 — same op as the index form
+                d = {"tbl": np.full(len(vec), t, dtype=np.int32)}
+                for j in range(r):
+                    d[f"p{j}"] = m[:, j].astype(np.float64)
+                yield pd.DataFrame(d)
+
+    med_rows = (
+        item_factors.mapInPandas(proj_rows, proj_schema)
+        .groupBy("tbl")
+        .agg(
+            *[
+                F.expr(f"percentile(p{j}, 0.5)").alias(f"m{j}")
+                for j in range(r)
+            ]
+        )
+        .collect()  # n_tables rows of r doubles — O(1), not O(catalog)
+    )
+    offs = np.zeros((n_tables, r), dtype=np.float32)
+    for row in med_rows:
+        for j in range(r):
+            offs[row["tbl"], j] = np.float32(-row[f"m{j}"])
+    offs_bc = spark.sparkContext.broadcast(offs)
+
+    # pass 2a: item code table — n_tables rows per item
+    def item_codes(batches):
+        pr, off = projs_bc.value, offs_bc.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            vec = np.asarray(pdf["features"].tolist(), dtype=np.float32)
+            for t in range(n_tables):
+                codes = ((vec @ pr[t].T + off[t]) >= 0) @ bits
+                yield pd.DataFrame(
+                    {
+                        "tbl": np.full(len(ids), t, dtype=np.int32),
+                        "code": codes.astype(np.int64),
+                        item_col: ids,
+                    }
+                )
+
+    icodes = item_factors.mapInPandas(
+        item_codes, f"tbl int, code long, {item_col} long"
+    )
+
+    # pass 2b: user probe table — n_tables·(n_flip+2) rows per user
+    def user_probes(batches):
+        pr, off = projs_bc.value, offs_bc.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            vec = np.asarray(pdf["features"].tolist(), dtype=np.float32)
+            for t in range(n_tables):
+                mu = vec @ pr[t].T + off[t]
+                cu = (mu >= 0) @ bits
+                flip_order = np.argsort(np.abs(mu), axis=1)[:, :n_flip]
+                probes = [cu] + [
+                    cu ^ (1 << flip_order[:, j]) for j in range(n_flip)
+                ]
+                if n_flip >= 2:
+                    probes.append(
+                        cu
+                        ^ (1 << flip_order[:, 0])
+                        ^ (1 << flip_order[:, 1])
+                    )
+                for p in probes:
+                    yield pd.DataFrame(
+                        {
+                            "tbl": np.full(len(ids), t, dtype=np.int32),
+                            "code": p.astype(np.int64),
+                            user_col: ids,
+                        }
+                    )
+
+    uprobes = user_factors.mapInPandas(
+        user_probes, f"tbl int, code long, {user_col} long"
+    )
+
+    # the one keyed shuffle: candidates = probe ⋈ code on (tbl, code).
+    # Both sides scale with the corpus → SHUFFLE_HASH, never broadcast
+    # (the engine-wide corpus-side rule). distinct() dedups a (user,
+    # item) pair found by several tables/probes before the rerank pays
+    # for it.
+    pairs = (
+        uprobes.join(icodes.hint("shuffle_hash"), ["tbl", "code"])
+        .select(user_col, item_col)
+        .distinct()
+    )
+    uf = user_factors.select(
+        F.col("id").alias(user_col), F.col("features").alias("_uvec")
+    )
+    itf = item_factors.select(
+        F.col("id").alias(item_col), F.col("features").alias("_ivec")
+    )
+    joined = pairs.join(uf.hint("shuffle_hash"), user_col).join(
+        itf.hint("shuffle_hash"), item_col
+    )
+
+    def dots(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.asarray(pdf["_uvec"].tolist(), dtype=np.float64)
+            v = np.asarray(pdf["_ivec"].tolist(), dtype=np.float64)
+            # float64 products of float32 factors are exact — matches
+            # the broadcast-index rerank bit-for-bit after the 6dp round
+            s = np.round(np.einsum("ij,ij->i", u, v), 6)
+            yield pd.DataFrame(
+                {
+                    user_col: pdf[user_col].to_numpy(np.int64),
+                    item_col: pdf[item_col].to_numpy(np.int64),
+                    "score": s,
+                }
+            )
+
+    scored = joined.mapInPandas(
+        dots, f"{user_col} long, {item_col} long, score double"
+    )
+    w = Window.partitionBy(user_col).orderBy(F.desc("score"), F.asc(item_col))
+    return (
+        scored.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= k)
+        .select(
+            user_col,
+            item_col,
+            F.col("rec_rank").cast("long").alias("rec_rank"),
+            "score",
+        )
+    )
 
 
 def evaluate_cooccur_recommender(

@@ -46,12 +46,11 @@ from review_engine_spark.plans import roster_mining  # noqa: E402,F401
 # Driver-facing ordering. The harness checks only the FIRST 50 oracle
 # entries in registration order, so the dicts are re-ordered to put the
 # highest-verification-value queries first:
-#   tier 1 — queries whose plan CHANGED this round (r7: the recsys
-#            family — q_als_recommend's scoring switched from MLlib's
-#            blocked U×I recommendForAllUsers to ANN over the item
-#            factors, and its neighbours share the ratings subtree);
-#   tier 2 — any oracle-bearing query never driver-green (r7: the
-#            queries newly declared this round, e.g. q_dau_mau_hll);
+#   tier 1 — queries whose plan CHANGED this round (r8: the stateful
+#            streaming family — the file-sink runner path gained
+#            idempotent update-mode writes and empty-output handling);
+#   tier 2 — any oracle-bearing query never driver-green (queries
+#            newly declared this round);
 #   tier 3 — driver-green queries by ASCENDING last-proven round: r1
 #            greens were proven against round-1 code, so re-proving the
 #            oldest first guards against silent drift. ~49 spare slots
@@ -59,48 +58,32 @@ from review_engine_spark.plans import roster_mining  # noqa: E402,F401
 #   tier 4 — rows-only queries (no oracle; bench covers execution).
 # ---------------------------------------------------------------------------
 
-#: Round-7 plan changes: q_implicit_ratings feeds the refactored ALS
-#: path (shared _fit_als), and q_pagerank's checkpoint cadence became
-#: scale-aware (0a1b66c) — re-prove both against the new code first.
-#: (q_als_recommend itself is rows-only — iterative MLlib — so it
-#: cannot occupy an oracle slot; its ratings input can.)
+#: Round-8 plan changes: the streaming runners' file-sink path gained
+#: idempotent update-mode writes + empty-output handling (ADVICE r7),
+#: so re-prove the oracle-bearing stateful-streaming queries against
+#: the new runner first. (q_als_recommend gained method="ann_join" but
+#: is rows-only — iterative MLlib — so it cannot occupy an oracle
+#: slot; its ratings input q_implicit_ratings was re-proven r7.)
 _TIER1_FIXED: list[str] = [
-    "q_implicit_ratings",
-    "q_pagerank",
-    "q_recsys_eval",
+    "q_stream_ewma",
+    "q_sessionize_state",
+    "q_stream_tumbling",
 ]
 
-#: name -> last round the driver proved it green (CORRECTNESS_r01..r06
-#: union: rows_match & schema_match & hash_match). 225 entries.
+#: name -> last round the driver proved it green (CORRECTNESS_r01..r07
+#: union: rows_match & schema_match & hash_match). 226 entries.
 _LAST_GREEN: dict[str, int] = {
-    # proven green in round 2 (31 queries)
-    "q_assign_ids": 2, "q_boilerplate": 2, "q_bucketed_join": 2,
-    "q_chunk_docs": 2, "q_contamination": 2, "q_cooccur_topk": 2,
-    "q_cosine_topk": 2, "q_domain_cap": 2, "q_dot": 2, "q_implicit_ratings": 2,
-    "q_incremental_dedup": 2, "q_kmeans": 2, "q_knn_batch": 2,
-    "q_knn_bruteforce": 2, "q_l2norm": 2, "q_mix_upsample": 2,
-    "q_mixture_apply": 2, "q_mixture_weights": 2, "q_pii_scrub": 2,
-    "q_quality_gate": 2, "q_quantize_embeddings": 2, "q_rank_blend": 2,
-    "q_rate_sample": 2, "q_recsys_eval": 2, "q_repetition_stats": 2,
-    "q_schema_evolution": 2, "q_semantic_dedup": 2, "q_sequence_pack": 2,
-    "q_span_dedup": 2, "q_top_tokens": 2, "q_train_split": 2,
-    # proven green in round 3 (46 queries)
-    "q_asof_cogroup": 3, "q_bayes_rating": 3, "q_bitmap_distinct": 3,
-    "q_char_entropy": 3, "q_corrupt_records": 3, "q_crosstab": 3,
-    "q_csv_roundtrip": 3, "q_except_all": 3, "q_full_outer": 3,
-    "q_gini_udaf": 3, "q_hard_negatives": 3, "q_intersect_all": 3,
-    "q_lang_id": 3, "q_lateral_topk": 3, "q_map_explode": 3,
-    "q_near_dup_embedding": 3, "q_negative_sample": 3, "q_ngram_jaccard": 3,
-    "q_null_safe_join": 3, "q_observe_metrics": 3, "q_orc_roundtrip": 3,
+    # proven green in round 3 (29 queries)
+    "q_asof_cogroup": 3, "q_bayes_rating": 3, "q_corrupt_records": 3,
+    "q_csv_roundtrip": 3, "q_gini_udaf": 3, "q_hard_negatives": 3,
+    "q_lang_id": 3, "q_near_dup_embedding": 3, "q_negative_sample": 3,
+    "q_ngram_jaccard": 3, "q_observe_metrics": 3, "q_orc_roundtrip": 3,
     "q_partitioned_prune": 3, "q_pmi_bigrams": 3, "q_popularity": 3,
     "q_price_fit": 3, "q_python_datasource": 3, "q_quality_score": 3,
-    "q_range_join": 3, "q_resample_ffill": 3, "q_sentence_udtf": 3,
-    "q_sessionize": 3, "q_sessionize_state": 3, "q_sink_roundtrip": 3,
-    "q_stratified_sample": 3, "q_stream_dedup": 3, "q_stream_sink_parquet": 3,
-    "q_stream_stream_join": 3, "q_stream_upsert": 3, "q_token_count_bpe": 3,
-    "q_try_arithmetic": 3, "q_unigram_logprob": 3, "q_unpivot": 3,
-    "q_upsert_latest": 3, "q_variant_json": 3, "q_window_range": 3,
-    "q_xml_extract": 3,
+    "q_sentence_udtf": 3, "q_sessionize": 3, "q_sessionize_state": 3,
+    "q_sink_roundtrip": 3, "q_stratified_sample": 3, "q_stream_dedup": 3,
+    "q_stream_sink_parquet": 3, "q_stream_stream_join": 3,
+    "q_stream_upsert": 3, "q_token_count_bpe": 3, "q_unigram_logprob": 3,
     # proven green in round 4 (49 queries)
     "q_abtest_ttest": 4, "q_anomaly_zscore": 4, "q_autocorr": 4,
     "q_benford": 4, "q_bloom_membership": 4, "q_bm25": 4,
@@ -133,7 +116,7 @@ _LAST_GREEN: dict[str, int] = {
     "q_stream_anomaly": 5, "q_stream_static_join": 5, "q_survival_km": 5,
     "q_theil_sen": 5, "q_time_weighted_avg": 5, "q_token_filter": 5,
     "q_winsorize": 5, "q_yoy_growth": 5,
-    # proven green in round 6 (50 queries)
+    # proven green in round 6 (49 queries)
     "q_approx_percentile": 6, "q_asof_join": 6, "q_cohort_retention": 6,
     "q_cube": 6, "q_data_profile": 6, "q_date_trunc": 6, "q_dedup_apply": 6,
     "q_dedup_clusters": 6, "q_dedup_exact": 6, "q_distinct_count": 6,
@@ -141,13 +124,31 @@ _LAST_GREEN: dict[str, int] = {
     "q_fuzzy_pairs": 6, "q_group_collect": 6, "q_group_count": 6,
     "q_group_percentiles": 6, "q_grouping_sets": 6, "q_histogram": 6,
     "q_intersect": 6, "q_join_anti": 6, "q_join_meta": 6, "q_json_extract": 6,
-    "q_mann_whitney": 6, "q_meanpool": 6, "q_pagerank": 6, "q_parse_budget": 6,
+    "q_mann_whitney": 6, "q_meanpool": 6, "q_parse_budget": 6,
     "q_percentile_norm": 6, "q_pivot": 6, "q_price_stats": 6, "q_ri_check": 6,
     "q_rollup": 6, "q_salted_collect": 6, "q_salted_join": 6, "q_semi_join": 6,
     "q_skew_profile": 6, "q_star_join": 6, "q_stats_agg": 6, "q_text_stats": 6,
     "q_tfidf": 6, "q_tokenize": 6, "q_topk_window": 6, "q_triangle_count": 6,
     "q_ts_window": 6, "q_union": 6, "q_window_analytics": 6, "q_window_lag": 6,
     "q_window_running": 6, "q_zorder_key": 6,
+    # proven green in round 7 (50 queries)
+    "q_assign_ids": 7, "q_bitmap_distinct": 7, "q_boilerplate": 7,
+    "q_bucketed_join": 7, "q_char_entropy": 7, "q_chunk_docs": 7,
+    "q_contamination": 7, "q_cooccur_topk": 7, "q_cosine_topk": 7,
+    "q_crosstab": 7, "q_dau_mau_hll": 7, "q_domain_cap": 7, "q_dot": 7,
+    "q_except_all": 7, "q_full_outer": 7, "q_implicit_ratings": 7,
+    "q_incremental_dedup": 7, "q_intersect_all": 7, "q_kmeans": 7,
+    "q_knn_batch": 7, "q_knn_bruteforce": 7, "q_l2norm": 7,
+    "q_lateral_topk": 7, "q_map_explode": 7, "q_mix_upsample": 7,
+    "q_mixture_apply": 7, "q_mixture_weights": 7, "q_null_safe_join": 7,
+    "q_pagerank": 7, "q_pii_scrub": 7, "q_quality_gate": 7,
+    "q_quantize_embeddings": 7, "q_range_join": 7, "q_rank_blend": 7,
+    "q_rate_sample": 7, "q_recsys_eval": 7, "q_repetition_stats": 7,
+    "q_resample_ffill": 7, "q_schema_evolution": 7, "q_semantic_dedup": 7,
+    "q_sequence_pack": 7, "q_span_dedup": 7, "q_top_tokens": 7,
+    "q_train_split": 7, "q_try_arithmetic": 7, "q_unpivot": 7,
+    "q_upsert_latest": 7, "q_variant_json": 7, "q_window_range": 7,
+    "q_xml_extract": 7,
 }
 
 # Backward-compat name used by tools/plan_audit.py and tests.

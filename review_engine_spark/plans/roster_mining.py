@@ -1425,6 +1425,17 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # via a bounded explode (28x the DISTINCT user-day table, not the fact
 # table), then one distinct count per report day. Ratios are exact
 # integer divisions in one shared expression.
+#
+# YARDSTICK-ONLY AT STRESS SCALE: the exact rolling form measured 23.6x
+# at the 100x stress input (SCALING.md round-7 chunk — the 28x contrib
+# explode plus a per-report-day distinct over ~a month of users cannot
+# partial-aggregate). The shippable 100 TB path is q_dau_mau_hll
+# (roster_retrieval.py): per-day HLL register sketches compressed once,
+# rolled up with a calendar-bounded max — its MAU estimate is pinned
+# within the 3-sigma band of THIS query's exact MAU in
+# tests/test_operators.py. Same exact/approx split as q_als_recommend's
+# method="exact" vs "ann": keep the exact form as the yardstick, ship
+# the sketch.
 # ---------------------------------------------------------------------------
 @declared(
     oracle="""

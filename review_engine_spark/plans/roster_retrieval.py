@@ -950,7 +950,7 @@ def q_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as q_hll_md5 (exact-BIGINT scaled harmonic sums, linear counting on
 # the same literal text), so the estimate is engine-portable and the
 # oracle checks it value-exact. DAU stays exact (single narrow
-# group-by); the error-vs-exact pin lives in tests/test_roster_ext.py
+# group-by); the error-vs-exact pin lives in tests/test_operators.py
 # (sketch MAU within HLL's 3-sigma band of q_dau_mau's exact MAU).
 # ---------------------------------------------------------------------------
 @declared(

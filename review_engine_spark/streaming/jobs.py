@@ -74,15 +74,24 @@ def _snapshot(
       driver collect. ``append``-mode queries land in a parquet
       ``FileStreamSink`` (exactly-once via its ``_spark_metadata``
       transaction log); ``update``/``complete`` queries run through
-      ``foreachBatch`` parquet writes (update appends each batch's
-      emitted rows — the same row multiset the memory sink accumulates;
-      complete overwrites, so the directory holds the final snapshot —
-      what a complete-mode memory sink shows). The return value is the
-      directory read back through the DISTRIBUTED batch reader — no
-      row ever crosses the driver. Parity between both paths is pinned
-      per output mode in tests/test_streaming_sinks.py.
+      ``foreachBatch`` parquet writes. ``foreachBatch`` is only
+      at-least-once, so each landing is made IDEMPOTENT by batch id:
+      update mode overwrites ``out_dir/batch-<id>`` (a retried batch
+      replaces its own subdirectory instead of double-appending — the
+      union of subdirs is then exactly the row multiset the memory sink
+      accumulates), complete mode overwrites the whole directory (last
+      write is the final snapshot). The return value is the directory
+      read back through the DISTRIBUTED batch reader — no row ever
+      crosses the driver; the temp directory is registered for cleanup
+      at interpreter exit (the lazy DataFrame must outlive this call).
+      A runner whose stream emits zero rows returns an empty DataFrame
+      with the stream's schema (the foreachBatch modes write no files
+      to infer from). Parity between both paths is pinned per output
+      mode in tests/test_streaming_sinks.py.
     """
+    import atexit
     import os
+    import shutil
 
     use_files = (
         os.environ.get("SPARK_GRAFT_STREAM_SINK", "memory") == "files"
@@ -104,6 +113,7 @@ def _snapshot(
             # (collect->python rows is 10x slower at 100k rows)
             return spark.createDataFrame(out.toPandas(), out.schema)
         out_dir = tempfile.mkdtemp(prefix=f"{name}_sink_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
         if mode == "append":
             q = (
                 stream_df.writeStream.outputMode("append")
@@ -112,11 +122,26 @@ def _snapshot(
                 .option("checkpointLocation", ckpt)
                 .start()
             )
-        else:
-            write_mode = "overwrite" if mode == "complete" else "append"
+        elif mode == "complete":
 
             def land(batch_df: DataFrame, batch_id: int) -> None:
-                batch_df.write.mode(write_mode).parquet(out_dir)
+                batch_df.write.mode("overwrite").parquet(out_dir)
+
+            q = (
+                stream_df.writeStream.outputMode(mode)
+                .foreachBatch(land)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+        else:
+            # update mode: one subdirectory per batch id ("batch-<id>",
+            # deliberately NOT key=value so partition discovery never
+            # injects a batch column into the schema); overwrite makes a
+            # retried batch replace rather than double-append.
+            def land(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode("overwrite").parquet(
+                    f"{out_dir}/batch-{batch_id}"
+                )
 
             q = (
                 stream_df.writeStream.outputMode(mode)
@@ -127,6 +152,16 @@ def _snapshot(
         q.processAllAvailable()
         q.stop()
         q.awaitTermination(30)
+        has_files = any(
+            f.endswith(".parquet")
+            for root, _dirs, files in os.walk(out_dir)
+            if "_spark_metadata" not in root
+            for f in files
+        )
+        if not has_files:
+            return spark.createDataFrame([], stream_df.schema)
+        if mode == "update":
+            return spark.read.parquet(f"{out_dir}/batch-*")
         return spark.read.parquet(out_dir)
 
 
@@ -434,8 +469,13 @@ def run_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination(30)
     out = spark.read.parquet(out_dir)
-    # snapshot: the temp dir outlives this call only until process exit
-    return spark.createDataFrame(out.toPandas(), out.schema)
+    # materialize the snapshot through Arrow, then delete the temp dir
+    # (the returned DataFrame no longer references the files)
+    snap = spark.createDataFrame(out.toPandas(), out.schema)
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return snap
 
 
 def run_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,7 +558,12 @@ def run_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
     out = spark.read.parquet(f"{target_dir}/v={state['version']}")
-    return spark.createDataFrame(out.toPandas(), out.schema)
+    snap = spark.createDataFrame(out.toPandas(), out.schema)
+    import shutil
+
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(target_dir, ignore_errors=True)
+    return snap
 
 
 def run_ewma_stateful(

@@ -115,6 +115,59 @@ def test_als_ann_recall_against_exact(spark, sf_dir):
     assert hits / total >= 0.8, f"ANN recall@5 {hits / total:.3f} < 0.8"
 
 
+def test_als_ann_join_matches_broadcast_index(spark, sf_dir):
+    """method='ann_join' (distributed code-table equi-join — the
+    past-broadcast-budget escalation) runs the identical SRP algebra as
+    method='ann' (driver-built broadcast index), so at matched
+    parameters it must surface the identical ranked top-k per user."""
+    from review_engine_spark.sources.io import read_parquet_table
+
+    ratings = implicit_ratings(
+        read_parquet_table(spark, sf_dir, "orders"),
+        read_parquet_table(spark, sf_dir, "lineitem"),
+    )
+    ann = {
+        (r["user_id"], r["rec_rank"]): (r["item_id"], r["score"])
+        for r in als_recommend(ratings, k=5, method="ann").collect()
+    }
+    joined = {
+        (r["user_id"], r["rec_rank"]): (r["item_id"], r["score"])
+        for r in als_recommend(ratings, k=5, method="ann_join").collect()
+    }
+    assert ann == joined
+
+
+def test_als_method_validated_before_fit(spark):
+    """A typo'd method must raise at entry, not after the ALS fit — an
+    empty ratings frame would make the fit itself explode first if
+    validation ran late."""
+    import pytest
+
+    empty = spark.createDataFrame(
+        [], "user_id long, item_id long, rating double"
+    )
+    with pytest.raises(ValueError, match="method must be"):
+        als_recommend(empty, method="approx")
+
+
+def test_als_ann_budget_gate_names_fallback(spark, sf_dir, monkeypatch):
+    """Past the broadcast budget, method='ann' must refuse and point at
+    method='ann_join' instead of silently materializing the catalog on
+    the driver."""
+    import pytest
+
+    import review_engine_spark.operators.recommend as rec
+    from review_engine_spark.sources.io import read_parquet_table
+
+    ratings = implicit_ratings(
+        read_parquet_table(spark, sf_dir, "orders"),
+        read_parquet_table(spark, sf_dir, "lineitem"),
+    )
+    monkeypatch.setattr(rec, "ANN_BROADCAST_MAX_ITEMS", 1)
+    with pytest.raises(ValueError, match="ann_join"):
+        als_recommend(ratings, k=5, max_iter=1, method="ann")
+
+
 def test_eval_no_test_leakage(spark):
     """An item pair that co-occurs ONLY in held-out orders must never be
     recommended — the recommender trains strictly on training baskets."""

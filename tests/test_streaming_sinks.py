@@ -36,3 +36,18 @@ def test_file_sink_matches_memory_sink(spark, sf_dir, runner, monkeypatch):
     via_files = _rows(runner(spark, sf_dir))
     assert via_files == via_memory
     assert len(via_memory) > 0
+
+
+def test_file_sink_empty_stream_returns_schema(spark, sf_dir, monkeypatch):
+    """A files-mode runner whose stream emits ZERO rows must return an
+    empty DataFrame with the stream's schema instead of failing on
+    'unable to infer schema' from an empty directory (ADVICE r7)."""
+    from pyspark.sql import functions as F
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SINK", "files")
+    stream = jobs._events_stream(spark, sf_dir).filter(F.lit(False)).select(
+        "user_id", "event_type"
+    )
+    out = jobs._snapshot(spark, stream, "append", "empty_sink_test")
+    assert out.columns == ["user_id", "event_type"]
+    assert out.count() == 0

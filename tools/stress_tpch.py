@@ -182,7 +182,17 @@ def main() -> int:
     reuse = os.environ.get("STRESS_DIR")
     if reuse and Path(reuse, "lineitem.parquet").exists():
         marker = Path(reuse, "SALT_VERSION")
-        have = marker.read_text().strip() if marker.exists() else "v1"
+        if not marker.exists():
+            # No SALT_VERSION marker means THIS TOOL did not build the
+            # directory — a user-supplied path holding a lineitem.parquet
+            # could be a real dataset, so never rmtree it (ADVICE r7).
+            raise SystemExit(
+                f"STRESS_DIR {reuse} contains lineitem.parquet but no "
+                "SALT_VERSION marker, so it was not built by this tool; "
+                "refusing to delete it — clear the directory manually or "
+                "point STRESS_DIR elsewhere"
+            )
+        have = marker.read_text().strip()
         if have == SALT_VERSION:
             print(f"# reusing replica {reuse} (K must match its build)")
             return _run(spark, k, wanted, reuse)
