@@ -44,9 +44,15 @@ def _state_partitions(spark: SparkSession, n: int):
     to spread peak state across executors, no more (each adds store
     init, snapshot, and commit overhead per micro-batch; measured 4x on
     the finite fixture runs: 32 -> 8 partitions cut the stream-stream
-    join from 9.8 s to 2.5 s). These finite-source runners use a small
-    fixed count; a production job sizes it to peak keyed-state volume.
+    join from 9.8 s to 2.5 s). These finite-source runners default to a
+    small fixed count; a production job sizes it to peak keyed-state
+    volume — ``SPARK_GRAFT_STATE_PARTITIONS`` overrides for exactly
+    that reason (the 100× stress runs need the fold parallelism the
+    fixture-sized default caps at 8; see SCALING.md round-8 chunk).
     """
+    import os
+
+    n = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", n))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
