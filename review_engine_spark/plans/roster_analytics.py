@@ -48,13 +48,20 @@ from review_engine_spark.sources.io import read_parquet_table
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(list_reduce(list(value ORDER BY ts, event_id),
-                             (acc, x) -> 0.1 * x + 0.9 * acc), 6) AS ewma
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> 0.1 * x + 0.9 * acc) AS ewma
     FROM events
     GROUP BY user_id
     """
 )
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The fold is the IDENTICAL IEEE op sequence on both engines, so the
+    # raw double is bit-exact — emit it unrounded. round() here is pure
+    # risk: the round-8 second-seed sf0.1 sweep caught Spark (half-up on
+    # the shortest decimal repr) and DuckDB (multiply-by-1e6-then-round,
+    # which can cross the .5 boundary the decimal repr doesn't) splitting
+    # on 35.459430499999996 -> .459430 vs .459431. Raw doubles carry no
+    # such boundary (NOTES round-4: derived scalars stay RAW).
     ev = read_parquet_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
@@ -69,7 +76,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.round(ewma, 6).alias("ewma"),
+        ewma.alias("ewma"),
     )
 
 
@@ -87,9 +94,9 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT e.user_id,
-           round(list_reduce(list_prepend(
-                     0.0, list(e.value - k.k ORDER BY e.ts, e.event_id)),
-                 (acc, x) -> greatest(0.0, acc + x)), 4) AS cusum
+           list_reduce(list_prepend(
+                   0.0, list(e.value - k.k ORDER BY e.ts, e.event_id)),
+               (acc, x) -> greatest(0.0, acc + x)) AS cusum
     FROM events e CROSS JOIN k
     GROUP BY e.user_id, k.k
     """
@@ -114,7 +121,10 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(k))
         .select("user_id", "ts", "event_id", (F.col("value") - F.col("k")).alias("dev"))
         .groupBy("user_id")
-        .agg(F.round(cusum, 4).alias("cusum"))
+        # raw double, not round(,4): the fold is the identical IEEE op
+        # sequence on both engines (bit-exact), and round() itself is the
+        # cross-engine hazard (the q_ewma seed-2 sf0.1 catch, round 8)
+        .agg(cusum.alias("cusum"))
     )
 
 
@@ -411,13 +421,17 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(list_reduce(list(value ORDER BY ts, event_id),
-                             (acc, x) -> 0.1 * x + 0.9 * acc), 6) AS ewma
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> 0.1 * x + 0.9 * acc) AS ewma
     FROM events
     GROUP BY user_id
     """
 )
 def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Raw (unrounded) ewma, same rationale as q_ewma: the stateful fold
+    # replays the identical op sequence, so the double is bit-exact and
+    # rounding only ADDS a cross-engine boundary (caught by the round-8
+    # second-seed sf0.1 sweep).
     from review_engine_spark.streaming.jobs import run_ewma_stateful
 
     raw = run_ewma_stateful(spark, sf_dir, alpha=0.1)
@@ -425,7 +439,7 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         raw.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
+        .select("user_id", "n_events", "ewma")
     )
 
 

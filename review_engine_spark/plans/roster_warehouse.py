@@ -691,7 +691,7 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM fac
     )
     SELECT t_days, deaths, at_risk,
-           round(list_reduce(fs, (a, b) -> a * b), 6) AS survival
+           list_reduce(fs, (a, b) -> a * b) AS survival
     FROM pre
     """
 )
@@ -751,9 +751,11 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("fs"), 1),
         lambda a, b: a * b,
     )
-    return pre.select(
-        "t_days", "deaths", "at_risk", F.round(surv, 6).alias("survival")
-    )
+    # raw double, not round(,6): the factor product folds the identical
+    # IEEE op sequence on both engines (factors are exact divisions of
+    # exact ints), and round() itself is the cross-engine hazard — the
+    # q_ewma second-seed sf0.1 catch (round 8, NOTES.md)
+    return pre.select("t_days", "deaths", "at_risk", surv.alias("survival"))
 
 
 # ---------------------------------------------------------------------------
