@@ -167,7 +167,15 @@ def _snapshot(
         if not has_files:
             return spark.createDataFrame([], stream_df.schema)
         if mode == "update":
-            return spark.read.parquet(f"{out_dir}/batch-*")
+            # pass the batch dirs explicitly: a glob path works but makes
+            # FileStreamSink.hasMetadata stat the literal glob string and
+            # log a FileNotFoundException fallback on every read
+            batch_dirs = sorted(
+                os.path.join(out_dir, d)
+                for d in os.listdir(out_dir)
+                if d.startswith("batch-")
+            )
+            return spark.read.parquet(*batch_dirs)
         return spark.read.parquet(out_dir)
 
 
