@@ -596,6 +596,83 @@ def q_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming ingest-time NEAR-dup detection — MinHash-LSH banding under
+# cross-batch GroupState (streaming × dedup, the 100 TB/day pipeline
+# shape). md5 signature algebra token-for-token with q_minhash_jaccard
+# (roster_retrieval) so the WHOLE chain — shingles, min-hash, banding,
+# first-occupant bucket semantics — is oracle-checked, not rows-only.
+# "Earlier" = smaller doc_id on both sides (ingestion order is doc_id
+# order by construction of the chunked source).
+# ---------------------------------------------------------------------------
+
+_ND_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+_ND_SHINGLES_SQL = (
+    "list_transform(range(0, len(toks) - 2), "
+    "i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])"
+)
+_ND_SIGS_SQL = ",\n               ".join(
+    f"list_min(list_transform(sh, x -> md5('{s}|' || x))) AS sig{s}"
+    for s in range(8)
+)
+_ND_BANDS_SQL = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"md5(sig{2 * b} || '|' || sig{2 * b + 1}) AS bh FROM sig"
+    for b in range(4)
+)
+
+
+@declared(
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_ND_TOKS_SQL} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, {_ND_SHINGLES_SQL} AS sh
+        FROM t WHERE len(toks) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_ND_SIGS_SQL}
+        FROM sh
+    ),
+    bands AS (
+        {_ND_BANDS_SQL}
+    ),
+    hits AS (
+        SELECT doc_id,
+               CASE WHEN min(doc_id) OVER (PARTITION BY band_idx, bh)
+                         < doc_id
+                    THEN 1 ELSE 0 END AS hit
+        FROM bands
+    )
+    SELECT doc_id,
+           CAST(sum(hit) AS BIGINT) AS n_dup_bands,
+           CAST(max(hit) AS BIGINT) AS is_dup
+    FROM hits GROUP BY doc_id
+    """
+)
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup flags (streaming/jobs.py
+    run_stream_near_dup): per-bucket GroupState holds the smallest
+    doc_id ever ingested; a doc is flagged on a band iff an earlier doc
+    already occupies its (band_idx, band_hash) bucket. The oracle
+    replays the identical md5 banding in SQL with the first-occupant
+    rule as a window min — per-doc hit counts match exactly because
+    both sides define "earlier" as smaller doc_id. Cross-batch state
+    carry is pinned in tests/test_streaming.py (dup pair split across
+    micro-batches)."""
+    from review_engine_spark.streaming.jobs import run_stream_near_dup
+
+    flags = run_stream_near_dup(spark, sf_dir)
+    return flags.groupBy("doc_id").agg(
+        F.sum("hit").cast("long").alias("n_dup_bands"),
+        F.max("hit").cast("long").alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.J inference surface (rows-only, deterministic stubs)
 # ---------------------------------------------------------------------------
 

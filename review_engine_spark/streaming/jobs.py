@@ -29,6 +29,7 @@ __all__ = [
     "run_stream_stream_join",
     "run_stream_to_parquet",
     "run_stream_upsert",
+    "run_stream_near_dup",
 ]
 
 from contextlib import contextmanager
@@ -63,7 +64,11 @@ def _state_partitions(spark: SparkSession, n: int):
 
 
 def _snapshot(
-    spark: SparkSession, stream_df: DataFrame, mode: str, name: str
+    spark: SparkSession,
+    stream_df: DataFrame,
+    mode: str,
+    name: str,
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drive a finite streaming DataFrame to completion and return the
     result snapshot as a batch DataFrame.
@@ -102,7 +107,7 @@ def _snapshot(
     use_files = (
         os.environ.get("SPARK_GRAFT_STREAM_SINK", "memory") == "files"
     )
-    with _state_partitions(spark, 8), tempfile.TemporaryDirectory() as ckpt:
+    with _state_partitions(spark, state_partitions), tempfile.TemporaryDirectory() as ckpt:
         if not use_files:
             q = (
                 stream_df.writeStream.outputMode(mode)
@@ -707,6 +712,176 @@ def run_zscore_stateful(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
     return _snapshot(spark, anomalies, "append", "zscore_stateful_out")
+
+
+def run_stream_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 1,
+    n_seeds: int = 8,
+    band_width: int = 2,
+) -> DataFrame:
+    """Streaming ingest-time NEAR-duplicate detection — MinHash-LSH
+    banding under real cross-batch ``GroupState`` (SURVEY §2.I × the
+    dedup family): the 100 TB/day training-pipeline shape, where a new
+    document must be flagged against everything already ingested
+    without ever joining the corpus to itself.
+
+    Pipeline, all inside the stream: tokenize → word 3-shingles →
+    ``n_seeds`` md5 min-hash signatures (the exact md5 algebra of
+    ``q_minhash_jaccard``, bit-identical in DuckDB) → ``n_seeds /
+    band_width`` band hashes → explode to (band_idx, band_hash, doc_id)
+    → ``applyInPandasWithState`` keyed by (band_idx, band_hash). State
+    per bucket is ONE long (the smallest doc_id ever seen), however
+    long the stream runs; an arriving doc is flagged on a band iff an
+    earlier doc already occupies its bucket. Docs with <3 tokens have
+    no shingles and are dropped, mirroring the batch twin.
+
+    With ``n_chunks > 1`` the documents fixture is split into
+    doc_id-RANGE files and streamed with ``maxFilesPerTrigger=1``, so
+    bucket state genuinely carries across micro-batches (a dup pair
+    split across chunks is caught by batch 2 reading batch 1's state —
+    pinned in tests/test_streaming.py). The default streams the fixture
+    directly (single micro-batch — the same finite-source convention as
+    run_sessionize_stateful, whose cross-batch proof also lives in the
+    pytest, keeping the oracle-gate/bench cost at the fixed-overhead
+    floor). Same in-order-arrival horizon as run_sessionize_stateful:
+    ingestion order IS doc_id order (within a batch, ties fold by
+    doc_id sort).
+
+    Scale: the only shuffle keys band rows by (band_idx, band_hash) —
+    bucket count grows with the corpus, so no bucket ever concentrates;
+    state is one long per occupied bucket; per-doc work is O(bands).
+    No corpus self-join exists anywhere in the plan.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from review_engine_spark.sources.io import read_parquet_table
+
+    n_bands = n_seeds // band_width
+    src_dir = None
+    if n_chunks > 1:
+        docs = read_parquet_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        src_dir = tempfile.mkdtemp(prefix="neardup_src_")
+        step = (hi + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            docs.filter(
+                (F.col("doc_id") >= i * step)
+                & (F.col("doc_id") < (i + 1) * step)
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{src_dir}/chunk={i}"
+            )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/chunk=*")
+        )
+    else:
+        import os
+
+        table_dir = os.path.join(sf_dir, "documents.parquet")
+        if os.path.isdir(table_dir):
+            src_path, glob_opt = table_dir, None
+        else:
+            src_path, glob_opt = sf_dir, "documents.parquet"
+        schema = "doc_id long, text string"
+        reader = spark.readStream.schema(schema).format("parquet")
+        if glob_opt:
+            reader = reader.option("pathGlobFilter", glob_opt)
+        stream = reader.load(src_path)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+            F.element_at(F.col("toks"), i + 3),
+        ),
+    )
+
+    def _seed_hash(seed: int):
+        # closure factory: a two-param lambda would bind the element
+        # INDEX to the second arg (F.transform contract)
+        def h(x):
+            return F.md5(F.concat(F.lit(f"{seed}|"), x))
+
+        return h
+
+    sigs = (
+        stream.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            *[
+                F.array_min(F.transform(sh, _seed_hash(s))).alias(f"sig{s}")
+                for s in range(n_seeds)
+            ],
+        )
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"sig{b * band_width + j}")
+                        for j in range(band_width)
+                    ],
+                )
+            ).alias("bh"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.bh").alias("bh"))
+
+    def fn(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        cur = state.get[0] if state.exists else None
+        ids, hits = [], []
+        for did in rows["doc_id"]:
+            did = int(did)
+            ids.append(did)
+            hits.append(1 if (cur is not None and cur < did) else 0)
+            if cur is None or did < cur:
+                cur = did
+        state.update((cur,))
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "band_idx": [key[0]] * len(ids),
+                "hit": hits,
+            }
+        )
+
+    flags = bands.groupBy("band_idx", "bh").applyInPandasWithState(
+        fn,
+        "doc_id long, band_idx int, hit int",
+        "min_id long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    # state partitions sized UP for this op: its key count is
+    # corpus-scaled (docs × bands — ~20k mostly-singleton buckets at
+    # sf0.1, vs ~150 users for the events runners), so the per-key fn
+    # cost dominates and parallelism wins (measured 16.5 → 5.6 s at
+    # sf0.1 going 8 → 32)
+    out = _snapshot(
+        spark, flags, "update", "stream_near_dup_out", state_partitions=32
+    )
+    if src_dir is not None:
+        import shutil
+
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return out
 
 
 def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:

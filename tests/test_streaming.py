@@ -29,3 +29,22 @@ def test_stream_upsert_equals_batch_latest(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_near_dup_cross_batch_state(spark, sf_dir):
+    """The LSH bucket state must carry across micro-batches: the
+    chunked run (3 doc_id-range files, maxFilesPerTrigger=1) must flag
+    exactly the same per-doc band hits as the single-batch run — a dup
+    pair split across chunks is caught only if batch 2 reads batch 1's
+    bucket state."""
+    from review_engine_spark.streaming.jobs import run_stream_near_dup
+
+    def agg(df):
+        return {
+            (r["doc_id"], r["band_idx"]): r["hit"] for r in df.collect()
+        }
+
+    one_batch = agg(run_stream_near_dup(spark, sf_dir, n_chunks=1))
+    chunked = agg(run_stream_near_dup(spark, sf_dir, n_chunks=3))
+    assert one_batch == chunked
+    assert sum(one_batch.values()) > 0  # the check must not be vacuous
