@@ -488,8 +488,10 @@ def _ann_topk_join(
        (n_tables·(n_flip+2) rows per user);
     3. SHUFFLE_HASH equi-join on (table, code) — both sides are
        corpus-scaled, so broadcast is structurally excluded — then
-       (user, item) dedup, factor re-join, exact float32 dot rerank in
-       Arrow batches, per-user top-k window.
+       (user, item) dedup, factor re-join, exact float64 dot rerank in
+       Arrow batches (float32 products are exact in float64, so the
+       6dp-rounded score matches the broadcast form bit-for-bit),
+       per-user top-k window.
 
     Cost shape: the join moves O(users · tables · probes · bucket)
     candidate rows through one shuffle — the price of removing the
