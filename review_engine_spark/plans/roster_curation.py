@@ -594,3 +594,147 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training — the first K merge rules of byte-pair encoding
+# induced from the corpus vocabulary, the tokenizer-training primitive
+# of every LLM data pipeline. Each round: count adjacent symbol pairs
+# weighted by word frequency, take the argmax (ties: freq DESC, then
+# lexicographic pair — fully deterministic on exact integer counts),
+# and apply the merge greedily left-to-right inside every word via an
+# explicit list-accumulator fold (Spark F.aggregate ≡ DuckDB
+# list_reduce over single-element lists — the same bit-identical fold
+# doctrine as the EWMA family, here over strings so there is no float
+# surface at all). No end-of-word marker (a documented variant choice;
+# both sides agree).
+#
+# Scale shape: every round aggregates the VOCABULARY (corpus-bounded,
+# grows sub-linearly), never the corpus; the token→count table is one
+# map-side-combined aggregate of the token stream; K driver-coordinated
+# rounds each collect ONE row (the argmax) — the k-means/centroid
+# pattern, not a data collect.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+_BPE_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+def _bpe_oracle(k: int) -> str:
+    """Unrolled-CTE replay of the K BPE rounds: per round a pair-count
+    CTE, a 1-row argmax CTE, and a merged-vocabulary CTE whose
+    list_reduce fold references the argmax row through a CROSS JOIN."""
+    parts = [
+        f"""words AS (
+        SELECT tok AS token, CAST(count(*) AS BIGINT) AS wc
+        FROM (SELECT unnest({_BPE_TOKS_SQL}) AS tok FROM documents)
+        GROUP BY tok
+    )""",
+        """r0 AS (
+        SELECT wc,
+               list_transform(range(1, len(token) + 1), i -> token[i]) AS syms
+        FROM words
+    )""",
+    ]
+    for r in range(1, k + 1):
+        parts.append(f"""p{r} AS (
+        SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(wc) AS BIGINT) AS f
+        FROM r{r - 1}, UNNEST(range(1, len(syms))) AS t(i)
+        GROUP BY 1, 2
+    )""")
+        parts.append(f"""b{r} AS (
+        SELECT a, b, f FROM p{r} ORDER BY f DESC, a, b LIMIT 1
+    )""")
+        if r < k:
+            parts.append(f"""r{r} AS (
+        SELECT wc,
+               list_reduce(
+                   list_prepend([syms[1]], list_transform(syms[2:], s -> [s])),
+                   (acc, x) -> CASE WHEN acc[-1] = b{r}.a AND x[1] = b{r}.b
+                                    THEN acc[:len(acc) - 1]
+                                         || [acc[-1] || x[1]]
+                                    ELSE acc || x END) AS syms
+        FROM r{r - 1} CROSS JOIN b{r}
+    )""")
+    final = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS pair_left, "
+        f"b AS pair_right, f AS freq FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
+
+
+@declared(oracle=_bpe_oracle(_BPE_ROUNDS))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First K=6 BPE merge rules over the documents vocabulary.
+
+    Driver-coordinated rounds (the k-means pattern): each round one
+    distributed pair-count aggregate over the vocabulary + a 1-row
+    argmax collect, then the merge applied inside every word by an
+    F.aggregate list fold (greedy leftmost — 'aaa' under (a,a) gives
+    ['aa','a'], pinned identical to the oracle's list_reduce). All
+    counts are exact BIGINTs; ties break (freq DESC, a, b) on both
+    engines, so the induced merge sequence is deterministic."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    words = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("wc"))
+    )
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("token")),
+        lambda i: F.col("token").substr(i, F.lit(1)),
+    )
+    cur = words.select("wc", syms.alias("syms"))
+
+    def pair_tail(col):
+        return F.slice(col, 2, F.greatest(F.size(col) - 1, F.lit(0)))
+
+    def apply_merge(a: str, b: str):
+        def lam(acc, x):
+            return F.when(
+                (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), x)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return lam
+
+    merges = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        pairs = cur.select(
+            "wc",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+                    pair_tail(F.col("syms")),
+                )
+            ).alias("p"),
+        ).select("wc", F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("wc").cast("long").alias("f"))
+            .orderBy(F.desc("f"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()[0]  # 1-row argmax — driver-coordinated round
+        )
+        merges.append((rank, best["a"], best["b"], best["f"]))
+        if rank < _BPE_ROUNDS:
+            cur = cur.select(
+                "wc",
+                F.aggregate(
+                    pair_tail(F.col("syms")),
+                    F.array(F.element_at(F.col("syms"), 1)),
+                    apply_merge(best["a"], best["b"]),
+                ).alias("syms"),
+            )
+    return spark.createDataFrame(
+        merges, "merge_rank long, pair_left string, pair_right string, freq long"
+    )

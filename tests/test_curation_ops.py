@@ -254,3 +254,55 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis always in container
     pass
+
+
+def test_bpe_merge_fold_greedy_leftmost(spark):
+    """The merge-application fold must be greedy leftmost: 'aaa' under
+    merge (a,a) becomes ['aa','a'] (never ['a','aa']), single- and
+    two-symbol words hit the empty-slice edge — identical semantics to
+    the oracle's list_reduce (probed in DuckDB; pinned here for Spark)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("aaabaa",), ("a",), ("aa",)], "token string")
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("token")),
+        lambda i: F.col("token").substr(i, F.lit(1)),
+    )
+
+    def lam(acc, x):
+        return F.when(
+            (F.element_at(acc, -1) == F.lit("a")) & (x == F.lit("a")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    out = {
+        r["token"]: r["m"]
+        for r in df.select(
+            "token",
+            F.aggregate(
+                F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+                F.array(F.element_at(syms, 1)),
+                lam,
+            ).alias("m"),
+        ).collect()
+    }
+    assert out == {
+        "aaabaa": ["aa", "a", "b", "aa"],
+        "a": ["a"],
+        "aa": ["aa"],
+    }
+
+
+def test_bpe_merges_deterministic_and_ranked(spark, sf_dir):
+    """Six rounds, ranks 1..6, exact integer freqs, and re-running gives
+    the identical merge table (the argmax tie-break is total)."""
+    from review_engine_spark.plans.roster_curation import q_bpe_merges
+
+    rows1 = sorted(tuple(r) for r in q_bpe_merges(spark, sf_dir).collect())
+    rows2 = sorted(tuple(r) for r in q_bpe_merges(spark, sf_dir).collect())
+    assert rows1 == rows2
+    assert [r[0] for r in rows1] == [1, 2, 3, 4, 5, 6]
+    assert all(r[3] > 0 for r in rows1)
