@@ -120,14 +120,21 @@ def main() -> int:
     # each and replace their sweep numbers with the MEDIAN, which solo
     # re-measures reproduce within ~5%. The sweep stays the headline for
     # the other ~230 queries (their costs are too small for the noise to
-    # matter cross-round).
-    top_tier = [
-        n
-        for n, _ in sorted(
-            timings.items(), key=lambda kv: kv[1], reverse=True
-        )[:15]
-        if n not in failed
-    ]
+    # matter cross-round). Full sweeps only: a targeted `--queries x`
+    # invocation is a quick spot-check, and tripling its runtime to
+    # compute a median the sidecar (also full-sweep-gated) never
+    # records would be pure waste.
+    top_tier = (
+        [
+            n
+            for n, _ in sorted(
+                timings.items(), key=lambda kv: kv[1], reverse=True
+            )[:15]
+            if n not in failed
+        ]
+        if not args.queries
+        else []
+    )
     median3: dict[str, float] = {}
     for name in top_tier:
         runs: list[float] = []

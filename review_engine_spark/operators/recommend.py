@@ -474,15 +474,29 @@ def _ann_topk_join(
     Gaussian projections, same ``r = ceil(log2(|I|/target_bucket))``
     data-sized code width, same median-balanced bits, same
     query-directed multi-probe flips, same exact-dot rerank and
-    (-score, item_id) tie-break — so at matched parameters it surfaces
-    the same top-k (pinned in tests/test_recommend.py). Only the
-    EXECUTION differs: nothing is ever collected to the driver.
+    (-score, item_id) tie-break. The ONE deliberate divergence is the
+    median estimator: the broadcast form takes ``np.median`` over the
+    driver copy; this form uses ``percentile_approx(…, 0.5, 1e5)`` —
+    a bounded-memory rank sketch (relative rank error ≤ 1e-5) instead
+    of Spark's exact ``percentile``, whose aggregation buffer holds
+    every distinct projection value per group and would OOM at exactly
+    the past-broadcast-budget catalog sizes this path exists for.
+    A sketched median only shifts SRP bucket boundaries — items whose
+    projection sits within the rank-error band of the true median may
+    land in the adjacent half-space — and the exact-dot rerank keeps
+    every surfaced score correct, so the tradeoff is RECALL-ONLY
+    (pinned as candidate-level parity + exact score agreement in
+    tests/test_recommend.py, not exact top-k equality: the estimators
+    also differ by design on even counts, where ``np.median``
+    interpolates a float32 midpoint and the sketch returns a member
+    value). Nothing is ever collected to the driver.
 
     Plan (three Arrow passes + one keyed shuffle):
 
-    1. exact per-(table, bit) projection medians via a distributed
-       ``percentile(…, 0.5)`` aggregate over the item projections —
-       2 float64 scans of the catalog, no driver materialization;
+    1. per-(table, bit) projection medians via a distributed
+       ``percentile_approx(…, 0.5)`` aggregate over the item
+       projections — 2 scans of the catalog, bounded sketch memory,
+       no driver materialization;
     2. item side hashed to (table, code, item_id) rows (n_tables rows
        per item), user side to (table, probe_code, user_id) rows
        (n_tables·(n_flip+2) rows per user);
@@ -510,10 +524,15 @@ def _ann_topk_join(
     projs = rng.standard_normal((n_tables, r, dim)).astype(np.float32)
     projs_bc = spark.sparkContext.broadcast(projs)
 
-    # pass 1: exact medians of each (table, bit) projection over the
-    # catalog, computed distributed (the broadcast form uses np.median
-    # on the driver copy; percentile(,0.5) is the same sort-based exact
-    # median, interpolating midpoints identically up to float32 ulps)
+    # pass 1: per-(table, bit) projection medians over the catalog,
+    # computed distributed with a bounded-memory rank sketch. NOT the
+    # exact percentile() aggregate: that buffers every distinct value
+    # per group, and with n_tables groups of continuous floats one
+    # reduce task would hold ~n_items×r doubles — an O(catalog)
+    # aggregation buffer on exactly the path that exists because the
+    # catalog no longer fits anywhere. accuracy=1e5 bounds the rank
+    # error at 1e-5·n_items; boundary items may flip half-space
+    # (recall-only — the exact-dot rerank keeps scores correct).
     proj_schema = "tbl int, " + ", ".join(
         f"p{j} double" for j in range(r)
     )
@@ -534,7 +553,9 @@ def _ann_topk_join(
         .groupBy("tbl")
         .agg(
             *[
-                F.expr(f"percentile(p{j}, 0.5)").alias(f"m{j}")
+                F.expr(f"percentile_approx(p{j}, 0.5, 100000)").alias(
+                    f"m{j}"
+                )
                 for j in range(r)
             ]
         )

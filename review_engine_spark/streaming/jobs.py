@@ -720,6 +720,8 @@ def run_stream_near_dup(
     n_chunks: int = 1,
     n_seeds: int = 8,
     band_width: int = 2,
+    chunk_order: list[int] | None = None,
+    occupant: str = "min_id",
 ) -> DataFrame:
     """Streaming ingest-time NEAR-duplicate detection — MinHash-LSH
     banding under real cross-batch ``GroupState`` (SURVEY §2.I × the
@@ -745,9 +747,30 @@ def run_stream_near_dup(
     directly (single micro-batch — the same finite-source convention as
     run_sessionize_stateful, whose cross-batch proof also lives in the
     pytest, keeping the oracle-gate/bench cost at the fixed-overhead
-    floor). Same in-order-arrival horizon as run_sessionize_stateful:
-    ingestion order IS doc_id order (within a batch, ties fold by
-    doc_id sort).
+    floor).
+
+    **Arrival-order horizon** (``occupant``): the oracle-checked
+    default ``occupant="min_id"`` flags a doc iff a SMALLER doc_id
+    already occupies the bucket, which equals "duplicate of an
+    earlier-ingested doc" only while ingestion order tracks doc_id —
+    true for the fixture replay and for append-only ingest with
+    monotone ids, the shape the batch oracle mirrors. Under
+    OUT-OF-ORDER arrival it degrades conservatively: a smaller id
+    arriving late is never flagged (it becomes the bucket occupant
+    instead), so a dup pair delivered in reverse order survives
+    entirely — flags are a subset of the in-order flags, never
+    spurious extras. ``occupant="first_arrival"`` is the
+    production-ingest variant: the FIRST-ARRIVED doc keeps the bucket
+    forever and every later arrival is flagged regardless of id —
+    order-sensitive output, but "keep what you already ingested" is
+    the semantics a 100 TB/day front door actually wants (you cannot
+    un-ingest the earlier copy). Within one micro-batch both fold in
+    doc_id order (cross-executor row order is nondeterministic, so
+    arrival rank inside a batch is defined as doc_id rank). Both
+    semantics are pinned under shuffled chunk delivery
+    (``chunk_order``, test-only: reorders the range-files' mtimes so
+    the file source delivers them in the given sequence) in
+    tests/test_streaming.py.
 
     Scale: the only shuffle keys band rows by (band_idx, band_hash) —
     bucket count grows with the corpus, so no bucket ever concentrates;
@@ -758,13 +781,27 @@ def run_stream_near_dup(
 
     from review_engine_spark.sources.io import read_parquet_table
 
+    if occupant not in ("min_id", "first_arrival"):
+        raise ValueError(
+            "occupant must be 'min_id' or 'first_arrival', got "
+            f"{occupant!r}"
+        )
     n_bands = n_seeds // band_width
     src_dir = None
     if n_chunks > 1:
         docs = read_parquet_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
-        hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        hi = docs.agg(F.max("doc_id")).collect()[0][0]
+        if hi is None:
+            # empty documents table: max() is NULL and there is nothing
+            # to range-split — the output schema is fixed, so return the
+            # empty flags frame directly (matches the other runners'
+            # empty-stream handling).
+            return spark.createDataFrame(
+                [], "doc_id long, band_idx int, hit int"
+            )
+        hi += 1
         src_dir = tempfile.mkdtemp(prefix="neardup_src_")
         step = (hi + n_chunks - 1) // n_chunks
         for i in range(n_chunks):
@@ -774,6 +811,21 @@ def run_stream_near_dup(
             ).coalesce(1).write.mode("overwrite").parquet(
                 f"{src_dir}/chunk={i}"
             )
+        if chunk_order is not None:
+            # deliver chunks in the GIVEN sequence: the file source
+            # picks up new files oldest-mtime-first, so stamping each
+            # range-file with an mtime proportional to its rank in
+            # chunk_order makes arrival order diverge from doc_id
+            # order — the out-of-order-ingest test harness.
+            import glob as _glob
+            import os as _os
+            import time as _time
+
+            assert sorted(chunk_order) == list(range(n_chunks))
+            base = _time.time()
+            for rank, ci in enumerate(chunk_order):
+                for f in _glob.glob(f"{src_dir}/chunk={ci}/*"):
+                    _os.utime(f, (base + 10 * rank, base + 10 * rank))
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", "1")
@@ -843,6 +895,8 @@ def run_stream_near_dup(
         "doc_id", F.explode(F.array(*band_cols)).alias("b")
     ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.bh").alias("bh"))
 
+    first_arrival = occupant == "first_arrival"
+
     def fn(key, pdfs, state: GroupState):
         rows = pd.concat(list(pdfs)).sort_values("doc_id")
         cur = state.get[0] if state.exists else None
@@ -850,9 +904,16 @@ def run_stream_near_dup(
         for did in rows["doc_id"]:
             did = int(did)
             ids.append(did)
-            hits.append(1 if (cur is not None and cur < did) else 0)
-            if cur is None or did < cur:
-                cur = did
+            if first_arrival:
+                # bucket belongs to whoever arrived first; every later
+                # arrival is a flagged near-dup regardless of id
+                hits.append(1 if cur is not None else 0)
+                if cur is None:
+                    cur = did
+            else:
+                hits.append(1 if (cur is not None and cur < did) else 0)
+                if cur is None or did < cur:
+                    cur = did
         state.update((cur,))
         yield pd.DataFrame(
             {

@@ -117,24 +117,36 @@ def test_als_ann_recall_against_exact(spark, sf_dir):
 
 def test_als_ann_join_matches_broadcast_index(spark, sf_dir):
     """method='ann_join' (distributed code-table equi-join — the
-    past-broadcast-budget escalation) runs the identical SRP algebra as
-    method='ann' (driver-built broadcast index), so at matched
-    parameters it must surface the identical ranked top-k per user."""
+    past-broadcast-budget escalation) runs the same SRP algebra as
+    method='ann' (driver-built broadcast index) but estimates the
+    bit-balancing medians with a bounded-memory rank sketch, so parity
+    is CANDIDATE-LEVEL, not exact top-k equality: the two forms must
+    cover the same users, agree on the vast majority of surfaced
+    (user, item) pairs (only median-boundary items may flip buckets),
+    and score every commonly-surfaced pair IDENTICALLY (both rerank
+    with the same exact float64 dot)."""
     from review_engine_spark.sources.io import read_parquet_table
 
     ratings = implicit_ratings(
         read_parquet_table(spark, sf_dir, "orders"),
         read_parquet_table(spark, sf_dir, "lineitem"),
     )
-    ann = {
-        (r["user_id"], r["rec_rank"]): (r["item_id"], r["score"])
-        for r in als_recommend(ratings, k=5, method="ann").collect()
-    }
-    joined = {
-        (r["user_id"], r["rec_rank"]): (r["item_id"], r["score"])
-        for r in als_recommend(ratings, k=5, method="ann_join").collect()
-    }
-    assert ann == joined
+    ann: dict[int, dict[int, float]] = {}
+    for r in als_recommend(ratings, k=5, method="ann").collect():
+        ann.setdefault(r["user_id"], {})[r["item_id"]] = r["score"]
+    joined: dict[int, dict[int, float]] = {}
+    for r in als_recommend(ratings, k=5, method="ann_join").collect():
+        joined.setdefault(r["user_id"], {})[r["item_id"]] = r["score"]
+    assert set(ann) == set(joined)
+    hits = sum(len(set(ann[u]) & set(joined[u])) for u in ann)
+    total = sum(len(ann[u]) for u in ann)
+    assert hits / total >= 0.9, f"candidate overlap {hits/total:.3f} < 0.9"
+    # exact score agreement on every pair both forms surfaced — the
+    # rerank dot is bit-identical float64 in both executions
+    for u in ann:
+        for i, s in ann[u].items():
+            if i in joined[u]:
+                assert joined[u][i] == s, (u, i, s, joined[u][i])
 
 
 def test_als_method_validated_before_fit(spark):
