@@ -58,47 +58,32 @@ from review_engine_spark.plans import roster_mining  # noqa: E402,F401
 #   tier 4 — rows-only queries (no oracle; bench covers execution).
 # ---------------------------------------------------------------------------
 
-#: Round-8 plan changes: the streaming runners' file-sink path gained
-#: idempotent update-mode writes + empty-output handling (ADVICE r7),
-#: so re-prove the oracle-bearing stateful-streaming queries against
-#: the new runner first. (q_als_recommend gained method="ann_join" but
-#: is rows-only — iterative MLlib — so it cannot occupy an oracle
-#: slot; its ratings input q_implicit_ratings was re-proven r7.)
+#: Round-9 plan changes: q_sequence_pack now budgets REAL BPE
+#: tokenizer lengths (its plan gained the whole train+apply chain —
+#: semantics changed, must re-prove), and run_stream_near_dup's fold
+#: grew the occupant branch + empty-table guard (default min_id
+#: semantics unchanged, but the stateful fn changed — re-prove).
+#: (q_bpe_merges was only refactored to module-level fold helpers —
+#: byte-identical plan — and lands in tier 3 rotation anyway since
+#: its r8 proof is fresh.)
 _TIER1_FIXED: list[str] = [
-    "q_stream_ewma",
-    "q_sessionize_state",
-    "q_stream_tumbling",
+    "q_sequence_pack",
+    "q_stream_near_dup",
 ]
 
-#: name -> last round the driver proved it green (CORRECTNESS_r01..r07
-#: union: rows_match & schema_match & hash_match). 226 entries.
+#: name -> last round the driver proved it green (CORRECTNESS_r01..r08
+#: union: rows_match & schema_match & hash_match). 228 entries.
 _LAST_GREEN: dict[str, int] = {
-    # proven green in round 3 (29 queries)
-    "q_asof_cogroup": 3, "q_bayes_rating": 3, "q_corrupt_records": 3,
-    "q_csv_roundtrip": 3, "q_gini_udaf": 3, "q_hard_negatives": 3,
-    "q_lang_id": 3, "q_near_dup_embedding": 3, "q_negative_sample": 3,
-    "q_ngram_jaccard": 3, "q_observe_metrics": 3, "q_orc_roundtrip": 3,
-    "q_partitioned_prune": 3, "q_pmi_bigrams": 3, "q_popularity": 3,
-    "q_price_fit": 3, "q_python_datasource": 3, "q_quality_score": 3,
-    "q_sentence_udtf": 3, "q_sessionize": 3, "q_sessionize_state": 3,
-    "q_sink_roundtrip": 3, "q_stratified_sample": 3, "q_stream_dedup": 3,
-    "q_stream_sink_parquet": 3, "q_stream_stream_join": 3,
-    "q_stream_upsert": 3, "q_token_count_bpe": 3, "q_unigram_logprob": 3,
-    # proven green in round 4 (49 queries)
+    # proven green in round 4 (30 queries)
     "q_abtest_ttest": 4, "q_anomaly_zscore": 4, "q_autocorr": 4,
     "q_benford": 4, "q_bloom_membership": 4, "q_bm25": 4,
-    "q_chi2_independence": 4, "q_countmin": 4, "q_cusum": 4,
-    "q_decontaminate": 4, "q_ewma": 4, "q_freq_items": 4, "q_hop_window": 4,
-    "q_inverted_index": 4, "q_ks_test": 4, "q_length_buckets": 4,
-    "q_markov_transitions": 4, "q_minhash_jaccard": 4, "q_psi_drift": 4,
-    "q_simhash_hamming": 4, "q_simhash_md5": 4, "q_skipgram_pairs": 4,
-    "q_stream_ewma": 4, "q_stream_tumbling": 4, "q_tpch_q1": 4,
-    "q_tpch_q10": 4, "q_tpch_q11": 4, "q_tpch_q12": 4, "q_tpch_q13": 4,
-    "q_tpch_q14": 4, "q_tpch_q15": 4, "q_tpch_q16": 4, "q_tpch_q17": 4,
-    "q_tpch_q18": 4, "q_tpch_q19": 4, "q_tpch_q2": 4, "q_tpch_q20": 4,
-    "q_tpch_q21": 4, "q_tpch_q22": 4, "q_tpch_q3": 4, "q_tpch_q4": 4,
-    "q_tpch_q5": 4, "q_tpch_q6": 4, "q_tpch_q7": 4, "q_tpch_q8": 4,
-    "q_tpch_q9": 4, "q_trend_slope": 4, "q_wilson_ci": 4, "q_winnow_md5": 4,
+    "q_chi2_independence": 4, "q_countmin": 4, "q_cusum": 4, "q_ewma": 4,
+    "q_inverted_index": 4, "q_ks_test": 4, "q_markov_transitions": 4,
+    "q_minhash_jaccard": 4, "q_psi_drift": 4, "q_simhash_hamming": 4,
+    "q_simhash_md5": 4, "q_tpch_q11": 4, "q_tpch_q12": 4, "q_tpch_q16": 4,
+    "q_tpch_q19": 4, "q_tpch_q2": 4, "q_tpch_q20": 4, "q_tpch_q21": 4,
+    "q_tpch_q22": 4, "q_tpch_q8": 4, "q_tpch_q9": 4, "q_trend_slope": 4,
+    "q_wilson_ci": 4, "q_winnow_md5": 4,
     # proven green in round 5 (49 queries)
     "q_abc_class": 5, "q_assoc_rules": 5, "q_assortativity": 5,
     "q_attribution": 5, "q_bfs_levels": 5, "q_bom_rollup": 5,
@@ -149,6 +134,23 @@ _LAST_GREEN: dict[str, int] = {
     "q_train_split": 7, "q_try_arithmetic": 7, "q_unpivot": 7,
     "q_upsert_latest": 7, "q_variant_json": 7, "q_window_range": 7,
     "q_xml_extract": 7,
+    # proven green in round 8 (50 queries)
+    "q_asof_cogroup": 8, "q_bayes_rating": 8, "q_bpe_merges": 8,
+    "q_corrupt_records": 8, "q_csv_roundtrip": 8, "q_decontaminate": 8,
+    "q_freq_items": 8, "q_gini_udaf": 8, "q_hard_negatives": 8,
+    "q_hop_window": 8, "q_lang_id": 8, "q_length_buckets": 8,
+    "q_near_dup_embedding": 8, "q_negative_sample": 8, "q_ngram_jaccard": 8,
+    "q_observe_metrics": 8, "q_orc_roundtrip": 8, "q_partitioned_prune": 8,
+    "q_pmi_bigrams": 8, "q_popularity": 8, "q_price_fit": 8,
+    "q_python_datasource": 8, "q_quality_score": 8, "q_sentence_udtf": 8,
+    "q_sessionize": 8, "q_sessionize_state": 8, "q_sink_roundtrip": 8,
+    "q_skipgram_pairs": 8, "q_stratified_sample": 8, "q_stream_dedup": 8,
+    "q_stream_ewma": 8, "q_stream_near_dup": 8, "q_stream_sink_parquet": 8,
+    "q_stream_stream_join": 8, "q_stream_tumbling": 8, "q_stream_upsert": 8,
+    "q_token_count_bpe": 8, "q_tpch_q1": 8, "q_tpch_q10": 8, "q_tpch_q13": 8,
+    "q_tpch_q14": 8, "q_tpch_q15": 8, "q_tpch_q17": 8, "q_tpch_q18": 8,
+    "q_tpch_q3": 8, "q_tpch_q4": 8, "q_tpch_q5": 8, "q_tpch_q6": 8,
+    "q_tpch_q7": 8, "q_unigram_logprob": 8,
 }
 
 # Backward-compat name used by tools/plan_audit.py and tests.

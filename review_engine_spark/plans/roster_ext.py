@@ -142,13 +142,19 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs, "text", "doc_id")
 
 
-@declared(
-    oracle="""
-    WITH s AS (
-        SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+def _sequence_pack_oracle() -> str:
+    from review_engine_spark.plans.roster_curation import (
+        _BPE_ROUNDS,
+        _bpe_chain_ctes,
+    )
+
+    return (
+        _bpe_chain_ctes(_BPE_ROUNDS)
+        + """,
+    s AS (
+        SELECT doc_id, n_bpe_tokens AS n_tokens,
                CAST(doc_id % 8 AS INT) AS shard
-        FROM documents
+        FROM bpe_len
     ),
     c AS (
         SELECT doc_id, n_tokens, shard,
@@ -169,17 +175,23 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY shard, local ORDER BY doc_id) AS BIGINT) AS pack_pos
     FROM p
     """
-)
+    )
+
+
+@declared(oracle=_sequence_pack_oracle())
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-batch sequence packing: deterministic contiguous fill to
-    a 512-token budget, sharded 8 ways so no global sort exists (each
-    shard's window sort runs independently — the layout a 1000-executor
+    a 512-token budget of REAL tokenizer lengths — each doc's token
+    count under the q_bpe_merges-trained BPE rules (round 9 closed the
+    packing query's stated purpose: it used to budget whitespace
+    tokens) — sharded 8 ways so no global sort exists (each shard's
+    window sort runs independently — the layout a 1000-executor
     packing job needs)."""
-    from review_engine_spark.functions.text import token_count
     from review_engine_spark.operators.chunking import pack_sequences
+    from review_engine_spark.plans.roster_curation import bpe_doc_lengths
 
-    docs = read_parquet_table(spark, sf_dir, "documents").select(
-        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    docs = bpe_doc_lengths(spark, sf_dir).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
     )
     return pack_sequences(docs, "n_tokens", "doc_id", budget=512, n_shards=8)
 

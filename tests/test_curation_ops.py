@@ -306,3 +306,70 @@ def test_bpe_merges_deterministic_and_ranked(spark, sf_dir):
     assert rows1 == rows2
     assert [r[0] for r in rows1] == [1, 2, 3, 4, 5, 6]
     assert all(r[3] > 0 for r in rows1)
+
+
+def test_bpe_encode_applies_trained_rules(spark, tmp_path):
+    """q_bpe_encode's per-doc lengths must equal a pure-Python replay
+    of the SAME convention — train K merges (freq DESC, lexicographic
+    pair ties) on the corpus vocabulary, then apply each rule in rank
+    order as one greedy-leftmost pass — on a corpus small enough to
+    verify by hand. Pins the train→apply closure: the encode chain
+    uses the rules q_bpe_merges trains, including the final rank."""
+    import collections
+    import re
+
+    from review_engine_spark.plans.roster_curation import (
+        _BPE_ROUNDS,
+        bpe_doc_lengths,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat that the cat wore",
+        "that mat sat flat",
+        "",  # zero-token doc must survive with zeros
+        "CAT! cat? ThE the",
+    ]
+    d = str(tmp_path / "bpe_sf")
+    spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    wc = collections.Counter(w for t in texts for w in toks(t))
+    vocab = {w: [c for c in w] for w in wc}
+
+    def fold(syms, a, b):
+        out = [syms[0]]
+        for x in syms[1:]:
+            if out[-1] == a and x == b:
+                out[-1] = out[-1] + x
+            else:
+                out.append(x)
+        return out
+
+    for _ in range(_BPE_ROUNDS):
+        pc = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        (a, b), _f = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        vocab = {w: fold(s, a, b) for w, s in vocab.items()}
+
+    want = {}
+    for i, t in enumerate(texts):
+        ws = toks(t)
+        want[i] = (len(ws), sum(len(vocab[w]) for w in ws))
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_doc_lengths(spark, d).collect()
+    }
+    assert got == want
+    assert got[3] == (0, 0)
+    # the tokenizer must actually compress: some word shrank below its
+    # character length, else the test corpus pins nothing
+    assert any(got[i][1] < sum(len(w) for w in toks(t)) for i, t in enumerate(texts))
