@@ -31,6 +31,7 @@ from review_engine_spark.operators.chunking import chunk_documents, chunk_tokens
 __all__ = [
     "top_tokens",
     "span_dedup",
+    "substring_dedup",
     "boilerplate_flags",
     "semantic_dedup",
 ]
@@ -282,4 +283,109 @@ def unigram_logprob(
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.round(F.avg("_lp"), 6).alias("logprob"),
+    )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+) -> DataFrame:
+    """Substring-level exact dedup signal — the sliding-shingle version
+    of the public "Deduplicating Training Data Makes Language Models
+    Better" recipe (reference has no analogue; SURVEY §2.K family):
+    find every maximal token interval that repeats anywhere in the
+    corpus at ≥``width``-token resolution, keep the globally FIRST
+    occurrence, and report the per-doc cut list the apply pass would
+    remove.
+
+    Algebra (all exact ints + md5 strings — zero float surface):
+
+    1. every ``width``-token SLIDING window (stride 1) is hashed
+       (md5 of the space-joined tokens — the md5 family's
+       cross-engine convention; at 100 TB swap in ``xxhash64`` +
+       collision recheck exactly as ``span_dedup`` documents);
+    2. per hash, occurrences rank by (doc_id, pos) — rank 1 is the
+       surviving canonical copy, every rank ≥ 2 is a dup occurrence
+       (rank ≥ 2 implies global count ≥ 2, so no separate count);
+    3. per doc, dup occurrences cover tokens [pos, pos+width-1];
+       equal-width intervals merge into maximal runs with one ordered
+       window (new run iff the gap to the previous dup pos exceeds
+       ``width`` — touching coverage concatenates);
+    4. per doc: number of maximal cut runs and total tokens cut,
+       zero-filled for clean docs.
+
+    Returns (id, n_tokens, n_dup_runs, n_cut_tokens).
+
+    Scale shape: the shingle stream is corpus-linear (one row per
+    token position, never a self-join); the only corpus-scaled shuffle
+    keys by the 128-bit shingle hash (cardinality grows with the data
+    — the blocked-self-join scale rule); dup occurrences are a sparse
+    residue, so the per-doc run-merge windows are tiny. Suffix-array
+    exactness (arbitrary-length matches) is the paper's single-node
+    luxury; ``width``-resolution shingles are the distributed
+    equivalent, detecting every duplicated run of ≥ width tokens.
+    """
+    from review_engine_spark.operators.chunking import chunk_tokens
+
+    base = docs.select(
+        F.col(id_col), chunk_tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    # posexplode-of-indices + slice of the MATERIALIZED token array —
+    # the shingle_hash_rows narrow form. (A transform() lambda here
+    # collapses the tokenizer INTO the per-element expression — the
+    # measured O(n²)-per-doc HOF hazard, NOTES.md.)
+    n_sh = F.col("n") - (width - 1)
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ex = base.select(
+        F.col(id_col), "toks", F.posexplode(idx).alias("_i", "pos")
+    )
+    sh = ex.select(
+        id_col,
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), width))).alias(
+            "h"
+        ),
+    )
+    wh = Window.partitionBy("h").orderBy(id_col, "pos")
+    dup = (
+        sh.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") >= 2)
+        .select(id_col, "pos")
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    isl = dup.withColumn(
+        "new_run",
+        F.when(
+            F.col("pos") - F.lag("pos").over(wd) <= width, 0
+        ).otherwise(1),
+    ).withColumn(
+        "isl",
+        F.sum("new_run").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    runs = isl.groupBy(id_col, "isl").agg(
+        (F.max("pos") - F.min("pos") + width).alias("cut")
+    )
+    per_doc = runs.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_dup_runs"),
+        F.sum("cut").cast("long").alias("n_cut_tokens"),
+    )
+    return (
+        base.select(id_col, F.col("n").cast("long").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_runs", F.lit(0))
+            .cast("long")
+            .alias("n_dup_runs"),
+            F.coalesce("n_cut_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_cut_tokens"),
+        )
     )

@@ -914,3 +914,61 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     word count for the compression comparison), exact BIGINTs, docs
     with no tokens kept at zero."""
     return bpe_doc_lengths(spark, sf_dir)
+
+
+@declared(
+    oracle=rf"""
+    WITH b AS (
+        SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(toks[i:i + 15], ' ')) AS h
+        FROM b, UNNEST(range(1, n - 16 + 2)) AS u(i)
+        WHERE n >= 16
+    ),
+    d AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM sh
+    ),
+    dup AS (SELECT doc_id, pos FROM d WHERE rn >= 2),
+    r AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos) <= 16
+                    THEN 0 ELSE 1 END AS new_run
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(new_run) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS isl
+        FROM r
+    ),
+    runs AS (
+        SELECT doc_id, isl, max(pos) - min(pos) + 16 AS cut
+        FROM isl GROUP BY doc_id, isl
+    ),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_runs,
+               CAST(sum(cut) AS BIGINT) AS n_cut_tokens
+        FROM runs GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_dup_runs, 0) AS BIGINT) AS n_dup_runs,
+           CAST(COALESCE(a.n_cut_tokens, 0) AS BIGINT) AS n_cut_tokens
+    FROM b LEFT JOIN agg a USING (doc_id)
+    """
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (the sliding-shingle duplicated-
+    substring recipe): maximal ≥16-token intervals repeated anywhere in
+    the corpus, first occurrence surviving — per-doc cut-run count and
+    tokens-to-cut, the signal the Lee-et-al-style apply pass removes."""
+    from review_engine_spark.operators.curation import substring_dedup
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return substring_dedup(docs, "text", "doc_id", width=16)

@@ -373,3 +373,38 @@ def test_bpe_encode_applies_trained_rules(spark, tmp_path):
     # the tokenizer must actually compress: some word shrank below its
     # character length, else the test corpus pins nothing
     assert any(got[i][1] < sum(len(w) for w in toks(t)) for i, t in enumerate(texts))
+
+
+def test_substring_dedup_runs_and_first_occurrence_survives(spark):
+    """Hand-checkable corpus, width=4: doc 1 repeats a 6-token run of
+    doc 0 (duplicated at 4-token resolution → 3 dup shingle positions
+    merging into ONE 6-token cut run), doc 2 shares only a 3-token
+    substring (below width — must NOT fire), and the canonical copy in
+    doc 0 is never cut. Doc 3 duplicates the run internally twice —
+    its second occurrence is cut even though both live in one doc."""
+    from review_engine_spark.operators.curation import substring_dedup
+
+    run = "w1 w2 w3 w4 w5 w6"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{run} tail0 tail1"),
+            (1, f"head0 head1 {run}"),
+            (2, "w1 w2 w3 other tokens here"),
+            (3, f"{run} mid {run}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_runs"], r["n_cut_tokens"])
+        for r in substring_dedup(docs, width=4).collect()
+    }
+    # doc 0 holds every canonical copy: clean
+    assert got[0] == (8, 0, 0)
+    # doc 1: shingle positions 3,4,5 (w1..w4 / w2..w5 / w3..w6) are all
+    # rank-2 of their hash → one merged run covering tokens 3..8 (6)
+    assert got[1] == (8, 1, 6)
+    assert got[2] == (6, 0, 0)
+    # doc 3: its FIRST w1..w6 occupies rank 2 (doc 0 is rank 1) and the
+    # second occurrence rank 3 — dup positions 1,2,3 and 8,9,10 with a
+    # gap of 5 > width → two separate 6-token runs
+    assert got[3] == (13, 2, 12)
