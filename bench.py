@@ -90,9 +90,21 @@ def main() -> int:
     canary_pass()  # pay codegen JIT so the measured pass is steady-state
     canary_start = canary_pass()
 
+    # Drift checkpoints: the canary re-timed every ~50 queries (plus once
+    # after the sweep). r8's driver sweep ran under end-of-sweep drift
+    # 0.83 — the HOST slowed ~17% mid-run, inflating the headline vs the
+    # builder's uncontended close-of-round run with no code change. The
+    # checkpoints localize WHEN the machine speed changed, so each
+    # query's timing can be re-expressed at canary_start speed:
+    # corrected = raw · c0 / (mean of its bracketing canaries). The
+    # correction is reported ALONGSIDE the raw total, never instead of
+    # it (sidecar: drift-corrected per-query map + checkpoint list).
+    checkpoints: list[tuple[int, float]] = [(0, canary_start)]
+
     timings: dict[str, float] = {}
+    qpos: dict[str, int] = {}
     failed: list[str] = []
-    for name, fn in qs.items():
+    for qi, (name, fn) in enumerate(qs.items()):
         best = None
         ok = False
         for _ in range(args.repeat):
@@ -106,12 +118,18 @@ def main() -> int:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        qpos[name] = qi
         if not ok:
             failed.append(name)
         # drop any persist/cache a query left behind: queries must be
         # independent measurements, and 200+ accumulated MEMORY_AND_DISK
         # persists otherwise squeeze the heap as the sweep progresses
         spark.catalog.clearCache()
+        if not args.queries and qi % 50 == 49:
+            checkpoints.append((qi + 1, canary_pass()))
+    n_sweep = len(qs)
+    if not args.queries:
+        checkpoints.append((n_sweep, canary_pass()))
 
     # Median-of-3 refinement for the slow tier: a single-sweep timing on
     # the heaviest queries carries ±20% run-to-run noise (r7: q_pagerank
@@ -154,6 +172,28 @@ def main() -> int:
     canary_end = canary_pass()
     canary_drift = round(canary_end / max(canary_start, 1e-9), 2)
 
+    # Per-query drift correction: a query between checkpoints (a, b) is
+    # scaled by c0 / mean(c_a, c_b); median3-replaced entries were
+    # re-measured AFTER the sweep, so they scale by the post-sweep
+    # bracket (last checkpoint, canary_end).
+    corrected: dict[str, float] = {}
+    c0 = max(canary_start, 1e-9)
+    post_sweep = (checkpoints[-1][1] + canary_end) / 2.0
+    for name, raw in timings.items():
+        if name in median3:
+            seg = post_sweep
+        else:
+            i = qpos[name]
+            hi = next(
+                (j for j in range(len(checkpoints)) if checkpoints[j][0] > i),
+                None,
+            )
+            if hi is None or hi == 0:
+                seg = canary_end  # subset runs: single end bracket
+            else:
+                seg = (checkpoints[hi - 1][1] + checkpoints[hi][1]) / 2.0
+        corrected[name] = round(raw * c0 / max(seg, 1e-9), 3)
+
     m = re.search(r"sf([0-9.]+)", args.sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
     sidecar = os.path.join(
@@ -176,6 +216,13 @@ def main() -> int:
         "canary_end_s": round(canary_end, 3),
         "canary_drift": canary_drift,
         "contended": canary_drift > 1.5,
+        # headline re-expressed at sweep-start machine speed (see the
+        # checkpoint comment above) — compare THIS across rounds when
+        # canary_drift strays from 1.0; raw stays the honest wall-clock
+        "drift_corrected_value": round(sum(corrected.values()), 3),
+        "drift_corrected_sec_per_query": round(
+            sum(corrected.values()) / max(len(corrected), 1), 3
+        ),
     }
     # subset invocations (explicit query args) must not clobber the
     # full-roster sidecar the driver/analysis reads. The sidecar also
@@ -183,7 +230,19 @@ def main() -> int:
     # has no room for the map).
     if not args.queries:
         with open(sidecar, "w") as fh:
-            json.dump(dict(full, median3_queries=median3), fh, indent=1, sort_keys=True)
+            json.dump(
+                dict(
+                    full,
+                    median3_queries=median3,
+                    drift_corrected_queries=corrected,
+                    canary_checkpoints=[
+                        [i, round(c, 3)] for i, c in checkpoints
+                    ],
+                ),
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
     for name, dt in timings.items():
         print(f"# timing {name} {dt}", file=sys.stderr)
     # Tail-budget guard: the harness captures a bounded stdout tail, so

@@ -66,9 +66,16 @@ from review_engine_spark.plans import roster_mining  # noqa: E402,F401
 #: (q_bpe_merges was only refactored to module-level fold helpers —
 #: byte-identical plan — and lands in tier 3 rotation anyway since
 #: its r8 proof is fresh.)
+#: …and the stateful-streaming family switched its DEFAULT state
+#: layout to key-coarsened buckets (identical emitted rows — parity
+#: pinned in tests/test_streaming.py — but a changed plan, so all
+#: three oracle-bearing members re-prove first).
 _TIER1_FIXED: list[str] = [
     "q_sequence_pack",
     "q_stream_near_dup",
+    "q_stream_ewma",
+    "q_sessionize_state",
+    "q_stream_anomaly",
 ]
 
 #: name -> last round the driver proved it green (CORRECTNESS_r01..r08

@@ -55,6 +55,9 @@ from review_engine_spark.sources.io import read_parquet_table
     """
 )
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (alpha = 0.1) as a
+    bit-identical ordered list fold.
+    """
     # The fold is the IDENTICAL IEEE op sequence on both engines, so the
     # raw double is bit-exact — emit it unrounded. round() here is pure
     # risk: the round-8 second-seed sf0.1 sweep caught Spark (half-up on
@@ -102,6 +105,10 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift statistic: one-sided cumulative sums of
+    deviations from the corpus mean (cent-quantized so both engines fold
+    identical doubles).
+    """
     ev = read_parquet_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
@@ -172,6 +179,9 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomalies: each event scored against its user's 20
+    preceding integer-cent values (leakage-free frame).
+    """
     ev = read_parquet_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts",
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
@@ -235,6 +245,9 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts and probabilities between
+    consecutive event types per user.
+    """
     ev = read_parquet_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
@@ -308,6 +321,9 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_abtest_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B Welch t-test on purchase values between user-id-parity arms —
+    exact integer-cent moments, closed-form t statistic.
+    """
     g = (
         read_parquet_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
@@ -386,6 +402,9 @@ def q_abtest_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for each event type's high-value
+    proportion — the rate metric that stays sane at tiny n.
+    """
     m = (
         read_parquet_table(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -428,6 +447,9 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_ewma: per-user EWMA folded under
+    applyInPandasWithState, bit-identical to the batch fold.
+    """
     # Raw (unrounded) ewma, same rationale as q_ewma: the stateful fold
     # replays the identical op sequence, so the double is bit-exact and
     # rounding only ADDS a cross-engine boundary (caught by the round-8
@@ -479,6 +501,9 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift of value buckets between the first
+    and second half of the event timeline.
+    """
     ev = read_parquet_table(spark, sf_dir, "events").select(
         F.least(
             F.floor(F.col("value") / 50.0).cast("long"), F.lit(9).cast("long")
@@ -538,6 +563,9 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event_type x user-parity arm from
+    observed vs expected contingency counts.
+    """
     o = (
         read_parquet_table(spark, sf_dir, "events")
         .groupBy("event_type", (F.col("user_id") % 2).alias("arm"))
@@ -607,6 +635,9 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between user-parity arms over
+    purchase-value ECDFs.
+    """
     g = (
         read_parquet_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
@@ -678,6 +709,9 @@ _BENFORD = {
     """
 )
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit histogram of event cents beside the
+    log10(1 + 1/d) expectation.
+    """
     cents = F.floor(F.col("value") * 100 + 0.5)
     d = (
         read_parquet_table(spark, sf_dir, "events")
@@ -742,6 +776,9 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend slope of value cents against event time
+    (minutes), closed-form over exact sums.
+    """
     xy = read_parquet_table(spark, sf_dir, "events").select(
         "user_id",
         F.floor(
@@ -805,6 +842,9 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of event values via lead() pairs over
+    exact integer cents.
+    """
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = (
@@ -880,6 +920,9 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_anomaly_zscore: a bounded ring buffer in
+    GroupState scores each event against its user's trailing window.
+    """
     from review_engine_spark.streaming.jobs import run_zscore_stateful
 
     return run_zscore_stateful(spark, sf_dir).select(

@@ -563,6 +563,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec-style skip-gram (center, context) pair counts within a +/-2
+    token window, min-count thresholded.
+    """
     from pyspark.sql import Window
 
     docs = read_parquet_table(spark, sf_dir, "documents")

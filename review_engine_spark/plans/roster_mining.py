@@ -97,6 +97,9 @@ _CENTS = "CAST(floor({x} * 100 + 0.5) AS BIGINT)"
     """
 )
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quintile scores per
+    customer via ntile windows.
+    """
     orders = read_parquet_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_day"),
@@ -176,6 +179,9 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classes: parts bucketed A/B/C by cumulative revenue
+    share (80/95% running-total cuts).
+    """
     li = read_parquet_table(spark, sf_dir, "lineitem")
     part = read_parquet_table(spark, sf_dir, "part")
     rev = (
@@ -251,6 +257,9 @@ def q_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: support/confidence/lift for
+    co-purchased part pairs.
+    """
     li = read_parquet_table(spark, sf_dir, "lineitem")
     basket = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = basket.agg(
@@ -334,6 +343,9 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast error: predict each day by the value 7 days
+    earlier, MAE/MAPE per event type.
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
@@ -461,6 +473,9 @@ _BFS_EDGE_SQL = """
     """
 )
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier BFS levels from a seed over the customer-part bipartite
+    graph (iterative DataFrame rounds, localCheckpoint per level).
+    """
     edges = _copurchase_edges(spark, sf_dir)
     from pyspark import StorageLevel
 
@@ -527,6 +542,9 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (level+trend) double-exponential smoothing per user with
+    a 3-step forecast (ordered list fold).
+    """
     ev = read_parquet_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
@@ -597,6 +615,9 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_inventory_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running inventory balance per part: signed quantity fold flags
+    stockouts in ship-date order.
+    """
     li = read_parquet_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_shipdate",
@@ -693,6 +714,9 @@ def q_inventory_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed geo k-NN: nearest 3 customers per probe point using
+    3x3 neighbor-cell candidates only.
+    """
     cust = read_parquet_table(spark, sf_dir, "customer").select(
         "c_custkey",
         (F.col("c_custkey") * 48271 % 180000).alias("xi"),
@@ -783,6 +807,9 @@ def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition of daily cents: day-of-week means as the
+    seasonal component, residual variance reported.
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
@@ -825,6 +852,9 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: live events joined to the customer-segment
+    dimension, aggregated per segment.
+    """
     from review_engine_spark.streaming.jobs import run_stream_static_join
 
     return run_stream_static_join(spark, sf_dir)
@@ -861,6 +891,9 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials rollup: revenue cascaded up a synthetic parent
+    chain (k -> k/2) by iterated self-joins.
+    """
     li = read_parquet_table(spark, sf_dir, "lineitem")
     # node ids are partkey+1: the fixture's keys are 0-based, and node 0
     # would shift to itself forever — it must not be a silent orphan
@@ -921,6 +954,9 @@ def q_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-statement SQL-script surface: temp-view pipeline computing a
+    cached percentile probe (spark.sql driven).
+    """
     orders = read_parquet_table(spark, sf_dir, "orders")
     probe = orders.select("o_totalprice")
     # View name keyed by sf_dir: replacing ONE shared name with a
@@ -1054,6 +1090,9 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive collation group-by: mixed-case part names folded
+    with lower() before aggregating.
+    """
     part = read_parquet_table(spark, sf_dir, "part").select(
         F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name"))
         .otherwise(F.col("p_name"))
@@ -1094,6 +1133,9 @@ def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PySpark DataSource (synthetic range stream):
+    partition-parallel generated rows with an LCG value column.
+    """
     import tempfile
 
     from review_engine_spark.sources.python_datasource import (
@@ -1154,6 +1196,9 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per brand: lag over yearly sums with
+    null first year.
+    """
     li = read_parquet_table(spark, sf_dir, "lineitem")
     orders = read_parquet_table(spark, sf_dir, "orders")
     part = read_parquet_table(spark, sf_dir, "part")
@@ -1208,6 +1253,9 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning customer counts per month (first-activity month
+    comparison).
+    """
     orders = read_parquet_table(spark, sf_dir, "orders")
     # month stays TIMESTAMP on both engines: a DATE output column would
     # canonicalize as datetime.date on the Spark side but datetime64 via
@@ -1263,6 +1311,9 @@ def q_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast per part: EWMA of demand sizes
+    and inter-demand intervals (bit-identical folds).
+    """
     li = read_parquet_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_orderkey",
@@ -1340,6 +1391,9 @@ def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_dense_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense brand x month revenue report: zero-filled cross of observed
+    brands and months (cross join + outer join).
+    """
     li = read_parquet_table(spark, sf_dir, "lineitem")
     orders = read_parquet_table(spark, sf_dir, "orders")
     part = read_parquet_table(spark, sf_dir, "part")
@@ -1396,6 +1450,9 @@ def q_dense_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — running count of
+    first appearances.
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     # day keys stay TIMESTAMP (see q_new_returning: DATE outputs
     # canonicalize differently across the two engines)
@@ -1461,6 +1518,9 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU/MAU stickiness ratio per day from distinct
+    daily/trailing-30-day actives.
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     ud = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("day")
@@ -1512,6 +1572,9 @@ _DEG_SQL = f"""
     """
 )
 def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the customer-part graph: how many parts have k
+    buyers.
+    """
     edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("u").alias("node")).agg(
         F.count("*").alias("degree")
@@ -1560,6 +1623,9 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer-part graph: Pearson correlation
+    of endpoint degrees over edges.
+    """
     edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("u").alias("node")).agg(
         F.count("*").alias("degree")
@@ -1650,6 +1716,9 @@ _HW_SJ = "\n".join(
     """
 )
 def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive day-of-week seasonal smoothing of daily cents
+    per event type.
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
@@ -1744,6 +1813,9 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_dup_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: same customer, same price band, orders
+    within 7 days (lag window, no self-join).
+    """
     o = read_parquet_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -1801,6 +1873,9 @@ def q_dup_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local peaks in daily revenue per event type:
+    strictly-greater-than-both-neighbors test over a lag/lead window.
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
@@ -1867,6 +1942,9 @@ def q_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of daily revenue above/below
+    its median, per event type.
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
@@ -1945,6 +2023,9 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: median of pairwise daily-revenue slopes per
+    event type.
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",

@@ -41,6 +41,9 @@ from review_engine_spark.sources.io import read_parquet_table
     """
 )
 def q_join_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part metadata broadcast-joined to per-part lineitem rollups (C1
+    embeddings-meta join shape).
+    """
     part = read_parquet_table(spark, sf_dir, "part")
     li = (
         read_parquet_table(spark, sf_dir, "lineitem")
@@ -100,6 +103,9 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ordered collect_list of doc ids, joined to one string
+    (D1 group-by collect).
+    """
     # The comma-joined serialization (identical BIGINT→string rendering on
     # both engines) keeps the output hashable for the harness canonicalizer;
     # the collected array itself is still built by the plan.
@@ -145,6 +151,9 @@ def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean-pool of embedding vectors per label (D2): explode
+    to (pos, val), average, reassemble.
+    """
     # The mean vector is assembled as an array (the D2 semantic), then
     # re-exploded to (label, pos, v) rows for output: the harness
     # canonicalizer cannot hash raw array cells, and double-in-JSON
@@ -189,6 +198,9 @@ def q_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar stats block over part prices: count, mean, exact median,
+    stddev_pop, min/max (D3/D4).
+    """
     part = read_parquet_table(spark, sf_dir, "part")
     p = F.col("p_retailprice")
     return part.agg(
@@ -251,6 +263,9 @@ def q_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT(DISTINCT) per return flag — the two-phase
+    distinct aggregate.
+    """
     li = read_parquet_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("n_parts"),
@@ -268,6 +283,9 @@ def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals and grand total in
+    one aggregate.
+    """
     li = read_parquet_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_rows"),
@@ -296,6 +314,9 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price via a ranked partition window
+    (E1).
+    """
     part = read_parquet_table(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(
         F.desc("p_retailprice"), F.asc("p_partkey")
@@ -320,6 +341,9 @@ def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window: each event beside its user's previous value (engine
+    lag surface).
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
@@ -341,6 +365,9 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user cumulative value sum in (ts, event_id) order
+    (running-window surface).
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -368,6 +395,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of customer and supplier nation keys tagged by side."""
     cust = read_parquet_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
     )
@@ -385,6 +413,7 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of urgent-priority and low-priority customer key sets."""
     orders = read_parquet_table(spark, sf_dir, "orders")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
@@ -399,6 +428,9 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: open-order customers minus urgent-priority customers (set
+    difference engine surface).
+    """
     orders = read_parquet_table(spark, sf_dir, "orders")
     open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
@@ -761,6 +793,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing: per-hour event counts and value sums via
+    date_trunc (H-date surface).
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     return ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
         F.count("*").alias("n"),

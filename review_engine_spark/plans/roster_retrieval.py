@@ -589,6 +589,9 @@ def _bloom_pos_col(j: int, fp) -> "F.Column":
     """
 )
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch per source: md5 fingerprints folded
+    into 62-bit words, probe hit rates reported.
+    """
     docs = read_parquet_table(spark, sf_dir, "documents")
     fps = docs.select("source", F.md5("text").alias("fp"))
 
@@ -745,6 +748,9 @@ _CM_PROBE_UNION = "\n        UNION ALL\n".join(
     """
 )
 def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream: d x w counter grid from md5
+    row hashes, estimates vs true counts for the vocabulary head.
+    """
     docs = read_parquet_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(
@@ -883,6 +889,9 @@ def _hll_est_sql(s: str, v: str) -> str:
     """
 )
 def q_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register build per day from md5(user) ranks with the
+    standard bias-corrected estimate.
+    """
     ev = read_parquet_table(spark, sf_dir, "events").select(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_s"),
         "user_id",
@@ -993,6 +1002,9 @@ def q_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_dau_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness with HyperLogLog-style distincts from md5
+    leading-zero ranks — the sketch twin of q_dau_mau.
+    """
     ev = read_parquet_table(spark, sf_dir, "events").select(
         F.date_trunc("day", "ts").alias("day"),
         "user_id",

@@ -58,6 +58,9 @@ def _t(spark, sf_dir, name):
     """
 )
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: per (returnflag, linestatus)
+    quantity/price/discount aggregates over shipped lineitems.
+    """
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
     )
@@ -97,6 +100,9 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: top unshipped-order revenue for a market
+    segment before a date.
+    """
     cust = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -145,6 +151,9 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority check: orders with at least one late
+    lineitem, counted per priority (EXISTS semi-join).
+    """
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
@@ -182,6 +191,9 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: revenue where customer and supplier
+    share a nation inside one region-year.
+    """
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -233,6 +245,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast revenue change: scan-only sum of discounted
+    revenue in a quantity/discount/date band.
+    """
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -271,6 +286,9 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: revenue between two nations by year, both
+    shipping directions.
+    """
     nation = _t(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_1", "NATION_2")
     )
@@ -329,6 +347,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item report: top customers by revenue lost to
+    returned lineitems in a quarter.
+    """
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
@@ -371,6 +392,10 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer distribution: histogram of order counts per
+    customer including zero-order customers (outer join + filtered join
+    predicate).
+    """
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") != "4-NOT SPECIFIED"
@@ -401,6 +426,9 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: promo revenue share of one month's
+    shipments.
+    """
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -443,6 +471,9 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: supplier(s) achieving the max quarterly
+    revenue (view + scalar-max equality).
+    """
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -480,6 +511,9 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity revenue: lineitems under 20% of their
+    part's average quantity (correlated average).
+    """
     part = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#4")
@@ -524,6 +558,9 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total quantity tops
+    300, with customer detail.
+    """
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -569,6 +606,9 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue: disjunctive brand/container/quantity
+    predicate pushed into one join.
+    """
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
@@ -634,6 +674,9 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: one nation's share of a part-type's
+    revenue per order year.
+    """
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -705,6 +748,9 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit: profit per (nation, order-year) over
+    parts matching a name fragment.
+    """
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice", "l_discount",
@@ -758,6 +804,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping modes: late-vs-ok priority counts per ship mode
+    for a year.
+    """
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -811,6 +860,9 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 waiting suppliers: sole-late-supplier orders per nation
+    (EXISTS + NOT EXISTS double correlation).
+    """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     orders = (
         _t(spark, sf_dir, "orders")
@@ -880,6 +932,9 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity: idle customers with
+    above-average balances by phone prefix (anti-join + scalar subquery).
+    """
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
@@ -985,6 +1040,9 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier: correlated min supplycost per part
+    in a region, ordered supplier report.
+    """
     ps = _partsupp(spark, sf_dir)
     supp = _t(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", F.round("s_acctbal", 4).alias("s_acctbal"),
@@ -1068,6 +1126,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock: part stock values in one nation above a
+    scaled fraction of the total (HAVING on a scalar subquery).
+    """
     ps = _partsupp(spark, sf_dir)
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = F.broadcast(
@@ -1126,6 +1187,9 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 part/supplier counts: distinct suppliers per (brand, type,
+    size) excluding complaint suppliers (anti-join).
+    """
     ps = _partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
     bad = (
         _t(spark, sf_dir, "supplier")
@@ -1189,6 +1253,9 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 part promotion: suppliers holding excess stock of
+    name-matched parts in one nation (nested semi-joins).
+    """
     ps = _partsupp(spark, sf_dir)
     li95 = (
         _t(spark, sf_dir, "lineitem")

@@ -54,6 +54,9 @@ from review_engine_spark.sources.io import read_parquet_table
     """
 )
 def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal consecutive-day activity streaks per user
+    via the day - row_number() constant trick.
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     w = Window.partitionBy("user_id").orderBy("day")
@@ -101,6 +104,9 @@ def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per (event_type, day): +1/-1 sweep-line over
+    5-minute event intervals.
+    """
     ev = read_parquet_table(spark, sf_dir, "events").select(
         "event_type",
         F.to_date("ts").alias("day"),
@@ -164,6 +170,9 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension build: event-type change points folded into validity
+    intervals per user (lag + cumulative flag).
+    """
     ev = read_parquet_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
@@ -221,6 +230,9 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's most
+    recent prior click/view inside a window.
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     p = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"),
@@ -274,6 +286,9 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each reading weighted by its
+    holding duration to the next event.
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = ev.select(
@@ -325,6 +340,9 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k first-5-event paths: users' opening event-type sequences
+    ranked by frequency.
+    """
     ev = read_parquet_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
@@ -370,6 +388,9 @@ def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day: distinct-user contributions
+    expanded over a day range (no double count).
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
     days = du.select("day").distinct()
@@ -434,6 +455,9 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U via rank sums: click vs view value distributions with
+    midrank ties (exact cents).
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     s = ev.where(F.col("event_type").isin("click", "view")).select(
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
@@ -544,6 +568,9 @@ _OLS_BETAS = (
     """
 )
 def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS fit of revenue on quantity and discount, solved in
+    closed form from exact integer sums.
+    """
     li = read_parquet_table(spark, sf_dir, "lineitem").selectExpr(
         "CAST(floor(l_quantity + 0.5) AS BIGINT) AS x1",
         "CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x2",
@@ -606,6 +633,9 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval merge: per-user 5-minute event intervals
+    coalesced by the running-max-end island method.
+    """
     ev = read_parquet_table(spark, sf_dir, "events").select(
         "user_id",
         F.col("ts").alias("start"),
@@ -696,6 +726,9 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of signup-to-purchase conversion with
+    right-censoring at horizon.
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     su = (
         ev.where(F.col("event_type") == "signup")
@@ -795,6 +828,9 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-scores per event type; |z| > 3.5 outliers
+    flagged (exact integer cents).
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     s = ev.select(
         "event_type",
@@ -862,6 +898,9 @@ def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction: candidate part pairs scored by
+    sum(1/deg) over shared customers (degree-capped).
+    """
     o = read_parquet_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
@@ -953,6 +992,9 @@ def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at p05/p95 per event type: clamped means beside raw
+    means (exact quantile cut points).
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     s = ev.select(
         "event_type",
@@ -1014,6 +1056,9 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 )
 def q_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend deciles: per-user purchase cents bucketed by
+    ntile(10) with decile boundary stats.
+    """
     ev = read_parquet_table(spark, sf_dir, "events")
     spend = (
         ev.where(F.col("event_type") == "purchase")

@@ -35,6 +35,27 @@ __all__ = [
 from contextlib import contextmanager
 
 
+def _resolve_key_buckets(kb, state_partitions: int = 8) -> int | None:
+    """Resolve the ``key_buckets`` knob shared by the stateful runners.
+
+    ``"auto"`` (the default) sizes the bucket count to 16× the resolved
+    state-partition count — enough buckets that every state partition
+    folds ~16 groups (smooths skew), few enough that the per-invocation
+    plumbing constant is amortized across many users. ``None`` selects
+    the per-key layout (one GroupState entry per user — the canonical
+    form the r8 profiling chunk measured at ~3 ms/key/batch);
+    an int pins the bucket count exactly.
+    """
+    if kb is None or isinstance(kb, int):
+        return kb
+    if kb != "auto":
+        raise ValueError(f"key_buckets must be None, int, or 'auto': {kb!r}")
+    import os
+
+    n = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", state_partitions))
+    return 16 * n
+
+
 @contextmanager
 def _state_partitions(spark: SparkSession, n: int):
     """Scope the shuffle-partition count around a streaming run.
@@ -264,6 +285,7 @@ def run_sessionize_stateful(
     gap_minutes: int = 30,
     path_glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    key_buckets: int | None | str = "auto",
 ) -> DataFrame:
     """Custom stateful streaming operator (SURVEY §2.I stretch goal):
     gap-based sessionization via ``applyInPandasWithState``, driven to
@@ -303,27 +325,15 @@ def run_sessionize_stateful(
     )
     state_schema = "open_start long, open_end long, n long, v double"
 
-    def fn(key, pdfs, state: GroupState):
-        if state.hasTimedOut:  # live-stream path: flush the open session
-            s0, s1, n, v = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(s0, unit="us")],
-                    "session_end": [pd.Timestamp(s1, unit="us") + gap],
-                    "n_events": [n],
-                    "total_v": [round(v, 4)],
-                }
-            )
-            return
-        rows = pd.concat(list(pdfs)).sort_values("ts")
+    def fold_user(ts_vals, v_vals, seed):
+        """One user's fold: identical statement sequence in both state
+        layouts (the ONLY difference between them is state keying)."""
         sessions = []
         cur = None
-        if state.exists:  # seed the open session from the previous batch
-            s0, s1, n, v = state.get
+        if seed is not None:  # seed the open session from the previous batch
+            s0, s1, n, v = seed
             cur = [pd.Timestamp(s0, unit="us"), pd.Timestamp(s1, unit="us"), n, v]
-        for ts, v in zip(rows["ts"], rows["value"]):
+        for ts, v in zip(ts_vals, v_vals):
             # new session when the gap is reached (session_window's
             # half-open [start, last+gap) boundary: an event at exactly
             # last+gap starts a new session)
@@ -339,6 +349,25 @@ def run_sessionize_stateful(
             cur[1] = max(cur[1], ts)
             cur[2] += 1
             cur[3] += float(v)
+        return sessions, cur
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # live-stream path: flush the open session
+            s0, s1, n, v = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(s0, unit="us")],
+                    "session_end": [pd.Timestamp(s1, unit="us") + gap],
+                    "n_events": [n],
+                    "total_v": [round(v, 4)],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        seed = state.get if state.exists else None
+        sessions, cur = fold_user(rows["ts"], rows["value"], seed)
         if cur is not None:
             # keep the open tail in state; emit it provisionally below
             state.update((cur[0].value // 1000, cur[1].value // 1000, cur[2], cur[3]))
@@ -353,12 +382,77 @@ def run_sessionize_stateful(
             }
         )
 
+    def fn_b(key, pdfs, state: GroupState):
+        # key-coarsened layout (see run_ewma_stateful): per-bucket state
+        # holds the bucket's open sessions as parallel arrays
+        rows = pd.concat(list(pdfs)).sort_values(["user_id", "ts"])
+        if state.exists:
+            users, s0s, s1s, ns, vs = state.get
+            st = {
+                int(u): (int(a), int(b), int(n), v)
+                for u, a, b, n, v in zip(users, s0s, s1s, ns, vs)
+            }
+        else:
+            st = {}
+        out = {
+            "user_id": [],
+            "session_start": [],
+            "session_end": [],
+            "n_events": [],
+            "total_v": [],
+        }
+        for uid, grp in rows.groupby("user_id", sort=True):
+            uid = int(uid)
+            sessions, cur = fold_user(
+                grp["ts"], grp["value"], st.pop(uid, None)
+            )
+            if cur is not None:
+                st[uid] = (
+                    cur[0].value // 1000,
+                    cur[1].value // 1000,
+                    cur[2],
+                    cur[3],
+                )
+                sessions.append(cur)
+            out["user_id"].extend([uid] * len(sessions))
+            out["session_start"].extend(s[0] for s in sessions)
+            out["session_end"].extend(s[1] + gap for s in sessions)
+            out["n_events"].extend(s[2] for s in sessions)
+            out["total_v"].extend(round(s[3], 4) for s in sessions)
+        keys = sorted(st)
+        state.update(
+            (
+                keys,
+                [st[u][0] for u in keys],
+                [st[u][1] for u in keys],
+                [st[u][2] for u in keys],
+                [st[u][3] for u in keys],
+            )
+        )
+        yield pd.DataFrame(out)
+
     stream = _events_stream(
         spark, sf_dir, path_glob=path_glob, max_files_per_trigger=max_files_per_trigger
     ).select("user_id", "ts", "value")
-    sessions = stream.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
-    )
+    key_buckets = _resolve_key_buckets(key_buckets)
+    if key_buckets is None:
+        sessions = stream.groupBy("user_id").applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    else:
+        bstate = (
+            "users array<long>, s0s array<long>, s1s array<long>, "
+            "ns array<long>, vs array<double>"
+        )
+        sessions = (
+            stream.withColumn(
+                "bucket", F.pmod("user_id", F.lit(key_buckets)).cast("int")
+            )
+            .groupBy("bucket")
+            .applyInPandasWithState(
+                fn_b, out_schema, bstate, "update", GroupStateTimeout.NoTimeout
+            )
+        )
     return _snapshot(spark, sessions, "update", "sessionize_stateful_out")
 
 
@@ -591,6 +685,7 @@ def run_ewma_stateful(
     alpha: float = 0.1,
     path_glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    key_buckets: int | None | str = "auto",
 ) -> DataFrame:
     """Streaming EWMA via ``applyInPandasWithState`` — the unbounded-
     history path the batch fold (plans/roster_analytics.q_ewma) documents:
@@ -605,39 +700,104 @@ def run_ewma_stateful(
     provisional (user_id, n_events, ewma) row per batch; the row with the
     largest n_events per user is final. Same in-order-arrival horizon as
     run_sessionize_stateful.
+
+    ``key_buckets``: the KEY-COARSENED layout (round-9 floor attack).
+    The r8 profiling chunk proved the family's cost is ~3 ms per KEY of
+    state-store round-trip + Arrow group marshalling, not the per-event
+    fold — so with N keys the plumbing bill is N·3 ms per micro-batch
+    regardless of data. Setting ``key_buckets=B`` re-keys the state by
+    ``pmod(user_id, B)`` and stores the bucket's users as parallel
+    arrays (user_ids, accs, ns); the fold loops its users inside ONE
+    pandas group, amortizing the per-invocation constant across
+    ~N/B users. Per-user fold order, float sequence, and emitted rows
+    are IDENTICAL to the per-key layout (parity pinned in
+    tests/test_streaming.py); only the state keying changes. Tradeoff:
+    per-bucket state round-trips grow with N/B (arrays serialized per
+    batch), and a bucket is the unit of fold parallelism — size B ≥
+    cores, ≪ N. Measured verdict lives in SCALING.md (round 9).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "user_id long, n_events long, ewma double"
-    state_schema = "acc double, n long"
-
-    def fn(key, pdfs, state: GroupState):
-        if state.hasTimedOut:
-            acc, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "ewma": [acc]}
-            )
-            return
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        if state.exists:
-            acc, n = state.get
-        else:
-            acc, n = None, 0
-        for v in rows["value"]:
-            x = float(v)
-            acc = x if acc is None else alpha * x + (1.0 - alpha) * acc
-            n += 1
-        state.update((acc, n))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "ewma": [acc]}
-        )
-
     stream = _events_stream(
         spark, sf_dir, path_glob=path_glob, max_files_per_trigger=max_files_per_trigger
     ).select("user_id", "ts", "event_id", "value")
-    ewma = stream.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+
+    key_buckets = _resolve_key_buckets(key_buckets)
+    if key_buckets is None:
+        state_schema = "acc double, n long"
+
+        def fn(key, pdfs, state: GroupState):
+            if state.hasTimedOut:
+                acc, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n_events": [n], "ewma": [acc]}
+                )
+                return
+            rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+            if state.exists:
+                acc, n = state.get
+            else:
+                acc, n = None, 0
+            for v in rows["value"]:
+                x = float(v)
+                acc = x if acc is None else alpha * x + (1.0 - alpha) * acc
+                n += 1
+            state.update((acc, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "ewma": [acc]}
+            )
+
+        ewma = stream.groupBy("user_id").applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+        return _snapshot(spark, ewma, "update", "ewma_stateful_out")
+
+    state_schema = "users array<long>, accs array<double>, ns array<long>"
+
+    def fn_b(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(
+            ["user_id", "ts", "event_id"]
+        )
+        if state.exists:
+            users, accs, ns = state.get
+            st = {
+                int(u): (a, int(n)) for u, a, n in zip(users, accs, ns)
+            }
+        else:
+            st = {}
+        out_u: list[int] = []
+        out_n: list[int] = []
+        out_e: list[float] = []
+        for uid, grp in rows.groupby("user_id", sort=True):
+            uid = int(uid)
+            acc, n = st.get(uid, (None, 0))
+            for v in grp["value"]:  # ts-sorted within user by the sort
+                x = float(v)
+                acc = x if acc is None else alpha * x + (1.0 - alpha) * acc
+                n += 1
+            st[uid] = (acc, n)
+            out_u.append(uid)
+            out_n.append(n)
+            out_e.append(acc)
+        keys = sorted(st)
+        state.update(
+            (
+                keys,
+                [st[u][0] for u in keys],
+                [st[u][1] for u in keys],
+            )
+        )
+        yield pd.DataFrame(
+            {"user_id": out_u, "n_events": out_n, "ewma": out_e}
+        )
+
+    bucketed = stream.withColumn(
+        "bucket", F.pmod("user_id", F.lit(key_buckets)).cast("int")
+    )
+    ewma = bucketed.groupBy("bucket").applyInPandasWithState(
+        fn_b, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
     return _snapshot(spark, ewma, "update", "ewma_stateful_out")
 
@@ -650,6 +810,7 @@ def run_zscore_stateful(
     threshold: float = 2.5,
     path_glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    key_buckets: int | None | str = "auto",
 ) -> DataFrame:
     """Streaming rolling z-score anomalies via ``applyInPandasWithState``
     — the streaming twin of plans/roster_analytics.q_anomaly_zscore with
@@ -672,15 +833,10 @@ def run_zscore_stateful(
     out_schema = "event_id long, user_id long, zscore double"
     state_schema = "buf array<bigint>"
 
-    def fn(key, pdfs, state: GroupState):
-        if state.hasTimedOut:
-            state.remove()
-            yield pd.DataFrame({"event_id": [], "user_id": [], "zscore": []})
-            return
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        buf = list(state.get[0]) if state.exists else []
-        out_ids, out_z = [], []
-        for eid, v in zip(rows["event_id"], rows["value"]):
+    def fold_user(eids, vals, buf, out_ids, out_z):
+        """One user's ring-buffer fold — shared verbatim by both state
+        layouts; returns the trimmed buffer."""
+        for eid, v in zip(eids, vals):
             c = math.floor(float(v) * 100 + 0.5)
             n = len(buf)
             if n >= min_n:
@@ -696,6 +852,17 @@ def run_zscore_stateful(
             buf.append(c)
             if len(buf) > window:
                 buf = buf[-window:]
+        return buf
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"event_id": [], "user_id": [], "zscore": []})
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        buf = list(state.get[0]) if state.exists else []
+        out_ids, out_z = [], []
+        buf = fold_user(rows["event_id"], rows["value"], buf, out_ids, out_z)
         state.update((buf,))
         yield pd.DataFrame(
             {
@@ -705,12 +872,67 @@ def run_zscore_stateful(
             }
         )
 
+    def fn_b(key, pdfs, state: GroupState):
+        # key-coarsened layout (see run_ewma_stateful): flattened ring
+        # buffers — (users, offsets, cents) — since the state row must
+        # stay a flat Arrow struct; user u's buffer is
+        # cents[offsets[i] : offsets[i+1]] for users[i] == u
+        rows = pd.concat(list(pdfs)).sort_values(
+            ["user_id", "ts", "event_id"]
+        )
+        if state.exists:
+            users, offs, cents = state.get
+            st = {
+                int(u): list(cents[offs[i] : offs[i + 1]])
+                for i, u in enumerate(users)
+            }
+        else:
+            st = {}
+        out_ids: list[int] = []
+        out_us: list[int] = []
+        out_z: list[float] = []
+        for uid, grp in rows.groupby("user_id", sort=True):
+            uid = int(uid)
+            ids: list[int] = []
+            zs: list[float] = []
+            st[uid] = fold_user(
+                grp["event_id"], grp["value"], st.get(uid, []), ids, zs
+            )
+            out_ids.extend(ids)
+            out_us.extend([uid] * len(ids))
+            out_z.extend(zs)
+        keys = sorted(st)
+        offsets = [0]
+        flat: list[int] = []
+        for u in keys:
+            flat.extend(st[u])
+            offsets.append(len(flat))
+        state.update((keys, offsets, flat))
+        yield pd.DataFrame(
+            {"event_id": out_ids, "user_id": out_us, "zscore": out_z}
+        )
+
     stream = _events_stream(
         spark, sf_dir, path_glob=path_glob, max_files_per_trigger=max_files_per_trigger
     ).select("user_id", "ts", "event_id", "value")
-    anomalies = stream.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-    )
+    key_buckets = _resolve_key_buckets(key_buckets)
+    if key_buckets is None:
+        anomalies = stream.groupBy("user_id").applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    else:
+        bstate = (
+            "users array<long>, offsets array<long>, cents array<long>"
+        )
+        anomalies = (
+            stream.withColumn(
+                "bucket", F.pmod("user_id", F.lit(key_buckets)).cast("int")
+            )
+            .groupBy("bucket")
+            .applyInPandasWithState(
+                fn_b, out_schema, bstate, "append", GroupStateTimeout.NoTimeout
+            )
+        )
     return _snapshot(spark, anomalies, "append", "zscore_stateful_out")
 
 
@@ -722,6 +944,7 @@ def run_stream_near_dup(
     band_width: int = 2,
     chunk_order: list[int] | None = None,
     occupant: str = "min_id",
+    key_buckets: int | None | str = "auto",
 ) -> DataFrame:
     """Streaming ingest-time NEAR-duplicate detection — MinHash-LSH
     banding under real cross-batch ``GroupState`` (SURVEY §2.I × the
@@ -775,7 +998,15 @@ def run_stream_near_dup(
     Scale: the only shuffle keys band rows by (band_idx, band_hash) —
     bucket count grows with the corpus, so no bucket ever concentrates;
     state is one long per occupied bucket; per-doc work is O(bands).
-    No corpus self-join exists anywhere in the plan.
+    No corpus self-join exists anywhere in the plan. ``key_buckets``
+    ("auto" default) applies the round-9 key-coarsened state layout:
+    occupied buckets are corpus-scaled (2M at the 100× replica), so
+    per-KEY GroupState pays the ~3 ms/key plumbing constant per bucket
+    per batch — coarse groups of ~buckets/B fold in one invocation and
+    drop the run to the signature-compute floor (measured 150 s →
+    ~floor at 100×, SCALING.md round 9). ``key_buckets=None`` restores
+    the per-key layout (identical flags — parity in tests); see the
+    in-code comment for the trickle-stream tradeoff.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -923,13 +1154,75 @@ def run_stream_near_dup(
             }
         )
 
-    flags = bands.groupBy("band_idx", "bh").applyInPandasWithState(
-        fn,
-        "doc_id long, band_idx int, hit int",
-        "min_id long",
-        "update",
-        GroupStateTimeout.NoTimeout,
-    )
+    def fn_c(key, pdfs, state: GroupState):
+        # key-coarsened layout: this group's occupied buckets live as
+        # parallel arrays ("band|hash" composite, occupant doc_id); the
+        # fold keys on the EXACT strings, so the xxhash64 coarse key is
+        # pure partitioning — a 64-bit collision can never merge two
+        # buckets, only co-locate them
+        rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        if state.exists:
+            bks, occs = state.get
+            st = dict(zip(bks, (int(o) for o in occs)))
+        else:
+            st = {}
+        ids, bidx, hits = [], [], []
+        for did, bi, bh in zip(rows["doc_id"], rows["band_idx"], rows["bh"]):
+            did = int(did)
+            bk = f"{bi}|{bh}"
+            cur = st.get(bk)
+            ids.append(did)
+            bidx.append(int(bi))
+            if first_arrival:
+                hits.append(1 if cur is not None else 0)
+                if cur is None:
+                    st[bk] = did
+            else:
+                hits.append(1 if (cur is not None and cur < did) else 0)
+                if cur is None or did < cur:
+                    st[bk] = did
+        keys = list(st)
+        state.update((keys, [st[k] for k in keys]))
+        yield pd.DataFrame(
+            {"doc_id": ids, "band_idx": bidx, "hit": hits}
+        )
+
+    key_buckets = _resolve_key_buckets(key_buckets, state_partitions=32)
+    if key_buckets is None:
+        flags = bands.groupBy("band_idx", "bh").applyInPandasWithState(
+            fn,
+            "doc_id long, band_idx int, hit int",
+            "min_id long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    else:
+        # Coarse-group the corpus-scaled bucket space: per-KEY GroupState
+        # pays the ~3 ms/key plumbing constant per OCCUPIED bucket per
+        # batch (2M buckets at the 100× replica ≈ 150 s measured r9 —
+        # the honest re-measurement that replaced r8's stale 7.3×);
+        # folding ~buckets/B buckets per invocation drops that to the
+        # signature-compute floor. Horizon: a coarse group re-serializes
+        # its whole bucket array per touched batch, the right trade for
+        # bulk ingest (every batch touches most groups anyway) — a
+        # trickle stream that touches few buckets per batch would prefer
+        # key_buckets=None, whose state traffic is O(touched keys).
+        flags = (
+            bands.withColumn(
+                "cg",
+                F.pmod(F.xxhash64("band_idx", "bh"), F.lit(key_buckets)).cast(
+                    "int"
+                ),
+            )
+            .groupBy("cg")
+            .applyInPandasWithState(
+                fn_c,
+                "doc_id long, band_idx int, hit int",
+                "bks array<string>, occs array<long>",
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
     # state partitions sized UP for this op: its key count is
     # corpus-scaled (docs × bands — ~20k mostly-singleton buckets at
     # sf0.1, vs ~150 users for the events runners), so the per-key fn

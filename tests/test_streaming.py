@@ -163,3 +163,101 @@ def test_stream_near_dup_empty_table_chunked(spark, tmp_path):
         "band_idx",
         "hit",
     ]
+
+
+def _write_event_batches(tmp_path):
+    """Three single-file micro-batches with users interleaved ACROSS
+    batches, so the key-coarsened layouts must genuinely restore and
+    re-serialize per-user state between invocations."""
+    import os
+    import time
+
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-03-01 10:00:00")
+    rows_by_batch = [[], [], []]
+    eid = 0
+    for u in range(7):
+        for k in range(14):
+            b = (u + k) % 3
+            # steady ~50-cent values with one huge spike late enough
+            # that the zscore ring buffer has >= min_n history
+            v = 500.0 if k == 12 else 50.0 + float((u * 37 + k * 11) % 7)
+            rows_by_batch[b].append(
+                (
+                    eid,
+                    u,
+                    "view",
+                    t0 + pd.Timedelta(minutes=40 * k + u),
+                    v,
+                )
+            )
+            eid += 1
+    base = time.time()
+    for i, rows in enumerate(rows_by_batch):
+        # within a batch, keep event-time order non-decreasing per user
+        rows.sort(key=lambda r: (r[3], r[0]))
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        path = str(tmp_path / f"ev_{i:02d}.parquet")
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (base + i, base + i))
+    return str(tmp_path)
+
+
+def test_key_batched_state_layout_matches_per_key(spark, tmp_path):
+    """key_buckets (state keyed by pmod(user, B), per-user folds looped
+    inside one pandas group) must emit EXACTLY the per-key layout's
+    rows across multiple micro-batches — same fold order, same float
+    sequence, same provisional-row cadence — for all three stateful
+    runners. The layout exists purely to amortize the measured ~3 ms
+    per-key state plumbing (SCALING.md round 9)."""
+    from review_engine_spark.streaming import jobs
+
+    sf_dir = _write_event_batches(tmp_path)
+    kw = {"path_glob": "ev_*.parquet", "max_files_per_trigger": 1}
+
+    def rows(df, cols):
+        return sorted(
+            tuple(r[c] for c in cols) for r in df.collect()
+        )
+
+    for fn, cols in [
+        (jobs.run_ewma_stateful, ["user_id", "n_events", "ewma"]),
+        (
+            jobs.run_sessionize_stateful,
+            [
+                "user_id",
+                "session_start",
+                "session_end",
+                "n_events",
+                "total_v",
+            ],
+        ),
+        (jobs.run_zscore_stateful, ["event_id", "user_id", "zscore"]),
+    ]:
+        per_key = rows(fn(spark, sf_dir, **kw), cols)
+        batched = rows(fn(spark, sf_dir, key_buckets=3, **kw), cols)
+        assert per_key == batched, fn.__name__
+        assert per_key, fn.__name__  # non-vacuous
+
+
+def test_stream_near_dup_coarse_state_matches_per_key(spark, sf_dir):
+    """The key-coarsened bucket-state layout (default) must flag
+    exactly the per-key layout's (doc, band) hits — including across
+    micro-batches, where a coarse group restores and re-serializes its
+    whole bucket array."""
+    from review_engine_spark.streaming.jobs import run_stream_near_dup
+
+    def agg(df):
+        return {
+            (r["doc_id"], r["band_idx"]): r["hit"] for r in df.collect()
+        }
+
+    per_key = agg(run_stream_near_dup(spark, sf_dir, key_buckets=None))
+    coarse = agg(run_stream_near_dup(spark, sf_dir))
+    chunked = agg(run_stream_near_dup(spark, sf_dir, n_chunks=3))
+    assert per_key == coarse == chunked
+    assert sum(per_key.values()) > 0

@@ -117,16 +117,40 @@ def main() -> int:
         print(f"\n## state partitions = {parts}", flush=True)
         timed("A scan-floor ", scan_floor)
         timed("B state-noop ", state_noop)
+        # per-key = the canonical one-GroupState-entry-per-user layout;
+        # kb=N / auto = the round-9 key-coarsened layout (identical
+        # output, state keyed by pmod(user, N))
         timed(
-            "C ewma fold  ",
-            lambda: jobs.run_ewma_stateful(spark, args.sf_dir),
+            "C ewma per-key",
+            lambda: jobs.run_ewma_stateful(
+                spark, args.sf_dir, key_buckets=None
+            ),
+        )
+        for kb in (128, 512):
+            timed(
+                f"C2 ewma kb={kb:<4}",
+                lambda kb=kb: jobs.run_ewma_stateful(
+                    spark, args.sf_dir, key_buckets=kb
+                ),
+            )
+        timed(
+            "D sessionize per-key",
+            lambda: jobs.run_sessionize_stateful(
+                spark, args.sf_dir, key_buckets=None
+            ),
         )
         timed(
-            "D sessionize ",
+            "D2 sessionize auto",
             lambda: jobs.run_sessionize_stateful(spark, args.sf_dir),
         )
         timed(
-            "E zscore     ",
+            "E zscore per-key",
+            lambda: jobs.run_zscore_stateful(
+                spark, args.sf_dir, key_buckets=None
+            ),
+        )
+        timed(
+            "E2 zscore auto",
             lambda: jobs.run_zscore_stateful(spark, args.sf_dir),
         )
     return 0
