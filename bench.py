@@ -173,11 +173,16 @@ def main() -> int:
     canary_drift = round(canary_end / max(canary_start, 1e-9), 2)
 
     # Per-query drift correction: a query between checkpoints (a, b) is
-    # scaled by c0 / mean(c_a, c_b); median3-replaced entries were
+    # scaled by c_ref / mean(c_a, c_b), where c_ref is the MEDIAN canary
+    # across the whole sweep — the reference must be the sweep's typical
+    # machine speed, not canary_start (the first full run of the new
+    # scheme started ~25% slow and a start-anchored correction inflated
+    # every query by that anomaly). median3-replaced entries were
     # re-measured AFTER the sweep, so they scale by the post-sweep
     # bracket (last checkpoint, canary_end).
     corrected: dict[str, float] = {}
-    c0 = max(canary_start, 1e-9)
+    all_canaries = [c for _, c in checkpoints] + [canary_end]
+    c_ref = max(sorted(all_canaries)[len(all_canaries) // 2], 1e-9)
     post_sweep = (checkpoints[-1][1] + canary_end) / 2.0
     for name, raw in timings.items():
         if name in median3:
@@ -192,7 +197,7 @@ def main() -> int:
                 seg = canary_end  # subset runs: single end bracket
             else:
                 seg = (checkpoints[hi - 1][1] + checkpoints[hi][1]) / 2.0
-        corrected[name] = round(raw * c0 / max(seg, 1e-9), 3)
+        corrected[name] = round(raw * c_ref / max(seg, 1e-9), 3)
 
     m = re.search(r"sf([0-9.]+)", args.sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -223,6 +228,7 @@ def main() -> int:
         "drift_corrected_sec_per_query": round(
             sum(corrected.values()) / max(len(corrected), 1), 3
         ),
+        "canary_median_s": round(c_ref, 3),
     }
     # subset invocations (explicit query args) must not clobber the
     # full-roster sidecar the driver/analysis reads. The sidecar also
