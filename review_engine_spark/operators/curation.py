@@ -32,6 +32,7 @@ __all__ = [
     "top_tokens",
     "span_dedup",
     "substring_dedup",
+    "substring_dedup_apply",
     "boilerplate_flags",
     "semantic_dedup",
 ]
@@ -387,5 +388,81 @@ def substring_dedup(
             F.coalesce("n_cut_tokens", F.lit(0))
             .cast("long")
             .alias("n_cut_tokens"),
+        )
+    )
+
+
+def substring_dedup_apply(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+) -> DataFrame:
+    """The APPLY half of ``substring_dedup`` — actually scrub the
+    duplicated intervals: every token covered by a non-canonical
+    ≥``width``-token repeat is removed and the document reassembled
+    from the survivors (first occurrence keeps its text intact).
+    Returns (id, n_tokens, n_kept, text_dedup); docs whose every token
+    is cut (or that had none) keep an empty string.
+
+    Plan: the detect pass's dup occurrences (sparse residue) explode to
+    cut positions (``width`` rows per dup occurrence — linear in the
+    DUPLICATED volume, not the corpus), anti-joined against the token
+    stream, then one ordered per-doc reassembly. Same scale shape as
+    ``span_dedup``'s reassembly, with sliding-window resolution.
+    """
+    from review_engine_spark.operators.chunking import chunk_tokens
+
+    base = docs.select(
+        F.col(id_col), chunk_tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    n_sh = F.col("n") - (width - 1)
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ex = base.select(
+        F.col(id_col), "toks", F.posexplode(idx).alias("_i", "pos")
+    )
+    sh = ex.select(
+        id_col,
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), width))).alias(
+            "h"
+        ),
+    )
+    wh = Window.partitionBy("h").orderBy(id_col, "pos")
+    dup = (
+        sh.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") >= 2)
+        .select(id_col, "pos")
+    )
+    cutpos = dup.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (width - 1))
+        ).alias("tpos"),
+    ).distinct()
+    tok = base.select(
+        F.col(id_col), F.posexplode("toks").alias("_p", "token")
+    ).select(id_col, (F.col("_p") + 1).alias("tpos"), "token")
+    kept = tok.join(cutpos, [id_col, "tpos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "token"))),
+                lambda s: s.token,
+            ),
+        ).alias("text_dedup"),
+    )
+    return (
+        base.select(id_col, F.col("n").cast("long").alias("n_tokens"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
     )

@@ -975,3 +975,130 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_parquet_table(spark, sf_dir, "documents")
     return substring_dedup(docs, "text", "doc_id", width=16)
+
+
+@declared(
+    oracle=rf"""
+    WITH b AS (
+        SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(toks[i:i + 15], ' ')) AS h
+        FROM b, UNNEST(range(1, n - 16 + 2)) AS u(i)
+        WHERE n >= 16
+    ),
+    d AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM sh
+    ),
+    dup AS (SELECT doc_id, pos FROM d WHERE rn >= 2),
+    cutpos AS (
+        SELECT DISTINCT doc_id, pos + i AS tpos
+        FROM dup, UNNEST(range(0, 16)) AS g(i)
+    ),
+    tok AS (
+        SELECT doc_id, generate_subscripts(toks, 1) AS tpos,
+               unnest(toks) AS token
+        FROM b
+    ),
+    kept AS (
+        SELECT t.doc_id, t.tpos, t.token
+        FROM tok t LEFT JOIN cutpos c
+          ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+        WHERE c.tpos IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(token, ' ' ORDER BY tpos) AS text_dedup
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(a.text_dedup, '') AS text_dedup
+    FROM b LEFT JOIN agg a USING (doc_id)
+    """
+)
+def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of q_substring_dedup: remove every token covered
+    by a non-canonical >=16-token repeated interval and reassemble each
+    document from the survivors — the detect->apply closure for
+    substring-level dedup (dedup, contamination, and the BPE tokenizer
+    already have theirs)."""
+    from review_engine_spark.operators.curation import substring_dedup_apply
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return substring_dedup_apply(docs, "text", "doc_id", width=16)
+
+
+@declared(
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+        FROM t, UNNEST(range(1, len(toks))) AS u(i)
+    ),
+    cab AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bg GROUP BY a, b
+    ),
+    un AS (
+        SELECT tok AS a, CAST(count(*) AS BIGINT) AS ca
+        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+    ),
+    vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM un)
+    SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((cab.cab + 1) / (un.ca + vv.v))), 6)
+               AS bigram_logprob
+    FROM bg JOIN cab USING (a, b) JOIN un USING (a), vv
+    GROUP BY bg.doc_id
+    """
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy (the CCNet-style LM quality filter):
+    per-doc mean log of the add-1-smoothed corpus bigram probability
+    p(b|a) = (c_ab + 1) / (c_a + V) — exact integer counts, one log at
+    the end; docs with <2 tokens emit no row. The n-gram upgrade of
+    q_unigram_logprob's filter."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select("doc_id", toks.alias("toks"))
+    tail = F.slice(
+        "toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))
+    )
+    head = F.slice(
+        "toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))
+    )
+    pairs = base.select(
+        "doc_id", F.explode(F.arrays_zip(head, tail)).alias("p")
+    ).select("doc_id", F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    cab = pairs.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("cab")
+    )
+    un = (
+        base.select(F.explode("toks").alias("a"))
+        .groupBy("a")
+        .agg(F.count("*").cast("long").alias("ca"))
+    )
+    vocab_n = un.agg(F.count("*").cast("long").alias("v"))
+    scored = (
+        # bigram/unigram tables are corpus-scaled — no forced
+        # broadcast; AQE converts when actually small
+        pairs.join(cab.hint("shuffle_hash"), ["a", "b"])
+        .join(un.hint("shuffle_hash"), "a")
+        .crossJoin(F.broadcast(vocab_n))  # D7: 1-row scalar aggregate
+        .select(
+            "doc_id",
+            F.log((F.col("cab") + 1) / (F.col("ca") + F.col("v"))).alias(
+                "_lp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("bigram_logprob"),
+    )

@@ -408,3 +408,30 @@ def test_substring_dedup_runs_and_first_occurrence_survives(spark):
     # second occurrence rank 3 — dup positions 1,2,3 and 8,9,10 with a
     # gap of 5 > width → two separate 6-token runs
     assert got[3] == (13, 2, 12)
+
+
+def test_substring_scrub_reconstructs_survivors(spark):
+    """Apply semantics on the hand corpus: the canonical copy keeps its
+    full text, the later twin loses exactly the duplicated run, and the
+    sub-width overlap doc is untouched. A doc that is ENTIRELY one
+    duplicated run scrubs to the empty string."""
+    from review_engine_spark.operators.curation import substring_dedup_apply
+
+    run = "w1 w2 w3 w4 w5 w6"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{run} tail0 tail1"),
+            (1, f"head0 head1 {run}"),
+            (2, "w1 w2 w3 other tokens here"),
+            (3, run),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["text_dedup"])
+        for r in substring_dedup_apply(docs, width=4).collect()
+    }
+    assert got[0] == (8, 8, f"{run} tail0 tail1")
+    assert got[1] == (8, 2, "head0 head1")
+    assert got[2] == (6, 6, "w1 w2 w3 other tokens here")
+    assert got[3] == (6, 0, "")
