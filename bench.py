@@ -95,10 +95,10 @@ def main() -> int:
     # 0.83 — the HOST slowed ~17% mid-run, inflating the headline vs the
     # builder's uncontended close-of-round run with no code change. The
     # checkpoints localize WHEN the machine speed changed, so each
-    # query's timing can be re-expressed at canary_start speed:
-    # corrected = raw · c0 / (mean of its bracketing canaries). The
-    # correction is reported ALONGSIDE the raw total, never instead of
-    # it (sidecar: drift-corrected per-query map + checkpoint list).
+    # query's timing can be re-expressed at a FIXED reference speed:
+    # corrected = raw · CANARY_REF_S / (mean of its bracketing canaries).
+    # The correction is reported ALONGSIDE the raw total, never instead
+    # of it (sidecar: drift-corrected per-query map + checkpoint list).
     checkpoints: list[tuple[int, float]] = [(0, canary_start)]
 
     timings: dict[str, float] = {}
@@ -173,16 +173,20 @@ def main() -> int:
     canary_drift = round(canary_end / max(canary_start, 1e-9), 2)
 
     # Per-query drift correction: a query between checkpoints (a, b) is
-    # scaled by c_ref / mean(c_a, c_b), where c_ref is the MEDIAN canary
-    # across the whole sweep — the reference must be the sweep's typical
-    # machine speed, not canary_start (the first full run of the new
-    # scheme started ~25% slow and a start-anchored correction inflated
-    # every query by that anomaly). median3-replaced entries were
-    # re-measured AFTER the sweep, so they scale by the post-sweep
-    # bracket (last checkpoint, canary_end).
+    # scaled by CANARY_REF_S / mean(c_a, c_b). r9 normalized to the
+    # run's OWN median canary, which made the "corrected" numbers of two
+    # runs of the same code incomparable (driver 1.064 vs builder 0.861
+    # s/q — different rulers; VERDICT r9 item 1). The reference is now a
+    # FIXED constant recorded once: the best-observed warm canary on the
+    # round-9 driver host (checkpoints bottomed at 1.319-1.435 s across
+    # the driver sweep and the builder's uncontended run). Every run —
+    # driver or builder, contended or not — now normalizes to the same
+    # ruler, so corrected headlines are cross-run comparable.
+    # median3-replaced entries were re-measured AFTER the sweep, so they
+    # scale by the post-sweep bracket (last checkpoint, canary_end).
+    CANARY_REF_S = 1.35
     corrected: dict[str, float] = {}
-    all_canaries = [c for _, c in checkpoints] + [canary_end]
-    c_ref = max(sorted(all_canaries)[len(all_canaries) // 2], 1e-9)
+    c_ref = CANARY_REF_S
     post_sweep = (checkpoints[-1][1] + canary_end) / 2.0
     for name, raw in timings.items():
         if name in median3:
@@ -228,7 +232,7 @@ def main() -> int:
         "drift_corrected_sec_per_query": round(
             sum(corrected.values()) / max(len(corrected), 1), 3
         ),
-        "canary_median_s": round(c_ref, 3),
+        "canary_ref_s": c_ref,  # FIXED cross-run ruler (see comment above)
     }
     # subset invocations (explicit query args) must not clobber the
     # full-roster sidecar the driver/analysis reads. The sidecar also

@@ -287,11 +287,110 @@ def unigram_logprob(
     )
 
 
+def _substring_base(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Tokenized corpus shared by the substring family: (id, toks, n).
+    Narrow (no shuffle) — cheap to recompute per caller."""
+    from review_engine_spark.operators.chunking import chunk_tokens
+
+    return docs.select(
+        F.col(id_col), chunk_tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+
+
+def substring_dup_occurrences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    hasher: str = "md5",
+) -> DataFrame:
+    """Shared detect core of the substring-dedup family — the ONE
+    corpus-scaled stage, factored out so detect → scrub (the normal
+    pipeline order) pays the shingle stream and its shuffle once
+    instead of twice (VERDICT r9 item 2): both ``substring_dedup`` and
+    ``substring_dedup_apply`` accept this frame as an optional input.
+
+    Returns (id, pos): every NON-canonical occurrence of a
+    ``width``-token sliding window (stride 1) — the sparse duplicated
+    residue. Canonical = the globally first (doc_id, pos) occurrence of
+    each window's exact text.
+
+    ``hasher`` selects the shuffle key:
+
+    - ``"md5"`` — 128-bit key of the space-joined window; collision
+      odds are negligible at any corpus size, and DuckDB computes the
+      identical string, so this form IS the oracle (cross-engine
+      convention of the md5 family).
+    - ``"xxhash64"`` — the 100 TB production path the md5 docstring
+      promised: 8-byte shuffle keys (vs 32-hex-char md5 strings — ~4×
+      less shuffle width on the key column) plus a collision RECHECK.
+      At ~10¹² windows, birthday collisions in 64 bits are expected in
+      the thousands, so candidates cannot be trusted blindly: every
+      rank ≥ 2 occurrence re-joins (with its rank-1 canonical) back to
+      the token stream — a join bounded by the sparse residue, not the
+      corpus — and survives only if the actual ``width``-token windows
+      are equal. The recheck is one-sided by construction: a collision
+      can only DROP a candidate (never cut a non-duplicate); a true
+      duplicate is missed only when its window collides with an
+      earlier DIFFERENT string under the same 64-bit key
+      (~n_distinct/2⁶⁴ per window — vanishing). Equality of outputs on
+      collision-free corpora is pinned in tests/test_curation.py.
+    """
+    base = _substring_base(docs, text_col, id_col)
+    # posexplode-of-indices + slice of the MATERIALIZED token array —
+    # the shingle_hash_rows narrow form. (A transform() lambda here
+    # collapses the tokenizer INTO the per-element expression — the
+    # measured O(n²)-per-doc HOF hazard, NOTES.md.)
+    n_sh = F.col("n") - (width - 1)
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ex = base.select(
+        F.col(id_col), "toks", F.posexplode(idx).alias("_i", "pos")
+    )
+    win_str = F.concat_ws(" ", F.slice("toks", F.col("pos"), width))
+    if hasher == "md5":
+        key = F.md5(win_str)
+    elif hasher == "xxhash64":
+        key = F.xxhash64(win_str)
+    else:
+        raise ValueError(f"hasher must be 'md5' or 'xxhash64': {hasher!r}")
+    sh = ex.select(id_col, "pos", key.alias("h"))
+    wh = Window.partitionBy("h").orderBy(id_col, "pos")
+    occ = sh.withColumn("rn", F.row_number().over(wh))
+    if hasher == "md5":
+        return occ.filter(F.col("rn") >= 2).select(id_col, "pos")
+    # xxhash64 collision recheck: candidates + their canonicals (sparse
+    # residue) re-fetch their window text via one join back to the
+    # corpus on id — corpus-linear scan, but the shuffled side is the
+    # residue, never the full shingle stream.
+    cand = occ.filter(F.col("rn") >= 2).select(id_col, "pos", "h")
+    canon = occ.filter(F.col("rn") == 1).join(
+        cand.select("h").distinct(), "h", "left_semi"
+    )
+    toks = base.select(id_col, "toks")
+    cand_txt = cand.join(toks, id_col).select(
+        id_col, "pos", "h", win_str.alias("_w")
+    )
+    canon_txt = canon.join(toks, id_col).select(
+        "h", win_str.alias("_w0")
+    )
+    return (
+        cand_txt.join(canon_txt, "h")
+        .filter(F.col("_w") == F.col("_w0"))
+        .select(id_col, "pos")
+    )
+
+
 def substring_dedup(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     width: int = 16,
+    hasher: str = "md5",
+    dup: DataFrame | None = None,
 ) -> DataFrame:
     """Substring-level exact dedup signal — the sliding-shingle version
     of the public "Deduplicating Training Data Makes Language Models
@@ -305,8 +404,9 @@ def substring_dedup(
 
     1. every ``width``-token SLIDING window (stride 1) is hashed
        (md5 of the space-joined tokens — the md5 family's
-       cross-engine convention; at 100 TB swap in ``xxhash64`` +
-       collision recheck exactly as ``span_dedup`` documents);
+       cross-engine convention; ``hasher="xxhash64"`` selects the
+       built production path: 8-byte keys + collision recheck, see
+       ``substring_dup_occurrences``);
     2. per hash, occurrences rank by (doc_id, pos) — rank 1 is the
        surviving canonical copy, every rank ≥ 2 is a dup occurrence
        (rank ≥ 2 implies global count ≥ 2, so no separate count);
@@ -321,42 +421,25 @@ def substring_dedup(
 
     Scale shape: the shingle stream is corpus-linear (one row per
     token position, never a self-join); the only corpus-scaled shuffle
-    keys by the 128-bit shingle hash (cardinality grows with the data
-    — the blocked-self-join scale rule); dup occurrences are a sparse
+    keys by the shingle hash (cardinality grows with the data — the
+    blocked-self-join scale rule); dup occurrences are a sparse
     residue, so the per-doc run-merge windows are tiny. Suffix-array
     exactness (arbitrary-length matches) is the paper's single-node
-    luxury; ``width``-resolution shingles are the distributed
-    equivalent, detecting every duplicated run of ≥ width tokens.
-    """
-    from review_engine_spark.operators.chunking import chunk_tokens
+    luxury; stride-1 ``width``-shingles are the distributed
+    equivalent: they detect every duplicated run of ≥ width tokens AND
+    cover it token-exactly (the run's L−width+1 interior windows are
+    each duplicated, so coverage = the full L tokens — boundary
+    exactness pinned at a 23-token span in tests/test_curation.py);
+    the only inexactness class is runs SHORTER than width, which
+    survive whole (the resolution floor any shingle scheme has).
 
-    base = docs.select(
-        F.col(id_col), chunk_tokens(F.col(text_col)).alias("toks")
-    ).withColumn("n", F.size("toks"))
-    # posexplode-of-indices + slice of the MATERIALIZED token array —
-    # the shingle_hash_rows narrow form. (A transform() lambda here
-    # collapses the tokenizer INTO the per-element expression — the
-    # measured O(n²)-per-doc HOF hazard, NOTES.md.)
-    n_sh = F.col("n") - (width - 1)
-    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
-        F.array().cast("array<int>")
-    )
-    ex = base.select(
-        F.col(id_col), "toks", F.posexplode(idx).alias("_i", "pos")
-    )
-    sh = ex.select(
-        id_col,
-        "pos",
-        F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), width))).alias(
-            "h"
-        ),
-    )
-    wh = Window.partitionBy("h").orderBy(id_col, "pos")
-    dup = (
-        sh.withColumn("rn", F.row_number().over(wh))
-        .filter(F.col("rn") >= 2)
-        .select(id_col, "pos")
-    )
+    ``dup`` (optional) injects a precomputed
+    ``substring_dup_occurrences`` frame so a detect → scrub pipeline
+    pays the corpus shuffle once; ``hasher`` is forwarded otherwise.
+    """
+    base = _substring_base(docs, text_col, id_col)
+    if dup is None:
+        dup = substring_dup_occurrences(docs, text_col, id_col, width, hasher)
     wd = Window.partitionBy(id_col).orderBy("pos")
     isl = dup.withColumn(
         "new_run",
@@ -397,6 +480,8 @@ def substring_dedup_apply(
     text_col: str = "text",
     id_col: str = "doc_id",
     width: int = 16,
+    hasher: str = "md5",
+    dup: DataFrame | None = None,
 ) -> DataFrame:
     """The APPLY half of ``substring_dedup`` — actually scrub the
     duplicated intervals: every token covered by a non-canonical
@@ -410,32 +495,14 @@ def substring_dedup_apply(
     DUPLICATED volume, not the corpus), anti-joined against the token
     stream, then one ordered per-doc reassembly. Same scale shape as
     ``span_dedup``'s reassembly, with sliding-window resolution.
+    Stride-1 windows make the cut token-exact for every duplicated run
+    ≥ width tokens (see ``substring_dedup``'s scale note); pass a
+    persisted ``substring_dup_occurrences`` frame as ``dup`` to share
+    the corpus-scaled detect stage with ``substring_dedup``.
     """
-    from review_engine_spark.operators.chunking import chunk_tokens
-
-    base = docs.select(
-        F.col(id_col), chunk_tokens(F.col(text_col)).alias("toks")
-    ).withColumn("n", F.size("toks"))
-    n_sh = F.col("n") - (width - 1)
-    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
-        F.array().cast("array<int>")
-    )
-    ex = base.select(
-        F.col(id_col), "toks", F.posexplode(idx).alias("_i", "pos")
-    )
-    sh = ex.select(
-        id_col,
-        "pos",
-        F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), width))).alias(
-            "h"
-        ),
-    )
-    wh = Window.partitionBy("h").orderBy(id_col, "pos")
-    dup = (
-        sh.withColumn("rn", F.row_number().over(wh))
-        .filter(F.col("rn") >= 2)
-        .select(id_col, "pos")
-    )
+    base = _substring_base(docs, text_col, id_col)
+    if dup is None:
+        dup = substring_dup_occurrences(docs, text_col, id_col, width, hasher)
     cutpos = dup.select(
         id_col,
         F.explode(

@@ -883,7 +883,16 @@ def bpe_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _bpe_apply_merge(best["a"], best["b"]),
             ).alias("syms"),
         )
-    lens = cur.select("token", F.size("syms").cast("long").alias("n_sub"))
+    # eagerly materialize the vocab-sized length table (truncating its
+    # lineage off the cached vocab) so `words` can be unpersisted HERE
+    # rather than leaking a MEMORY_AND_DISK cache per invocation into
+    # library/test callers (ADVICE r9) — the returned frame is lazy, so
+    # a plain deferred unpersist would silently drop the cache before
+    # the caller's final pass executed
+    lens = cur.select(
+        "token", F.size("syms").cast("long").alias("n_sub")
+    ).localCheckpoint(eager=True)
+    words.unpersist()
     tokd = docs.select("doc_id", F.explode(_bpe_toks()).alias("token"))
     agg = (
         tokd.join(lens, "token")

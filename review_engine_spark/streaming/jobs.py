@@ -46,7 +46,13 @@ def _resolve_key_buckets(kb, state_partitions: int = 8) -> int | None:
     form the r8 profiling chunk measured at ~3 ms/key/batch);
     an int pins the bucket count exactly.
     """
-    if kb is None or isinstance(kb, int):
+    if kb is None:
+        return None
+    if isinstance(kb, int) and not isinstance(kb, bool):
+        # kb < 1 would reach F.pmod(user_id, kb) and yield NULL,
+        # silently collapsing all state into one NULL-keyed bucket
+        if kb < 1:
+            raise ValueError(f"key_buckets must be >= 1, got {kb}")
         return kb
     if kb != "auto":
         raise ValueError(f"key_buckets must be None, int, or 'auto': {kb!r}")
@@ -365,7 +371,11 @@ def run_sessionize_stateful(
                 }
             )
             return
-        rows = pd.concat(list(pdfs)).sort_values("ts")
+        # tie-break duplicate timestamps on event_id so both state
+        # layouts fold values in the same TOTAL order (ADVICE r9: a
+        # ts-only unstable sort could diverge from the bucketed twin's
+        # lexsort on duplicate (user, ts), flipping total_v float order)
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         seed = state.get if state.exists else None
         sessions, cur = fold_user(rows["ts"], rows["value"], seed)
         if cur is not None:
@@ -385,7 +395,7 @@ def run_sessionize_stateful(
     def fn_b(key, pdfs, state: GroupState):
         # key-coarsened layout (see run_ewma_stateful): per-bucket state
         # holds the bucket's open sessions as parallel arrays
-        rows = pd.concat(list(pdfs)).sort_values(["user_id", "ts"])
+        rows = pd.concat(list(pdfs)).sort_values(["user_id", "ts", "event_id"])
         if state.exists:
             users, s0s, s1s, ns, vs = state.get
             st = {
@@ -433,7 +443,7 @@ def run_sessionize_stateful(
 
     stream = _events_stream(
         spark, sf_dir, path_glob=path_glob, max_files_per_trigger=max_files_per_trigger
-    ).select("user_id", "ts", "value")
+    ).select("user_id", "ts", "value", "event_id")
     key_buckets = _resolve_key_buckets(key_buckets)
     if key_buckets is None:
         sessions = stream.groupBy("user_id").applyInPandasWithState(

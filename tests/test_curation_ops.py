@@ -435,3 +435,141 @@ def test_substring_scrub_reconstructs_survivors(spark):
     assert got[1] == (8, 2, "head0 head1")
     assert got[2] == (6, 6, "w1 w2 w3 other tokens here")
     assert got[3] == (6, 0, "")
+
+
+def test_substring_scrub_token_exact_at_non_multiple_width(spark):
+    """Boundary exactness (VERDICT r9 item 3): stride-1 shingles make
+    the cut TOKEN-exact for any duplicated run >= width, including
+    lengths that are not a multiple of width. A 23-token span repeated
+    verbatim at width=16 must lose exactly 23 tokens — no width-quantized
+    edge leakage in either direction — while a 15-token repeat (below
+    the floor) survives whole."""
+    from review_engine_spark.operators.curation import (
+        substring_dedup,
+        substring_dedup_apply,
+    )
+
+    span23 = " ".join(f"s{i}" for i in range(23))
+    span15 = " ".join(f"t{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{span23} u0 u1 {span15}"),
+            (1, f"a0 a1 a2 {span23} b0"),  # 23-token repeat, off edges
+            (2, f"c0 {span15} c1 c2"),  # 15-token repeat: below floor
+        ],
+        "doc_id long, text string",
+    )
+    det = {
+        r["doc_id"]: (r["n_dup_runs"], r["n_cut_tokens"])
+        for r in substring_dedup(docs, width=16).collect()
+    }
+    assert det[0] == (0, 0)
+    assert det[1] == (1, 23)  # exactly the span, not 16- or 32-quantized
+    assert det[2] == (0, 0)
+    app = {
+        r["doc_id"]: (r["n_kept"], r["text_dedup"])
+        for r in substring_dedup_apply(docs, width=16).collect()
+    }
+    assert app[1] == (4, "a0 a1 a2 b0")
+    assert app[2] == (18, f"c0 {span15} c1 c2")
+
+
+def test_substring_xxhash64_path_matches_md5(spark):
+    """The xxhash64 production path (8-byte shuffle keys + collision
+    recheck) must emit EXACTLY the md5 oracle form's rows on a
+    collision-free corpus — detect and scrub both."""
+    from review_engine_spark.operators.curation import (
+        substring_dedup,
+        substring_dedup_apply,
+    )
+
+    run = "w1 w2 w3 w4 w5 w6"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{run} tail0 tail1"),
+            (1, f"head0 head1 {run}"),
+            (2, "w1 w2 w3 other tokens here"),
+            (3, f"{run} mid {run}"),
+        ],
+        "doc_id long, text string",
+    )
+    for fn in (substring_dedup, substring_dedup_apply):
+        a = sorted(map(tuple, fn(docs, width=4, hasher="md5").collect()))
+        b = sorted(map(tuple, fn(docs, width=4, hasher="xxhash64").collect()))
+        assert a == b, fn.__name__
+
+
+def test_substring_detect_scrub_share_one_dup_frame(spark):
+    """Pipeline sharing (VERDICT r9 item 2): a detect -> scrub pipeline
+    that passes one persisted substring_dup_occurrences frame into both
+    halves must (a) produce the self-contained results, and (b) read the
+    residue from the cache — the executed TREE (cached lineage excluded)
+    shows InMemoryTableScan and no shingle-hash rank Window re-run."""
+    from review_engine_spark.operators.curation import (
+        substring_dedup,
+        substring_dedup_apply,
+        substring_dup_occurrences,
+    )
+
+    run = "w1 w2 w3 w4 w5 w6"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{run} tail0 tail1"),
+            (1, f"head0 head1 {run}"),
+            (3, f"{run} mid {run}"),
+        ],
+        "doc_id long, text string",
+    )
+    dup = substring_dup_occurrences(docs, width=4).persist()
+    try:
+        dup.count()  # materialize the cache before plan inspection
+        det = substring_dedup(docs, width=4, dup=dup)
+        scr = substring_dedup_apply(docs, width=4, dup=dup)
+        det_self = substring_dedup(docs, width=4)
+        scr_self = substring_dedup_apply(docs, width=4)
+        assert sorted(map(tuple, det.collect())) == sorted(
+            map(tuple, det_self.collect())
+        )
+        assert sorted(map(tuple, scr.collect())) == sorted(
+            map(tuple, scr_self.collect())
+        )
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(
+            0, str(Path(__file__).resolve().parent.parent / "tools")
+        )
+        from plan_audit import final_plan_only
+
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        # Self-contained forms re-run the rank Window over the shingle
+        # hash; shared forms read the residue from cache, so their OUTER
+        # tree keeps only det's run-merge pair (lag + running sum) and
+        # scr keeps none. Spark 4 prints the cached relation's own plan
+        # nested under InMemoryTableScan — drop those deeper-indented
+        # subtree lines before counting.
+        def outer_tree(tree: str) -> str:
+            out, skip = [], None
+            for ln in tree.split("\n"):
+                ind = len(ln) - len(ln.lstrip(" :+-*"))
+                if skip is not None:
+                    if ln.strip() and ind > skip:
+                        continue
+                    skip = None
+                out.append(ln)
+                if "InMemoryTableScan" in ln:
+                    skip = ind
+            return "\n".join(out)
+
+        for shared, n_win in ((det, 2), (scr, 0)):
+            plan = final_plan_only(
+                shared._jdf.queryExecution().explainString(mode)
+            )
+            tree = outer_tree(plan.split("\n\n(")[0])
+            assert "InMemoryTableScan" in tree
+            assert tree.count("Window") == n_win, tree
+    finally:
+        dup.unpersist()
