@@ -158,6 +158,24 @@ _LAST_GREEN: dict[str, int] = {
     "q_tpch_q14": 8, "q_tpch_q15": 8, "q_tpch_q17": 8, "q_tpch_q18": 8,
     "q_tpch_q3": 8, "q_tpch_q4": 8, "q_tpch_q5": 8, "q_tpch_q6": 8,
     "q_tpch_q7": 8, "q_unigram_logprob": 8,
+    # proven green in round 9 (50 queries; supersedes earlier rounds'
+    # entries for the same names — dict literal keeps the LAST value)
+    "q_abtest_ttest": 9, "q_anomaly_zscore": 9, "q_attribution": 9,
+    "q_autocorr": 9, "q_benford": 9, "q_bigram_logprob": 9,
+    "q_bloom_membership": 9, "q_bm25": 9, "q_bpe_encode": 9,
+    "q_chi2_independence": 9, "q_clean_text": 9, "q_concurrency": 9,
+    "q_countmin": 9, "q_cusum": 9, "q_ewma": 9, "q_gap_islands": 9,
+    "q_hll_md5": 9, "q_inverted_index": 9, "q_ks_test": 9,
+    "q_markov_transitions": 9, "q_minhash_jaccard": 9, "q_mmr": 9,
+    "q_mmr_grouped": 9, "q_psi_drift": 9, "q_scan_docs": 9,
+    "q_scan_embeddings": 9, "q_scd2_build": 9, "q_sequence_pack": 9,
+    "q_sessionize_state": 9, "q_simhash_hamming": 9, "q_simhash_md5": 9,
+    "q_stream_anomaly": 9, "q_stream_ewma": 9, "q_stream_near_dup": 9,
+    "q_substring_dedup": 9, "q_substring_scrub": 9, "q_token_filter": 9,
+    "q_tpch_q11": 9, "q_tpch_q12": 9, "q_tpch_q16": 9, "q_tpch_q19": 9,
+    "q_tpch_q2": 9, "q_tpch_q20": 9, "q_tpch_q21": 9, "q_tpch_q22": 9,
+    "q_tpch_q8": 9, "q_tpch_q9": 9, "q_trend_slope": 9, "q_wilson_ci": 9,
+    "q_winnow_md5": 9,
 }
 
 # Backward-compat name used by tools/plan_audit.py and tests.

@@ -655,6 +655,125 @@ def _bpe_apply_merge(a: str, b: str):
     return lam
 
 
+def train_bpe(docs: DataFrame, k: int = _BPE_ROUNDS) -> list[tuple]:
+    """Train the first ``k`` BPE merge rules over ``docs`` — the shared
+    training loop behind q_bpe_merges and the tokenizer artifact. K is
+    a PARAMETER (VERDICT r9 item 6; it was the compile-time
+    ``_BPE_ROUNDS``): each round is one vocabulary-sized pair-count
+    aggregate + a 1-row argmax collect, so a realistic K (64+) is K
+    sequential corpus-free rounds. Returns
+    [(merge_rank, pair_left, pair_right, freq), ...] — possibly fewer
+    than ``k`` rows when the vocabulary runs out of adjacent pairs
+    (every word fully merged) — the early-stop any trainer needs past
+    toy K. Large-K parity with a pure-Python reference trainer is
+    pinned in tests/test_curation_ops.py (the test_kernels convention).
+    """
+    words = (
+        docs.select(F.explode(_bpe_toks()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("wc"))
+    )
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("token")),
+        lambda i: F.col("token").substr(i, F.lit(1)),
+    )
+    cur = words.select("wc", syms.alias("syms"))
+    merges: list[tuple] = []
+    for rank in range(1, k + 1):
+        pairs = cur.select(
+            "wc",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(
+                        "syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))
+                    ),
+                    _bpe_pair_tail(F.col("syms")),
+                )
+            ).alias("p"),
+        ).select("wc", F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+        rows = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("wc").cast("long").alias("f"))
+            .orderBy(F.desc("f"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()  # 1-row argmax — driver-coordinated round
+        )
+        if not rows:  # vocabulary fully merged: no pair left anywhere
+            break
+        best = rows[0]
+        merges.append((rank, best["a"], best["b"], best["f"]))
+        if rank < k:
+            cur = cur.select(
+                "wc",
+                F.aggregate(
+                    _bpe_pair_tail(F.col("syms")),
+                    F.array(F.element_at(F.col("syms"), 1)),
+                    _bpe_apply_merge(best["a"], best["b"]),
+                ).alias("syms"),
+            )
+            # bound the fold-chain lineage at large K: without this,
+            # round r re-analyzes and re-runs r-1 chained folds from the
+            # raw vocab (O(K²) analysis + fold work — NOTES.md item 4)
+            if rank % 8 == 0:
+                cur = cur.localCheckpoint(eager=True)
+    return merges
+
+
+def _bpe_artifact_path(sf_dir: str, k: int) -> str:
+    """Tokenizer-artifact location for (corpus, K): content-addressed by
+    the documents table's (realpath, mtime, size) stat so a regenerated
+    fixture can never serve stale rules."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    digest = hashlib.md5(
+        f"{os.path.realpath(p)}|{st.st_mtime_ns}|{st.st_size}|k={k}".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get(
+        "SPARK_GRAFT_BPE_DIR", "/tmp/review_engine_spark_bpe"
+    )
+    return os.path.join(root, f"bpe_rules_k{k}_{digest}.json")
+
+
+def bpe_rules(
+    spark: SparkSession, sf_dir: str, k: int = _BPE_ROUNDS
+) -> list[tuple]:
+    """Trained BPE merge rules for a corpus, via the persisted tokenizer
+    artifact (VERDICT r9 item 6): load the JSON rules file if one
+    matches the corpus stat, else train once and write it. Before this,
+    every caller of ``bpe_doc_lengths`` (q_bpe_encode AND
+    q_sequence_pack) silently re-ran the K training rounds inline —
+    exactly what a tokenizer artifact (the tokenizer.json of real
+    pipelines) exists to avoid. Training is deterministic (exact-int
+    argmax, lexicographic ties), so artifact-served and freshly-trained
+    rules are identical — the oracle gate holds on both paths.
+    """
+    import json
+    import os
+
+    path = _bpe_artifact_path(sf_dir, k)
+    memo = _BPE_RULES_MEMO.get(path)
+    if memo is not None:
+        return memo
+    if os.path.exists(path):
+        with open(path) as fh:
+            rules = [tuple(r) for r in json.load(fh)["merges"]]
+    else:
+        rules = train_bpe(read_parquet_table(spark, sf_dir, "documents"), k)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"k": k, "merges": rules}, fh)
+        os.replace(tmp, path)  # atomic: concurrent callers see old|new
+    _BPE_RULES_MEMO[path] = rules
+    return rules
+
+
+_BPE_RULES_MEMO: dict[str, list[tuple]] = {}
+
+
 def _bpe_oracle(k: int) -> str:
     """Unrolled-CTE replay of the K BPE rounds: per round a pair-count
     CTE, a 1-row argmax CTE, and a merged-vocabulary CTE whose
@@ -709,47 +828,22 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     F.aggregate list fold (greedy leftmost — 'aaa' under (a,a) gives
     ['aa','a'], pinned identical to the oracle's list_reduce). All
     counts are exact BIGINTs; ties break (freq DESC, a, b) on both
-    engines, so the induced merge sequence is deterministic."""
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(_bpe_toks()).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").cast("long").alias("wc"))
-    )
-    syms = F.transform(
-        F.sequence(F.lit(1), F.length("token")),
-        lambda i: F.col("token").substr(i, F.lit(1)),
-    )
-    cur = words.select("wc", syms.alias("syms"))
+    engines, so the induced merge sequence is deterministic.
 
-    merges = []
-    for rank in range(1, _BPE_ROUNDS + 1):
-        pairs = cur.select(
-            "wc",
-            F.explode(
-                F.arrays_zip(
-                    F.slice("syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))),
-                    _bpe_pair_tail(F.col("syms")),
-                )
-            ).alias("p"),
-        ).select("wc", F.col("p.0").alias("a"), F.col("p.1").alias("b"))
-        best = (
-            pairs.groupBy("a", "b")
-            .agg(F.sum("wc").cast("long").alias("f"))
-            .orderBy(F.desc("f"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()[0]  # 1-row argmax — driver-coordinated round
-        )
-        merges.append((rank, best["a"], best["b"], best["f"]))
-        if rank < _BPE_ROUNDS:
-            cur = cur.select(
-                "wc",
-                F.aggregate(
-                    _bpe_pair_tail(F.col("syms")),
-                    F.array(F.element_at(F.col("syms"), 1)),
-                    _bpe_apply_merge(best["a"], best["b"]),
-                ).alias("syms"),
-            )
+    As the TRAIN step it also refreshes the persisted tokenizer
+    artifact the apply-side queries read (see ``bpe_rules``)."""
+    import json
+    import os
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, _BPE_ROUNDS)
+    path = _bpe_artifact_path(sf_dir, _BPE_ROUNDS)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"k": _BPE_ROUNDS, "merges": merges}, fh)
+    os.replace(tmp, path)
+    _BPE_RULES_MEMO[path] = merges
     return spark.createDataFrame(
         merges, "merge_rank long, pair_left string, pair_right string, freq long"
     )
@@ -838,61 +932,36 @@ def bpe_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n_words, n_bpe_tokens), zero-filled for docs with no
     [a-z0-9] tokens. The engine half of ``_bpe_chain_ctes`` — shared
     by q_bpe_encode (which returns it) and q_sequence_pack (which
-    budgets on it)."""
+    budgets on it).
+
+    The merge rules come from the persisted tokenizer artifact
+    (``bpe_rules`` — trained once per corpus, not re-trained per
+    caller), then apply to the DISTINCT vocabulary as one lazy chain of
+    K greedy-leftmost folds: no per-rule action, so the whole encode is
+    a single vocab-sized job regardless of K. Unlike training, the LAST
+    rule is applied too: encoding uses all K rules, training only
+    counts pairs after the first K-1. This also retires the r9 ADVICE
+    cache leak — with no argmax rounds there is nothing to persist."""
     docs = read_parquet_table(spark, sf_dir, "documents")
+    rules = bpe_rules(spark, sf_dir, _BPE_ROUNDS)
     words = (
-        docs.select(F.explode(_bpe_toks()).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").cast("long").alias("wc"))
-        # reused by K argmax rounds + the final length pass: cache the
-        # vocab once instead of re-aggregating the corpus 7 times
-        .persist()
+        docs.select(F.explode(_bpe_toks()).alias("token")).distinct()
     )
     syms = F.transform(
         F.sequence(F.lit(1), F.length("token")),
         lambda i: F.col("token").substr(i, F.lit(1)),
     )
-    cur = words.select("token", "wc", syms.alias("syms"))
-    for _rank in range(1, _BPE_ROUNDS + 1):
-        pairs = cur.select(
-            "wc",
-            F.explode(
-                F.arrays_zip(
-                    F.slice(
-                        "syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))
-                    ),
-                    _bpe_pair_tail(F.col("syms")),
-                )
-            ).alias("p"),
-        ).select("wc", F.col("p.0").alias("a"), F.col("p.1").alias("b"))
-        best = (
-            pairs.groupBy("a", "b")
-            .agg(F.sum("wc").cast("long").alias("f"))
-            .orderBy(F.desc("f"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()[0]  # 1-row argmax — driver-coordinated round
-        )
-        # unlike training, the LAST rule is applied too: encoding uses
-        # all K rules, training only counts pairs after the first K-1
+    cur = words.select("token", syms.alias("syms"))
+    for _rank, a, b, _f in rules:
         cur = cur.select(
             "token",
-            "wc",
             F.aggregate(
                 _bpe_pair_tail(F.col("syms")),
                 F.array(F.element_at(F.col("syms"), 1)),
-                _bpe_apply_merge(best["a"], best["b"]),
+                _bpe_apply_merge(a, b),
             ).alias("syms"),
         )
-    # eagerly materialize the vocab-sized length table (truncating its
-    # lineage off the cached vocab) so `words` can be unpersisted HERE
-    # rather than leaking a MEMORY_AND_DISK cache per invocation into
-    # library/test callers (ADVICE r9) — the returned frame is lazy, so
-    # a plain deferred unpersist would silently drop the cache before
-    # the caller's final pass executed
-    lens = cur.select(
-        "token", F.size("syms").cast("long").alias("n_sub")
-    ).localCheckpoint(eager=True)
-    words.unpersist()
+    lens = cur.select("token", F.size("syms").cast("long").alias("n_sub"))
     tokd = docs.select("doc_id", F.explode(_bpe_toks()).alias("token"))
     agg = (
         tokd.join(lens, "token")
@@ -1041,9 +1110,7 @@ def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup_apply(docs, "text", "doc_id", width=16)
 
 
-@declared(
-    oracle=rf"""
-    WITH t AS (
+_BIGRAM_SC_CTES = rf"""t AS (
         SELECT doc_id, {_TOKS} AS toks FROM documents
     ),
     bg AS (
@@ -1057,20 +1124,35 @@ def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT tok AS a, CAST(count(*) AS BIGINT) AS ca
         FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
     ),
-    vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM un)
-    SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(avg(ln((cab.cab + 1) / (un.ca + vv.v))), 6)
-               AS bigram_logprob
-    FROM bg JOIN cab USING (a, b) JOIN un USING (a), vv
-    GROUP BY bg.doc_id
-    """
+    vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM un),
+    sc AS (
+        SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(ln((cab.cab + 1) / (un.ca + vv.v))), 6)
+                   AS bigram_logprob
+        FROM bg JOIN cab USING (a, b) JOIN un USING (a), vv
+        GROUP BY bg.doc_id
+    )"""
+
+
+@declared(
+    oracle="WITH "
+    + _BIGRAM_SC_CTES
+    + "\n    SELECT doc_id, n_bigrams, bigram_logprob FROM sc"
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity proxy (the CCNet-style LM quality filter):
     per-doc mean log of the add-1-smoothed corpus bigram probability
     p(b|a) = (c_ab + 1) / (c_a + V) — exact integer counts, one log at
     the end; docs with <2 tokens emit no row. The n-gram upgrade of
-    q_unigram_logprob's filter."""
+    q_unigram_logprob's filter; q_perplexity_gate thresholds it into
+    the kept/dropped decision."""
+    return bigram_logprob_scores(spark, sf_dir)
+
+
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, bigram_logprob) — the scoring core shared by
+    q_bigram_logprob (which returns it) and q_perplexity_gate (which
+    thresholds it)."""
     docs = read_parquet_table(spark, sf_dir, "documents")
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
@@ -1110,4 +1192,57 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.avg("_lp"), 6).alias("bigram_logprob"),
+    )
+
+
+@declared(
+    oracle="WITH "
+    + _BIGRAM_SC_CTES
+    + """,
+    cut AS (SELECT quantile_cont(bigram_logprob, 0.3) AS c FROM sc),
+    r AS (
+        SELECT d.doc_id,
+               CASE WHEN sc.doc_id IS NULL THEN 'too_short'
+                    WHEN sc.bigram_logprob <= cut.c THEN 'high_perplexity'
+                    ELSE 'ok' END AS reason
+        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id, cut
+    )
+    SELECT doc_id, reason = 'ok' AS keep, reason FROM r
+    """
+)
+def q_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet recipe's POINT — a kept/dropped decision from the
+    bigram-LM score (VERDICT r9 item 7: q_bigram_logprob scored but
+    nothing thresholded). First-failing-rule chain like q_quality_gate:
+    docs with <2 tokens carry no bigram evidence → 'too_short'; docs in
+    the worst-perplexity 30% of the corpus (bigram_logprob at or below
+    the exact 30th percentile — CCNet's tail bucket, value-thresholded
+    so score ties cross the gate together) → 'high_perplexity'; rest
+    'ok'.
+
+    Scale shape: scoring is the shuffle-hash-pinned bigram pipeline;
+    the cutoff is ONE exact-percentile aggregate (map-side partial,
+    never a global window) broadcast back over the rows — the D7
+    scalar pattern. Cross-engine float note: scores are rounded to the
+    1e-6 grid BEFORE the percentile, and the interpolated cutoff either
+    lands exactly on a grid value (when the bracketing order statistics
+    tie) or strictly between two grid values by margins ~1e-7 ≫ double
+    eps — either way `<=` agrees across engines."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    sc = bigram_logprob_scores(spark, sf_dir).select(
+        "doc_id", F.col("bigram_logprob").alias("_lp")
+    )
+    cut = sc.agg(F.percentile("_lp", F.lit(0.3)).alias("_cut"))
+    reason = (
+        F.when(F.col("_lp").isNull(), F.lit("too_short"))
+        .when(F.col("_lp") <= F.col("_cut"), F.lit("high_perplexity"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(sc, "doc_id", "left")
+        .crossJoin(F.broadcast(cut))  # D7: 1-row scalar aggregate
+        .select(
+            "doc_id", (reason == "ok").alias("keep"), reason.alias("reason")
+        )
     )

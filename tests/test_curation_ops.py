@@ -573,3 +573,120 @@ def test_substring_detect_scrub_share_one_dup_frame(spark):
             assert tree.count("Window") == n_win, tree
     finally:
         dup.unpersist()
+
+
+def _py_bpe_train(texts, k):
+    """Pure-Python reference BPE trainer (the test_kernels.py oracle
+    convention): identical algebra to train_bpe — wc-weighted adjacent
+    pair counts, argmax (freq DESC, a, b), greedy-leftmost cascading
+    merge applied between rounds, early stop when no pair remains."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                words[w] += 1
+
+    def merge(syms, a, b):
+        out = [syms[0]]
+        for x in syms[1:]:
+            if out[-1] == a and x == b:
+                out[-1] = out[-1] + x
+            else:
+                out.append(x)
+        return out
+
+    vocab = {w: list(w) for w in words}
+    rules = []
+    for rank in range(1, k + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            wc = words[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc
+        if not pc:
+            break
+        (a, b), f = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((rank, a, b, f))
+        if rank < k:
+            for w in vocab:
+                vocab[w] = merge(vocab[w], a, b)
+    return rules
+
+
+def test_train_bpe_k64_matches_pure_python(spark):
+    """Large-K parity (VERDICT r9 item 6): train_bpe at K=64 on a
+    50-doc corpus must reproduce the pure-Python trainer's full rule
+    sequence — every rank, pair, and exact frequency."""
+    from review_engine_spark.plans.roster_curation import train_bpe
+
+    texts = [
+        f"the quick brown fox jumps over the lazy dog {i} "
+        f"pack my box with five dozen liquor jugs "
+        f"sphinx of black quartz judge my vow "
+        f"how vexingly quick daft zebras jump {i * i}"
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = train_bpe(docs, 64)
+    want = _py_bpe_train(texts, 64)
+    assert len(want) == 64  # corpus must actually sustain 64 merges
+    assert got == want
+
+
+def test_train_bpe_early_stop_when_vocab_exhausted(spark):
+    """A vocabulary whose words fully merge before K rounds returns
+    fewer rules instead of crashing on an empty argmax."""
+    from review_engine_spark.plans.roster_curation import train_bpe
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab cd")], "doc_id long, text string"
+    )
+    got = train_bpe(docs, 10)
+    want = _py_bpe_train(["ab ab ab cd"], 10)
+    assert got == want
+    assert 0 < len(got) < 10
+
+
+def test_bpe_rules_artifact_roundtrip(spark, tmp_path, monkeypatch):
+    """bpe_rules trains once, persists the tokenizer artifact, and
+    serves identical rules from disk on the next call (fresh memo) —
+    with no retraining (the trainer is stubbed out for the second call
+    to prove the rules come from disk); a corpus CHANGE (new stat)
+    invalidates the artifact by design."""
+    from review_engine_spark.plans import roster_curation as rc
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.parquet(str(corpus / "documents.parquet"))
+    monkeypatch.setenv("SPARK_GRAFT_BPE_DIR", str(tmp_path / "artifacts"))
+
+    first = rc.bpe_rules(spark, str(corpus), 6)
+    assert first == _py_bpe_train(
+        [f"alpha beta gamma delta {i}" for i in range(20)], 6
+    )
+    rc._BPE_RULES_MEMO.clear()
+
+    def boom(*a, **k):  # the artifact alone must serve the second call
+        raise AssertionError("bpe_rules retrained despite fresh artifact")
+
+    monkeypatch.setattr(rc, "train_bpe", boom)
+    assert rc.bpe_rules(spark, str(corpus), 6) == first
+    # a rewritten corpus (new mtime/size) must NOT be served stale rules
+    docs.limit(5).coalesce(1).write.mode("overwrite").parquet(
+        str(corpus / "documents.parquet")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="retrained"):
+        rc.bpe_rules(spark, str(corpus), 6)
