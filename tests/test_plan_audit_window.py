@@ -68,3 +68,59 @@ def test_partitioned_window_ignored(spark, sf_dir):
         ),
     )
     assert global_window_violations(_formatted(part)) == []
+
+
+def test_plan_fingerprint_stable_across_ids_and_stats(spark):
+    """The fingerprint must be invariant to everything run-varying —
+    node ids, expression ids, statistics annotations, AQE wrappers —
+    so only a real tree-shape change can fire the canary."""
+    from plan_audit import plan_fingerprint
+
+    a = """== Physical Plan ==
+AdaptiveSparkPlan (10)
++- == Final Plan ==
+   ResultQueryStage (9)
+   +- * HashAggregate (8)
+      +- AQEShuffleRead (7)
+         +- ShuffleQueryStage (6), Statistics(sizeInBytes=1.0 KiB, rowCount=2)
+            +- Exchange (5)
+               +- * HashAggregate (4)
+                  +- * Project (3)
+                     +- * Filter (2)
+                        +- Scan parquet (1)
+
+(1) Scan parquet
+Output [2]: [a#1, b#2]
+"""
+    b = a.replace("#1", "#77").replace("#2", "#91")
+    b = b.replace("(8)", "(18)").replace("(5)", "(15)")
+    b = b.replace("sizeInBytes=1.0 KiB, rowCount=2", "sizeInBytes=9.9 MiB, rowCount=5")
+    assert plan_fingerprint(a)[0] == plan_fingerprint(b)[0]
+    # a structural change — an added Exchange — MUST change it
+    c = a.replace(
+        "+- * Project (3)",
+        "+- Exchange (30)\n                     +- * Project (3)",
+    )
+    assert plan_fingerprint(a)[0] != plan_fingerprint(c)[0]
+
+
+def test_check_fingerprints_flags_synthetic_mutation(tmp_path, monkeypatch):
+    """End-to-end canary behavior: bootstrap is silent, an identical
+    re-run is clean, a mutated plan is a violation naming the query,
+    and --update-fingerprints acknowledges it."""
+    import plan_audit
+
+    monkeypatch.setattr(plan_audit, "REPO", tmp_path)
+    (tmp_path / "tools").mkdir()
+    plan = "+- * Project (3)\n   +- Scan parquet (1)\n"
+    v, notes = plan_audit.check_fingerprints({"q_x": plan}, update=False)
+    assert v == [] and any("bootstrapped" in n for n in notes)
+    v, notes = plan_audit.check_fingerprints({"q_x": plan}, update=False)
+    assert v == [] and notes == []
+    mutated = "+- * Project (3)\n   +- Exchange (9)\n      +- Scan parquet (1)\n"
+    v, _ = plan_audit.check_fingerprints({"q_x": mutated}, update=False)
+    assert len(v) == 1 and "q_x" in v[0] and "Exchange" in v[0]
+    v, notes = plan_audit.check_fingerprints({"q_x": mutated}, update=True)
+    assert v == [] and any("acknowledged" in n for n in notes)
+    v, _ = plan_audit.check_fingerprints({"q_x": mutated}, update=False)
+    assert v == []

@@ -482,6 +482,100 @@ def global_window_violations(plan: str) -> list[str]:
     return bad
 
 
+def plan_fingerprint(plan: str) -> tuple[str, list[str]]:
+    """Normalized fingerprint of a formatted plan's FINAL tree — the
+    cross-round plan-regression canary (VERDICT r9 item 8): a silently
+    added Exchange/Window/Join inside an unchanged query passes every
+    correctness gate until the bench moves; the fingerprint catches it
+    the round it appears.
+
+    Normalization keeps each tree line's operator words (node name,
+    join type, build side) at its tree depth and drops everything
+    run-varying: node ids ``(12)``, expression ids ``#345``, AQE stage
+    wrappers/annotations (``ShuffleQueryStage``/``AQEShuffleRead``/
+    statistics — present or absent depending on runtime sizes), and
+    digits. Returns (md5, normalized lines) — the lines are stored too
+    so a mismatch prints an actual tree diff, not just two hashes."""
+    import hashlib
+
+    tree = plan.split("\n\n(")[0]
+    out: list[str] = []
+    for ln in tree.split("\n"):
+        if "==" in ln or not ln.strip():
+            continue
+        m = re.match(r"[ :+\-*]*", ln)
+        depth = len(m.group(0))
+        body = ln[depth:]
+        body = re.sub(r"\(\d+\)", "", body)  # node ids
+        body = re.sub(r"#\d+[A-Za-z]*", "", body)  # expression ids
+        body = re.sub(r"Statistics\([^)]*\)", "", body)
+        body = re.sub(r"\d+", "", body).strip(" ,")
+        # AQE wrappers appear/disappear with runtime sizes and wrap the
+        # same logical shape — they are not a plan regression themselves
+        if re.match(
+            r"(ShuffleQueryStage|BroadcastQueryStage|TableCacheQueryStage|"
+            r"ResultQueryStage|AQEShuffleRead|AdaptiveSparkPlan)\b",
+            body,
+        ):
+            continue
+        if body:
+            out.append(f"{depth // 3}:{body}")
+    digest = hashlib.md5("\n".join(out).encode()).hexdigest()
+    return digest, out
+
+
+def check_fingerprints(
+    plans: dict[str, str], update: bool
+) -> tuple[list[str], list[str]]:
+    """Compare each audited query's fingerprint against
+    ``tools/plan_fingerprints.json``. Returns (violations, notes).
+    Missing file or missing entries bootstrap silently; a CHANGED
+    fingerprint is a violation unless ``--update-fingerprints``
+    acknowledges it (prints what changed either way)."""
+    import difflib
+    import json
+
+    path = REPO / "tools" / "plan_fingerprints.json"
+    stored: dict[str, dict] = {}
+    if path.exists():
+        stored = json.loads(path.read_text())
+    violations: list[str] = []
+    notes: list[str] = []
+    fresh: dict[str, dict] = {}
+    for name, plan in sorted(plans.items()):
+        fp, lines = plan_fingerprint(plan)
+        fresh[name] = {"fp": fp, "tree": lines}
+        old = stored.get(name)
+        if old is None:
+            notes.append(f"fingerprint bootstrapped: {name}")
+            continue
+        if old["fp"] == fp:
+            continue
+        diff = "\n".join(
+            difflib.unified_diff(
+                old.get("tree", []), lines, "stored", "current", lineterm=""
+            )
+        )
+        if update:
+            notes.append(f"fingerprint updated (acknowledged): {name}\n{diff}")
+        else:
+            violations.append(
+                f"{name}: plan fingerprint changed without "
+                f"--update-fingerprints\n{diff}"
+            )
+    if update or not path.exists() or (
+        not violations and len(fresh) > len(stored)
+    ):
+        merged = dict(stored)
+        if update:
+            merged.update(fresh)
+        else:  # bootstrap only the new names; never silently rewrite
+            for n, v in fresh.items():
+                merged.setdefault(n, v)
+        path.write_text(json.dumps(merged, indent=1, sort_keys=True) + "\n")
+    return violations, notes
+
+
 def source_sweep(declared: set[str]) -> tuple[list[str], set[str]]:
     """Repo-wide static invariant: no empty-partition window anywhere.
     `Window.partitionBy()` with no keys moves the whole input to ONE
@@ -522,7 +616,9 @@ def source_sweep(declared: set[str]) -> tuple[list[str], set[str]]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = [a for a in sys.argv[1:] if a != "--update-fingerprints"]
+    update_fp = "--update-fingerprints" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     import __spark_entry__ as entrymod
     from review_engine_spark.session import get_spark
 
@@ -532,6 +628,7 @@ def main() -> int:
     for f in failures:
         print(f"VIOLATION {f}")
     sections: list[str] = []
+    plans_by_name: dict[str, str] = {}
     audited = dict(RULES)
     for name in sorted(window_verify):
         audited.setdefault(name, [])
@@ -551,6 +648,7 @@ def main() -> int:
             )
         )
         sections.append(f"## {name}\n\n```\n{plan.strip()}\n```\n")
+        plans_by_name[name] = plan
         if name in window_verify:
             gw = global_window_violations(plan)
             status = "VIOLATION" if gw else "ok"
@@ -564,6 +662,12 @@ def main() -> int:
             print(f"{status:9s} {name}: {why}")
             if not ok:
                 failures.append(f"{name}: {why}")
+    fp_viol, fp_notes = check_fingerprints(plans_by_name, update_fp)
+    for n in fp_notes:
+        print(f"note      {n.splitlines()[0]}")
+    for v in fp_viol:
+        print(f"VIOLATION {v}")
+        failures.append(v.splitlines()[0])
     out = REPO / "PLANS.md"
     out.write_text(
         "# Physical plans of headline queries (generated by tools/plan_audit.py)\n\n"
