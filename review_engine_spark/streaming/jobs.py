@@ -724,7 +724,15 @@ def run_ewma_stateful(
     tests/test_streaming.py); only the state keying changes. Tradeoff:
     per-bucket state round-trips grow with N/B (arrays serialized per
     batch), and a bucket is the unit of fold parallelism — size B ≥
-    cores, ≪ N. Measured verdict lives in SCALING.md (round 9).
+    cores, ≪ N. Measured verdicts: bulk ingest in SCALING.md round 9;
+    the trickle regime in round 10 (tools/profile_trickle.py): coarse
+    wins 1.4-2× at touched-key fractions ≥10% and +8% at 1%; the
+    crossover sits near f≈0.1%, where per-key wins by only 4% while
+    ~95% of BOTH layouts' cost is the per-micro-batch fixed overhead —
+    so "auto" stays coarse in all regimes by measurement, not
+    bulk-ingest assumption (threshold rule: only switch to
+    ``key_buckets=None`` if profiling shows touched fraction ≲0.1%
+    AND the per-batch fixed cost has been engineered away).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -1212,11 +1220,15 @@ def run_stream_near_dup(
         # batch (2M buckets at the 100× replica ≈ 150 s measured r9 —
         # the honest re-measurement that replaced r8's stale 7.3×);
         # folding ~buckets/B buckets per invocation drops that to the
-        # signature-compute floor. Horizon: a coarse group re-serializes
-        # its whole bucket array per touched batch, the right trade for
-        # bulk ingest (every batch touches most groups anyway) — a
-        # trickle stream that touches few buckets per batch would prefer
-        # key_buckets=None, whose state traffic is O(touched keys).
+        # signature-compute floor. The feared trickle-regime crossover
+        # was MEASURED in r10 (tools/profile_trickle.py, SCALING.md
+        # round 10): coarse wins 1.4-2x at touched fractions >=10% and
+        # +8% at 1%; per-key only wins at f~0.1% and only by 4%, in a
+        # regime where ~95% of both layouts' cost is per-micro-batch
+        # fixed overhead — array re-serialization is ~us/stored key, a
+        # per-key GroupState round-trip ~ms/touched key. So coarse
+        # stays the default everywhere; key_buckets=None remains
+        # available (parity-pinned) for the one narrow regime above.
         flags = (
             bands.withColumn(
                 "cg",

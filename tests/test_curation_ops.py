@@ -690,3 +690,34 @@ def test_bpe_rules_artifact_roundtrip(spark, tmp_path, monkeypatch):
 
     with _pytest.raises(AssertionError, match="retrained"):
         rc.bpe_rules(spark, str(corpus), 6)
+
+
+def test_gopher_rules_every_branch_fires(spark, tmp_path):
+    """Hand corpus driving each first-failing rule exactly once —
+    including the branches the fixture corpus never exercises
+    (short_words, long_words, low_alpha)."""
+    from review_engine_spark.plans.roster_curation import q_gopher_rules
+
+    ok_words = ("the and of to in " + "hello world " * 15).strip()  # 35 w
+    rows = [
+        (0, ok_words),                                  # ok
+        (1, "the a of"),                                # too_few_words
+        (2, "the a of " + "word " * 90),                # too_many_words
+        (3, "a b c d e " * 7),                          # short_words (mean 1)
+        (4, ("extraordinarily " * 35).strip()),         # long_words (mean 16)
+        (5, " ".join(str(i) for i in range(100, 135))), # low_alpha (0 alpha)
+        (6, "zebra quark " * 18),                       # no_stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["keep"], r["reason"])
+        for r in q_gopher_rules(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (True, "ok")
+    assert got[1] == (False, "too_few_words")
+    assert got[2] == (False, "too_many_words")
+    assert got[3] == (False, "short_words")
+    assert got[4] == (False, "long_words")
+    assert got[5] == (False, "low_alpha")
+    assert got[6] == (False, "no_stopwords")
