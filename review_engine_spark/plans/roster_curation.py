@@ -1248,6 +1248,174 @@ def q_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_BUCKETS = 4096
+
+_DSIR_O_CTES = rf"""t AS (
+        SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+    ),
+    f AS (
+        SELECT doc_id, lang,
+               unnest(list_concat(toks,
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])))
+                   AS feat
+        FROM t
+    ),
+    o AS (
+        SELECT doc_id, lang,
+               try_cast('0x' || substr(md5(feat), 1, 15) AS BIGINT)
+                   % {_DSIR_BUCKETS} AS b
+        FROM f
+    ),
+    r AS (SELECT b, CAST(count(*) AS BIGINT) AS rf FROM o GROUP BY b),
+    g AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS tf
+        FROM o WHERE lang = 'en' GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS rn,
+               CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0)
+                    AS BIGINT) AS tn
+        FROM o
+    ),
+    w AS (
+        SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               round(avg(
+                   ln((coalesce(g.tf, 0) + 1) /
+                      CAST(tot.tn + {_DSIR_BUCKETS} AS DOUBLE))
+                 - ln((r.rf + 1) /
+                      CAST(tot.rn + {_DSIR_BUCKETS} AS DOUBLE))), 6)
+                   AS dsir_logweight
+        FROM o JOIN r USING (b) LEFT JOIN g USING (b), tot
+        GROUP BY o.doc_id
+    )"""
+
+
+def dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — the public hashed
+    n-gram method): per doc, the mean over its unigram+bigram feature
+    occurrences of ln p_target(f) − ln p_raw(f), where both feature
+    distributions are add-1-smoothed counts over ``_DSIR_BUCKETS``
+    hashed buckets; the target distribution here is the corpus's
+    English slice (lang='en') — "select docs that look like the target
+    domain". md5→15-hex→BIGINT is the established cross-engine hash
+    (the md5-family convention); exact integer counts, logs of
+    int-ratio doubles, one round(6) at the end.
+
+    Scale shape: ONE narrow scan builds the feature stream (unigrams ∥
+    bigrams concatenated before a single explode); the count tables are
+    bounded by the bucket count (4096 rows — F.broadcast, never a
+    corpus-keyed shuffle); totals are a 1-row D7 aggregate; the only
+    corpus-scaled shuffle is the per-doc mean. This is the whole reason
+    DSIR hashes features: the statistic tables stay O(B) at any corpus
+    size."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select("doc_id", "lang", toks.alias("toks"))
+    head = F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0)))
+    tail = F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0)))
+    bigrams = F.zip_with(head, tail, lambda a, b: F.concat_ws(" ", a, b))
+    occ = base.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(F.col("toks"), bigrams)).alias("feat"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("feat"), 1, 15), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    raw = occ.groupBy("b").agg(F.count("*").cast("long").alias("rf"))
+    tgt = (
+        occ.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    table = raw.join(tgt, "b", "left")
+    tot = occ.agg(
+        F.count("*").cast("long").alias("rn"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == "en", 1)), F.lit(0)
+        ).cast("long").alias("tn"),
+    )
+    lw = F.log(
+        (F.coalesce(F.col("tf"), F.lit(0)) + 1)
+        / (F.col("tn") + _DSIR_BUCKETS).cast("double")
+    ) - F.log(
+        (F.col("rf") + 1) / (F.col("rn") + _DSIR_BUCKETS).cast("double")
+    )
+    return (
+        occ.join(F.broadcast(table), "b")  # B-bounded: broadcast by size
+        .crossJoin(F.broadcast(tot))  # D7: 1-row scalar aggregate
+        .select("doc_id", lw.alias("_lw"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.round(F.avg("_lw"), 6).alias("dsir_logweight"),
+        )
+    )
+
+
+@declared(
+    oracle="WITH "
+    + _DSIR_O_CTES
+    + "\n    SELECT doc_id, n_feats, dsir_logweight FROM w"
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-ngram importance log-weight per document (see
+    ``dsir_logweights``) — the scoring half; q_dsir_sample applies the
+    selection."""
+    return dsir_logweights(spark, sf_dir)
+
+
+@declared(
+    oracle="WITH "
+    + _DSIR_O_CTES
+    + """,
+    cut AS (SELECT quantile_cont(dsir_logweight, 0.7) AS c FROM w),
+    sel AS (
+        SELECT d.doc_id,
+               CASE WHEN w.doc_id IS NULL THEN 'no_features'
+                    WHEN w.dsir_logweight < cut.c THEN 'low_weight'
+                    ELSE 'ok' END AS reason
+        FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id, cut
+    )
+    SELECT doc_id, reason = 'ok' AS keep, reason FROM sel
+    """
+)
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION half of DSIR: keep the top 30% most
+    target-domain-like documents by importance log-weight (value
+    threshold at the exact 70th percentile — score ties cross the gate
+    together, the q_perplexity_gate convention), with drop reasons.
+    Same D7 scalar-cutoff shape; the rounded-to-1e-6 score grid makes
+    the `<` comparison cross-engine stable (see q_perplexity_gate's
+    float note)."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    w = dsir_logweights(spark, sf_dir).select(
+        "doc_id", F.col("dsir_logweight").alias("_lw")
+    )
+    cut = w.agg(F.percentile("_lw", F.lit(0.7)).alias("_cut"))
+    reason = (
+        F.when(F.col("_lw").isNull(), F.lit("no_features"))
+        .when(F.col("_lw") < F.col("_cut"), F.lit("low_weight"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(w, "doc_id", "left")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id", (reason == "ok").alias("keep"), reason.alias("reason")
+        )
+    )
+
+
 _GOPHER_STOPS = ["the", "a", "of", "to", "and", "in"]
 
 
