@@ -79,6 +79,11 @@ WHITELIST: dict[str, str] = {
     "q_mix_upsample": "per-source recipe rows",
     "q_dedup_apply": "dropped-id set, bounded by dup rate (documented)",
     "q_percentile_norm": "1-row global percentile aggregate",
+    "q_dsir_weights": "feature-count tables keyed by hash BUCKET — "
+    "≤4096 rows by construction at any corpus size (the whole point "
+    "of DSIR's hashed features), plus the 1-row totals aggregate",
+    "q_dsir_sample": "same ≤4096-row bucket tables as q_dsir_weights "
+    "plus the 1-row percentile cutoff (D7)",
     "q_skew_profile": "1-row global total",
     "q_stats_agg": "1-row global moments",
     "q_train_split": "1-row split thresholds",

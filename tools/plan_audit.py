@@ -489,18 +489,40 @@ def plan_fingerprint(plan: str) -> tuple[str, list[str]]:
     correctness gate until the bench moves; the fingerprint catches it
     the round it appears.
 
-    Normalization keeps each tree line's operator words (node name,
-    join type, build side) at its tree depth and drops everything
-    run-varying: node ids ``(12)``, expression ids ``#345``, AQE stage
-    wrappers/annotations (``ShuffleQueryStage``/``AQEShuffleRead``/
-    statistics — present or absent depending on runtime sizes), and
-    digits. Returns (md5, normalized lines) — the lines are stored too
-    so a mismatch prints an actual tree diff, not just two hashes."""
+    The fingerprinted tree is the INITIAL (pre-AQE) plan when one
+    exists: under the session's static-broadcast-off doctrine the
+    initial plan is a deterministic function of the query alone, while
+    the FINAL adaptive plan legitimately varies run to run (broadcast
+    side swaps, and a ±1 Exchange depending on which stages had
+    materialized before an SMJ→BHJ conversion — both false-fired
+    earlier versions of this canary on unchanged code). An added
+    shuffle/Window/join always appears in the initial plan too, so the
+    canary loses nothing; the RULES above keep auditing the final
+    adaptive plan for broadcast-ness. Every ``== Initial Plan ==``
+    section is taken (main plan + each subquery); plans with no
+    adaptive wrapper fall back to the whole tree. Dropped as
+    run-varying: node ids ``(12)``, expression ids ``#345``,
+    build-side tokens, statistics, digits, AQE wrapper nodes. Returns
+    (md5, normalized depth-prefixed lines) — stored so a mismatch
+    prints an actual tree diff, not just two hashes."""
     import hashlib
 
-    tree = plan.split("\n\n(")[0]
+    lines = plan.split("\n")
+    if "== Initial Plan ==" in plan:
+        picked: list[str] = []
+        i = 0
+        while i < len(lines):
+            if "== Initial Plan ==" in lines[i]:
+                i += 1
+                while i < len(lines) and lines[i].strip():
+                    picked.append(lines[i])
+                    i += 1
+                continue
+            i += 1
+    else:
+        picked = plan.split("\n\n(")[0].split("\n")
     out: list[str] = []
-    for ln in tree.split("\n"):
+    for ln in picked:
         if "==" in ln or not ln.strip():
             continue
         m = re.match(r"[ :+\-*]*", ln)
@@ -509,9 +531,10 @@ def plan_fingerprint(plan: str) -> tuple[str, list[str]]:
         body = re.sub(r"\(\d+\)", "", body)  # node ids
         body = re.sub(r"#\d+[A-Za-z]*", "", body)  # expression ids
         body = re.sub(r"Statistics\([^)]*\)", "", body)
+        body = re.sub(r"\bBuild(Left|Right)\b", "", body)
         body = re.sub(r"\d+", "", body).strip(" ,")
-        # AQE wrappers appear/disappear with runtime sizes and wrap the
-        # same logical shape — they are not a plan regression themselves
+        body = re.sub(r"\s+", " ", body)
+        # AQE wrappers (fallback trees only; initial plans have none)
         if re.match(
             r"(ShuffleQueryStage|BroadcastQueryStage|TableCacheQueryStage|"
             r"ResultQueryStage|AQEShuffleRead|AdaptiveSparkPlan)\b",
@@ -642,13 +665,14 @@ def main() -> int:
         # finalizes — count() spawns a separate execution and leaves the
         # audited plan isFinalPlan=false.
         df.collect()
-        plan = final_plan_only(
-            df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+        raw = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
         )
+        plan = final_plan_only(raw)
         sections.append(f"## {name}\n\n```\n{plan.strip()}\n```\n")
-        plans_by_name[name] = plan
+        # fingerprints read the RAW explain: they key on the
+        # deterministic INITIAL plan, which final_plan_only strips
+        plans_by_name[name] = raw
         if name in window_verify:
             gw = global_window_violations(plan)
             status = "VIOLATION" if gw else "ok"
