@@ -35,6 +35,7 @@ __all__ = [
     "substring_dedup_apply",
     "boilerplate_flags",
     "semantic_dedup",
+    "ngram_novelty",
 ]
 
 
@@ -531,5 +532,57 @@ def substring_dedup_apply(
             "n_tokens",
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """Per-document novelty scoring: what fraction of a document's
+    distinct ``width``-token shingles (stride 1) first appear — by
+    minimum document id — in THIS document. Low-novelty documents are
+    recombinations of text the corpus already contains; curation
+    pipelines down-weight or drop them (the diversity complement to the
+    dedup family: dedup asks "is this document a copy", novelty asks
+    "how much of it is new anywhere").
+
+    Emits (id, n_shingles, n_novel, novelty) for every document with at
+    least one full shingle; novelty is the raw exact-int division
+    (bit-identical on both engines).
+
+    Scale: shares ``_substring_base``'s narrow tokenizer; the shingle
+    stream is corpus-linear and the only corpus-scaled shuffles are
+    keyed by the 128-bit shingle hash (distinct + first-doc window) and
+    the doc id (final rollup) — the substring-dedup shuffle class, no
+    all-pairs anywhere.
+    """
+    base = _substring_base(docs, text_col, id_col)
+    n_sh = F.col("n") - (width - 1)
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ex = base.select(
+        F.col(id_col), "toks", F.posexplode(idx).alias("_i", "pos")
+    )
+    win_str = F.concat_ws(" ", F.slice("toks", F.col("pos"), width))
+    sh = ex.select(F.col(id_col), F.md5(win_str).alias("h")).distinct()
+    wh = Window.partitionBy("h")
+    flagged = sh.withColumn("first_doc", F.min(id_col).over(wh))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col(id_col) == F.col("first_doc"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double")
+            / F.col("n_shingles").cast("double"),
         )
     )

@@ -58,24 +58,19 @@ from review_engine_spark.plans import roster_mining  # noqa: E402,F401
 #   tier 4 — rows-only queries (no oracle; bench covers execution).
 # ---------------------------------------------------------------------------
 
-#: Round-9 plan changes: q_sequence_pack now budgets REAL BPE
-#: tokenizer lengths (its plan gained the whole train+apply chain —
-#: semantics changed, must re-prove), and run_stream_near_dup's fold
-#: grew the occupant branch + empty-table guard (default min_id
-#: semantics unchanged, but the stateful fn changed — re-prove).
-#: (q_bpe_merges was only refactored to module-level fold helpers —
-#: byte-identical plan — and lands in tier 3 rotation anyway since
-#: its r8 proof is fresh.)
-#: …and the stateful-streaming family switched its DEFAULT state
-#: layout to key-coarsened buckets (identical emitted rows — parity
-#: pinned in tests/test_streaming.py — but a changed plan, so all
-#: three oracle-bearing members re-prove first).
+#: Round-10 plan changes: q_bpe_encode and q_sequence_pack now READ the
+#: persisted tokenizer artifact instead of retraining inline (the whole
+#: training subtree left their plans — must re-prove on the new shape),
+#: and the substring pair shares one detect core
+#: (substring_dup_occurrences) so detect → scrub pays the shingle
+#: shuffle once — both plans changed. (The r9 stateful-streaming family
+#: re-proved green in CORRECTNESS_r09 on its current layout and had no
+#: r10 plan change — back to tier-3 rotation.)
 _TIER1_FIXED: list[str] = [
     "q_sequence_pack",
-    "q_stream_near_dup",
-    "q_stream_ewma",
-    "q_sessionize_state",
-    "q_stream_anomaly",
+    "q_bpe_encode",
+    "q_substring_dedup",
+    "q_substring_scrub",
 ]
 
 #: name -> last round the driver proved it green (CORRECTNESS_r01..r08

@@ -1490,3 +1490,45 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "doc_id", (reason == "ok").alias("keep"), reason.alias("reason")
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty scoring — the diversity complement to the dedup family:
+# per document, the fraction of its distinct 8-token stride-1 shingles
+# whose FIRST corpus occurrence (min doc_id) is this document. Shuffles
+# are keyed by the 128-bit shingle hash + the doc id; novelty itself is
+# a raw exact-int division (bit-identical).
+# ---------------------------------------------------------------------------
+@declared(
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+    c AS (SELECT doc_id, toks, unnest(range(1, n - 6)) AS pos FROM s),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(toks[pos:pos + 7], ' ')) AS h
+        FROM c
+    ),
+    flagged AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS first_doc
+        FROM sh
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+    FROM flagged GROUP BY doc_id
+    """
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: fraction of the doc's distinct
+    8-token shingles first seen (min doc_id) in this doc — curation
+    pipelines down-weight low-novelty recombinations of existing text."""
+    from review_engine_spark.operators.curation import ngram_novelty
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "text", "doc_id", width=8)

@@ -1654,6 +1654,140 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Adamic–Adar discounts in micro units: round(1e6 / ln(deg)) for part
+#: buyer-degrees 2..20 (the co-purchase graph's rare-item blocking
+#: band), precomputed ONCE and hardcoded as integer literals on BOTH
+#: engines — per-pair scores are exact BIGINT sums, no libm ln on any
+#: compare path (the q_ndcg_eval discount-table convention).
+_AA_W_MICRO = [
+    1442695, 910239, 721348, 621335, 558111, 513898, 480898, 455120,
+    434294, 417032, 402430, 389871, 378923, 369269, 360674, 352956,
+    345976, 339623, 333808,
+]
+
+_AA_W_CASE = " ".join(
+    f"WHEN {d} THEN {w}" for d, w in enumerate(_AA_W_MICRO, start=2)
+)
+
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar link prediction — "which customers does u most resemble"
+# scored over shared parts: AA(u, v) = sum over co-purchased parts p of
+# 1/ln(buyers(p)) (rarer shared parts say more than bestsellers). The
+# bipartite form of the classic common-neighbors predictor; same
+# rare-item blocking band ([2, 20] buyers) as the co-purchase graph, so
+# per-part pair volume is capped at C(20,2) and the only corpus-scaled
+# shuffle is keyed by the packed (u, v) pair. Discounts are hardcoded
+# micro-unit integers -> exact BIGINT scores, deterministic top-3 cut.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle=f"""
+    WITH up AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    keep AS (
+        SELECT p, CASE count(*) {_AA_W_CASE} END AS w
+        FROM up GROUP BY p HAVING count(*) BETWEEN 2 AND 20
+    ),
+    pr AS (
+        SELECT a.u AS u, b.u AS v, k.w
+        FROM up a JOIN keep k ON a.p = k.p
+        JOIN up b ON b.p = a.p AND a.u < b.u
+    ),
+    agg AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(w) AS BIGINT) AS aa_micro
+        FROM pr GROUP BY u, v
+    ),
+    sym AS (
+        SELECT u, v, n_common, aa_micro FROM agg
+        UNION ALL
+        SELECT v AS u, u AS v, n_common, aa_micro FROM agg
+    )
+    SELECT u AS user_id, v AS partner_id, n_common, aa_micro, rank FROM (
+        SELECT *,
+               CAST(row_number() OVER (
+                   PARTITION BY u ORDER BY aa_micro DESC, v
+               ) AS BIGINT) AS rank
+        FROM sym
+    ) WHERE rank <= 3
+    """
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the customer co-purchase
+    bipartite graph: top-3 most-similar customers per customer, scored
+    by summed inverse-log rarity of shared parts. Exact-integer
+    discount table (micro units) on both engines; pair enumeration is
+    the packed-BIGINT array expansion (no self-join)."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    up = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            li.select("l_orderkey", "l_partkey"),
+            orders.o_orderkey == li.l_orderkey,
+        )
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    per_part = (
+        up.groupBy("p")
+        .agg(
+            F.array_sort(F.collect_list("u")).alias("us"),
+            F.count("*").alias("deg"),
+        )
+        .where(F.col("deg").between(2, 20))
+    )
+    warr = F.array(*[F.lit(w) for w in _AA_W_MICRO])
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("us"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("us"), i + 2,
+                    F.greatest(F.size("us") - i - 1, F.lit(0)),
+                ),
+                lambda y: x * F.lit(4294967296) + y,
+            ),
+        )
+    )
+    agg = (
+        per_part.select(
+            F.element_at(warr, (F.col("deg") - 1).cast("int")).alias("w"),
+            F.explode(pair_arr).alias("uu"),
+        )
+        .select(
+            F.expr("uu div 4294967296").alias("u"),
+            F.expr("uu % 4294967296").alias("v"),
+            "w",
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum("w").alias("aa_micro"),
+        )
+    )
+    sym = agg.unionByName(
+        agg.select(
+            F.col("v").alias("u"), F.col("u").alias("v"),
+            "n_common", "aa_micro",
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("aa_micro"), F.asc("v"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("v").alias("partner_id"),
+            "n_common",
+            "aa_micro",
+            "rank",
+        )
+    )
+
+
 #: Holt-Winters lambda (shared textual form on both engines):
 #: slots [1]=dow, [2]=x, [3]=level, [4]=trend, [5+j]=seasonal_j.
 _HW_LP = "0.3 * (x[2] - acc[CAST(5 + x[1] AS BIGINT)]) + 0.7 * (acc[3] + acc[4])"

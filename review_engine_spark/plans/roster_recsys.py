@@ -198,6 +198,122 @@ def q_recsys_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     oracle="""
+    WITH ranked AS (
+        SELECT o_orderkey, o_custkey,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ),
+    test_orders AS (SELECT o_orderkey, o_custkey FROM ranked WHERE rn = 1),
+    train_orders AS (SELECT o_orderkey, o_custkey FROM ranked WHERE rn > 1),
+    train_li AS (
+        SELECT l.l_orderkey, l.l_partkey, l.l_quantity, t.o_custkey
+        FROM lineitem l JOIN train_orders t ON l.l_orderkey = t.o_orderkey
+    ),
+    test_basket AS (
+        SELECT DISTINCT t.o_custkey, l.l_partkey
+        FROM lineitem l JOIN test_orders t ON l.l_orderkey = t.o_orderkey
+    ),
+    anchor AS (
+        SELECT o_custkey, l_partkey AS anchor_item FROM (
+            SELECT o_custkey, l_partkey,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY round(sum(l_quantity), 4) DESC, l_partkey
+                   ) AS arn
+            FROM train_li GROUP BY o_custkey, l_partkey
+        ) WHERE arn = 1
+    ),
+    basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM train_li),
+    cnt AS (SELECT l_partkey, count(*) AS n FROM basket GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS c
+        FROM basket a
+        JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT i, j, c FROM pairs UNION ALL SELECT j AS i, i AS j, c FROM pairs
+    ),
+    recs AS (
+        SELECT i AS anchor_item, j AS rec_item_id, rrn FROM (
+            SELECT s.i, s.j,
+                   row_number() OVER (
+                       PARTITION BY s.i
+                       ORDER BY round(s.c / sqrt(ci.n * cj.n), 6) DESC, s.j
+                   ) AS rrn
+            FROM sym s
+            JOIN cnt ci ON s.i = ci.l_partkey
+            JOIN cnt cj ON s.j = cj.l_partkey
+        ) WHERE rrn <= 5
+    ),
+    user_recs AS (
+        SELECT a.o_custkey, r.rec_item_id, r.rrn
+        FROM anchor a JOIN recs r ON a.anchor_item = r.anchor_item
+    ),
+    hit_ranks AS (
+        SELECT u.o_custkey, u.rrn
+        FROM user_recs u
+        JOIN test_basket t
+          ON u.o_custkey = t.o_custkey AND u.rec_item_id = t.l_partkey
+    ),
+    -- micro-unit discounts: round(1e6 / log2(rank+1)), hardcoded as
+    -- integer literals on BOTH engines — DCG is an exact BIGINT sum
+    dcg AS (
+        SELECT o_custkey,
+               CAST(sum(CASE rrn WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+                                 WHEN 3 THEN 500000 WHEN 4 THEN 430677
+                                 WHEN 5 THEN 386853 END) AS BIGINT) AS dcg
+        FROM hit_ranks GROUP BY 1
+    ),
+    nrel AS (
+        SELECT o_custkey, count(*) AS n_rel FROM test_basket GROUP BY 1
+    ),
+    eligible AS (
+        SELECT a.o_custkey,
+               CASE least(5, t.n_rel) WHEN 1 THEN 1000000 WHEN 2 THEN 1630930
+                                      WHEN 3 THEN 2130930 WHEN 4 THEN 2561607
+                                      WHEN 5 THEN 2948460 END AS idcg
+        FROM anchor a JOIN nrel t ON a.o_custkey = t.o_custkey
+    ),
+    scored AS (
+        SELECT e.o_custkey, coalesce(d.dcg, 0) AS dcg, e.idcg
+        FROM eligible e LEFT JOIN dcg d ON e.o_custkey = d.o_custkey
+    )
+    SELECT c.c_mktsegment,
+           count(*) AS n_users,
+           CAST(sum(s.dcg) AS BIGINT) AS sum_dcg,
+           round(avg(CAST(s.dcg AS DOUBLE) / CAST(s.idcg AS DOUBLE)), 6)
+               AS avg_ndcg
+    FROM scored s JOIN customer c ON s.o_custkey = c.c_custkey
+    GROUP BY 1
+    """
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline NDCG@5 of the co-occurrence recommender under the same
+    leave-latest-order-out protocol as ``q_recsys_eval`` — the
+    rank-aware metric (how HIGH did the relevant item rank, not just
+    whether it appeared). Rank discounts are precomputed micro-unit
+    integer literals on both engines, so per-user DCG/IDCG are exact
+    BIGINTs and NDCG is a bit-identical exact-int division; no libm
+    log2 executes on the compare path."""
+    from review_engine_spark.operators.recommend import (
+        evaluate_cooccur_ndcg,
+    )
+
+    return evaluate_cooccur_ndcg(
+        read_parquet_table(spark, sf_dir, "orders"),
+        read_parquet_table(spark, sf_dir, "lineitem"),
+        read_parquet_table(spark, sf_dir, "customer"),
+        k=5,
+    )
+
+
+@declared(
+    oracle="""
     WITH pos AS (
         SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -424,3 +424,74 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch reading ease + Flesch–Kincaid grade):
+# classic curation signal built from three integer counts — words,
+# sentence-terminator groups, vowel-group "syllables". The formula
+# constants are identical decimal literals on both engines and the
+# inputs are exact-int ratios, so the identical IEEE expression tree
+# yields bit-identical raw doubles (NOTES round-4 derived-scalar rule).
+# Scale: one narrow map over the corpus — no shuffle at all.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle=r"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_words,
+               CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                    AS BIGINT) AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syllables
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    r AS (
+        SELECT *,
+               CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps,
+               CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw
+        FROM m WHERE n_words > 0
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206.835 - 1.015 * wps - 84.6 * spw AS flesch,
+           0.39 * wps + 11.8 * spw - 15.59 AS fk_grade
+    FROM r
+    """
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per document from
+    deterministic integer counts (whitespace words, [.!?]+ sentence
+    groups with a floor of 1, [aeiouy]+ vowel-group syllables)."""
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("long"),
+        ).alias("n_sentences"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = (
+        F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias(
+            "flesch"
+        ),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias(
+            "fk_grade"
+        ),
+    )

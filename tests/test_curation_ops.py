@@ -721,3 +721,32 @@ def test_gopher_rules_every_branch_fires(spark, tmp_path):
     assert got[4] == (False, "long_words")
     assert got[5] == (False, "low_alpha")
     assert got[6] == (False, "no_stopwords")
+
+
+def test_ngram_novelty_first_doc_wins_and_fractions(spark):
+    from review_engine_spark.operators.curation import ngram_novelty
+
+    a = "a b c d e f g h i j"            # 10 toks -> 3 shingles, all novel
+    dup = a                               # every shingle first seen in doc 1
+    mix = "a b c d e f g h z z z z"       # 12 toks -> 5 shingles; pos 1 dup
+    df = _docs(spark, [(1, a), (2, dup), (3, mix), (4, "too short")])
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(df, width=8).collect()
+    }
+    assert out[1] == (3, 3, 1.0)
+    assert out[2] == (3, 0, 0.0)
+    assert out[3] == (5, 4, 4 / 5)
+    assert 4 not in out  # < width tokens -> no shingles -> absent
+
+
+def test_ngram_novelty_within_doc_repeat_counts_once(spark):
+    from review_engine_spark.operators.curation import ngram_novelty
+
+    # 16 tokens = the same 8-gram twice: shingle at pos 1 equals pos 9,
+    # and the stride-1 windows in between are distinct rotations
+    df = _docs(spark, [(1, "a b c d e f g h a b c d e f g h")])
+    (row,) = ngram_novelty(df, width=8).collect()
+    # 9 window positions but pos 1 == pos 9 -> 8 DISTINCT shingles
+    assert row["n_shingles"] == 8 and row["n_novel"] == 8
+    assert row["novelty"] == 1.0

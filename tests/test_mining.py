@@ -213,3 +213,47 @@ def test_holt_winters_matches_python_recurrence(spark, sf_dir):
             last_dow = dow
         season_next = s[int(last_dow + 1) % 7]
         assert got[et] == (len(rows), l, b, l + b + season_next), et
+
+
+def test_adamic_adar_exact_weights_and_tie_break(spark, tmp_path):
+    """Tiny co-purchase graph with hand-computed micro-unit scores:
+    shared deg-2 part weighs 1442695, deg-3 part 910239; a degree-1
+    part contributes nothing (outside the [2, 20] blocking band)."""
+    import pandas as pd
+    from review_engine_spark.plans.roster_mining import q_adamic_adar
+
+    # one order per (user, part): users 1,2 share parts 500 (deg 2) and
+    # 501 (deg 3); user 3 shares only 501; part 502 is user-1-only
+    rows = [
+        (1, 500), (1, 501), (1, 502),
+        (2, 500), (2, 501),
+        (3, 501),
+    ]
+    pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(rows) + 1),
+            "o_custkey": [u for u, _ in rows],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": range(1, len(rows) + 1),
+            "l_partkey": [p for _, p in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    out = {
+        (r["user_id"], r["partner_id"]): (
+            r["n_common"], r["aa_micro"], r["rank"]
+        )
+        for r in q_adamic_adar(spark, str(tmp_path)).collect()
+    }
+    w2, w3 = 1_442_695, 910_239
+    assert out[(1, 2)] == (2, w2 + w3, 1)
+    assert out[(1, 3)] == (1, w3, 2)
+    assert out[(2, 1)] == (2, w2 + w3, 1)
+    assert out[(2, 3)] == (1, w3, 2)
+    # user 3 ties partners 1 and 2 at w3 -> id tie-break orders them
+    assert out[(3, 1)] == (1, w3, 1)
+    assert out[(3, 2)] == (1, w3, 2)
+    assert len(out) == 6

@@ -247,3 +247,50 @@ def test_negative_sample_excludes_positives_and_is_deterministic(spark):
         for r in negative_sample(pos.repartition(4), mx, k=3).collect()
     ]
     assert sorted(rows) == sorted(again)
+
+
+def test_ndcg_eval_exact_integer_discounts(spark):
+    """Hits at known ranks: rank-1 hit -> ndcg 1.0, rank-2 hit ->
+    630930/1000000, miss -> 0; sum_dcg is the exact micro-unit total."""
+    from datetime import datetime as dt
+    from review_engine_spark.operators.recommend import evaluate_cooccur_ndcg
+
+    orders = spark.createDataFrame(
+        [
+            (1, 100, dt(2024, 1, 1)), (2, 100, dt(2024, 1, 5)),
+            (3, 200, dt(2024, 1, 1)), (4, 200, dt(2024, 1, 6)),
+            (5, 300, dt(2024, 1, 2)), (6, 300, dt(2024, 1, 7)),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    # train baskets: {10,11}, {10,11,12}, {10,12} ->
+    #   n(10)=3 n(11)=2 n(12)=2; c(10,11)=2 c(10,12)=2 c(11,12)=1
+    #   anchor 10's partners: 11 and 12 tie on lift 2/sqrt(6) -> id
+    #   tie-break gives 11 rank 1, 12 rank 2
+    li = spark.createDataFrame(
+        [
+            (1, 10, 1.0), (1, 11, 1.0),
+            (3, 10, 1.0), (3, 11, 1.0), (3, 12, 1.0),
+            (5, 10, 1.0), (5, 12, 1.0),
+            # test baskets: c100 {12} (rank-2 hit), c200 {11} (rank-1
+            # hit), c300 {99} (miss)
+            (2, 12, 1.0), (4, 11, 1.0), (6, 99, 1.0),
+        ],
+        "l_orderkey long, l_partkey long, l_quantity double",
+    )
+    cust = spark.createDataFrame(
+        [(100, "SEG"), (200, "SEG"), (300, "SEG")],
+        "c_custkey long, c_mktsegment string",
+    )
+    (r,) = evaluate_cooccur_ndcg(orders, li, cust, k=5).collect()
+    assert r["n_users"] == 3
+    assert r["sum_dcg"] == 630_930 + 1_000_000 + 0
+    assert r["avg_ndcg"] == round((0.63093 + 1.0 + 0.0) / 3, 6)
+
+
+def test_ndcg_k_beyond_discount_table_raises(spark):
+    import pytest as _pytest
+    from review_engine_spark.operators.recommend import evaluate_cooccur_ndcg
+
+    with _pytest.raises(ValueError, match="discount table"):
+        evaluate_cooccur_ndcg(None, None, None, k=6)

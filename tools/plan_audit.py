@@ -360,6 +360,29 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
         (False, r"CartesianProduct", "lag-7 forecast is an equi-join on (type, day)"),
         (True, r"partial_", "daily cent sums partial-aggregate map-side"),
     ],
+    # round-10 additions
+    "q_dsir_weights": [
+        (False, r"SortMergeJoin", "4096-bucket feature stats keep every join broadcast"),
+        (True, r"BroadcastHashJoin", "bucket-stat joins broadcast"),
+    ],
+    "q_perplexity_gate": [
+        (True, r"BroadcastNestedLoopJoin|BroadcastExchange", "percentile cutoff is a 1-row broadcast (D7)"),
+        (False, r"CartesianProduct", "no unbounded cartesian"),
+    ],
+    "q_ndcg_eval": [
+        (False, r"CartesianProduct", "rank join is keyed on (user, item)"),
+    ],
+    "q_adamic_adar": [
+        (False, r"SortMergeJoin|CartesianProduct", "pairs come from packed-array explode, not a self-join"),
+        (True, r"partial_", "pair scores partial-aggregate map-side"),
+    ],
+    "q_ngram_novelty": [
+        (False, r"CartesianProduct", "first-doc election is a keyed window, no pair join"),
+        (True, r"Window", "min-doc election is a hash-partitioned window"),
+    ],
+    "q_readability": [
+        (False, r"Exchange", "readability is a narrow map — no shuffle at all"),
+    ],
 }
 
 
