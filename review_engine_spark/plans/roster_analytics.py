@@ -928,3 +928,59 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_zscore_stateful(spark, sf_dir).select(
         "event_id", "user_id", F.round("zscore", 3).alias("zscore")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information — how much does a document's source tell you about
+# its language (the info-theoretic column-association profiler used to
+# pick stratification keys for mixture/dedup passes). Per-cell
+# MI terms (obs/N)·ln(obs·N / (row·col)) from exact BIGINT marginals,
+# emitted per (lang, source) cell like q_psi_drift / q_chi2 — the
+# bounded cell domain means no order-dependent global sum exists; only
+# ln() touches libm (6dp guard). One map-side-combined aggregate over
+# the scan; marginals are domain-bounded broadcasts.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle="""
+    WITH o AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+        FROM documents GROUP BY 1, 2
+    ),
+    rm AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS row_tot FROM o GROUP BY 1),
+    cm AS (SELECT source, CAST(sum(obs) AS BIGINT) AS col_tot FROM o GROUP BY 1),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o)
+    SELECT o.lang, o.source, o.obs,
+           round((CAST(o.obs AS DOUBLE) / CAST(n.n AS DOUBLE))
+                 * ln((CAST(o.obs AS DOUBLE) * CAST(n.n AS DOUBLE))
+                      / (CAST(rm.row_tot AS DOUBLE)
+                         * CAST(cm.col_tot AS DOUBLE))),
+                 6) AS mi_term
+    FROM o
+    JOIN rm ON o.lang = rm.lang
+    JOIN cm ON o.source = cm.source
+    CROSS JOIN n
+    """
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell mutual-information terms between document language and
+    source: exact BIGINT contingency counts, ln at 6dp only."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("obs"))
+    rm = cells.groupBy("lang").agg(F.sum("obs").alias("row_tot"))
+    cm = cells.groupBy("source").agg(F.sum("obs").alias("col_tot"))
+    n = cells.agg(F.sum("obs").alias("n"))
+    obs = F.col("obs").cast("double")
+    nn = F.col("n").cast("double")
+    rx = F.col("row_tot").cast("double")
+    cx = F.col("col_tot").cast("double")
+    return (
+        cells.join(F.broadcast(rm), "lang")
+        .join(F.broadcast(cm), "source")
+        .join(F.broadcast(n))
+        .select(
+            "lang", "source", "obs",
+            F.round((obs / nn) * F.log((obs * nn) / (rx * cx)), 6).alias(
+                "mi_term"
+            ),
+        )
+    )

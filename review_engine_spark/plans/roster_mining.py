@@ -1654,6 +1654,105 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled-CTE replay of the bounded k-core peel: a0 = all nodes,
+    then per round the degree of each surviving node counted against
+    the surviving set, keep deg >= k. Output = survivors after
+    ``rounds`` peels with their final within-core degree (the same
+    "after R rounds" semantics the Spark loop implements — a converged
+    peel is a fixed point, so extra unrolled rounds are no-ops and the
+    two engines agree whether convergence happened early or not).
+
+    Every round CTE is AS MATERIALIZED: each ``d{i}`` references
+    ``a{i-1}`` twice and DuckDB INLINES non-materialized CTEs per
+    reference, so the plain form re-executes the whole upstream chain
+    2^rounds times (measured: 84.8 s plain vs 0.2 s materialized at
+    sf0.01 — an exponential, not a constant)."""
+    parts = [
+        _BFS_EDGE_SQL.strip().lstrip().replace(
+            "edges AS (", "edges AS MATERIALIZED ("
+        ),
+        "a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM edges)",
+    ]
+    for i in range(1, rounds + 1):
+        parts += [
+            f"""d{i} AS MATERIALIZED (
+        SELECT e.u AS node, count(*) AS deg
+        FROM edges e
+        JOIN a{i - 1} x ON e.u = x.node
+        JOIN a{i - 1} y ON e.v = y.node
+        GROUP BY e.u
+    )""",
+            f"a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})",
+        ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    df AS (
+        SELECT e.u AS node, count(*) AS deg
+        FROM edges e
+        JOIN a{rounds} x ON e.u = x.node
+        JOIN a{rounds} y ON e.v = y.node
+        GROUP BY e.u
+    )
+    SELECT node AS user_id, CAST(deg AS BIGINT) AS core_degree FROM df
+    """
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peel) — the classic graph-curation pass
+# that strips low-engagement periphery before community/influence work:
+# repeatedly delete nodes with fewer than k surviving neighbors. Runs
+# the iterative peel with early exit at the fixed point (alive only
+# shrinks, so equal counts = equal sets); the oracle unrolls the same
+# R rounds, and a converged peel makes the extra rounds no-ops, so both
+# engines agree in either case. Scale: each round is two keys-only
+# semi-joins + one count per node — no pair explosion; edge table
+# persisted once, alive frontier localCheckpoint'd per round (the BFS
+# iterative-loop doctrine).
+# ---------------------------------------------------------------------------
+@declared(oracle=_kcore_oracle(k=3, rounds=6))
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the customer co-purchase graph after a bounded 6-round
+    peel: surviving customers with their within-core degree."""
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    edges.count()
+    alive = edges.select(F.col("u").alias("node")).distinct()
+    n_alive = alive.count()
+    for i in range(6):
+        au = alive.select(F.col("node").alias("u"))
+        av = alive.select(F.col("node").alias("v"))
+        deg = (
+            edges.join(au, "u", "left_semi")
+            .join(av, "v", "left_semi")
+            .groupBy("u")
+            .agg(F.count("*").alias("deg"))
+        )
+        new_alive = iter_checkpoint(
+            deg.filter(F.col("deg") >= 3).select(F.col("u").alias("node"))
+        )
+        n_new = new_alive.count()
+        alive = new_alive
+        if n_new == n_alive:
+            break  # fixed point: the peel is monotone shrinking
+        n_alive = n_new
+    au = alive.select(F.col("node").alias("u"))
+    av = alive.select(F.col("node").alias("v"))
+    # materialize the (node-bounded) result before dropping the edge
+    # cache — the caller's action must not re-derive the edge subtree
+    out = iter_checkpoint(
+        edges.join(au, "u", "left_semi")
+        .join(av, "v", "left_semi")
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .select(F.col("u").alias("user_id"), "core_degree")
+    )
+    edges.unpersist()
+    return out
+
+
 #: Adamic–Adar discounts in micro units: round(1e6 / ln(deg)) for part
 #: buyer-degrees 2..20 (the co-purchase graph's rare-item blocking
 #: band), precomputed ONCE and hardcoded as integer literals on BOTH

@@ -320,3 +320,91 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
     )
+
+
+def _pca_oracle(iters: int) -> str:
+    """Unrolled-CTE replay of ``q_pca_power``: per round a per-row dot
+    (rounded 6 — within-row sum order differs), a per-dim weighted sum
+    (rounded 6 — cross-row sum order differs), then an infinity-norm
+    normalize whose division is RAW: w and mx are identical rounded
+    doubles on both engines, so w/mx is bit-identical and rounding it
+    would only ADD the round-8 decimal-repr-vs-scaled-product hazard
+    (NOTES: never round a bit-identical double).
+
+    Every CTE is AS MATERIALIZED: ``w{i}`` is referenced by both
+    ``m{i}`` and ``v{i}``, and DuckDB inlines non-materialized CTEs per
+    reference — the plain form re-executes the chain exponentially
+    (measured 39.8 s plain vs 0.1 s materialized at sf0.01; same class
+    as the q_kcore oracle)."""
+    parts = [
+        """e AS MATERIALIZED (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    )""",
+        "v0 AS MATERIALIZED (SELECT DISTINCT pos, 1.0::DOUBLE AS val FROM e)",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"""s{i} AS MATERIALIZED (
+        SELECT e.vec_id, round(sum(e.x * v.val), 6) AS s
+        FROM e JOIN v{i - 1} v USING (pos) GROUP BY e.vec_id
+    )""",
+            f"""w{i} AS MATERIALIZED (
+        SELECT e.pos, round(sum(e.x * s.s), 6) AS w
+        FROM e JOIN s{i} s USING (vec_id) GROUP BY e.pos
+    )""",
+            f"m{i} AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w{i})",
+            f"v{i} AS MATERIALIZED (SELECT pos, w / mx AS val FROM w{i}, m{i})",
+        ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(pos AS BIGINT) AS pos, val AS component
+    FROM v{iters}
+    """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component by power iteration — the dimensionality-
+# reduction/whitening primitive of embedding curation (SemDeDup-style
+# pipelines PCA-reduce before clustering). Six rounds of v <- X'(Xv)
+# with infinity-norm scaling; v stays a 64-double literal coordinated
+# by the driver per round (the k-means pattern), so each round is ONE
+# narrow per-row dot + ONE 64-key map-side-combined aggregate — no
+# corpus join, no d×d covariance materialization (the Gram explode
+# would be corpus×d² rows). Order-dependent sums round to 6dp; the
+# normalize divides two identical rounded doubles RAW.
+# ---------------------------------------------------------------------------
+@declared(oracle=_pca_oracle(iters=6))
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix after 6 power-
+    iteration rounds (uncentered; infinity-norm scaled, sign fixed by
+    the deterministic all-ones start)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    emb = emb.persist()
+    d = len(emb.select("x").first()["x"])
+    v = [1.0] * d
+    for _ in range(6):
+        v_arr = F.array(*[F.lit(c) for c in v])
+        s = F.round(dot_product(F.col("x"), v_arr), 6).alias("s")
+        rows = emb.select(s, F.posexplode("x").alias("pos", "xv"))
+        w_rows = (
+            rows.groupBy("pos")
+            .agg(F.round(F.sum(F.col("xv") * F.col("s")), 6).alias("w"))
+            .collect()
+        )
+        w = [0.0] * d
+        for r in w_rows:
+            w[r["pos"]] = r["w"]
+        mx = max(abs(c) for c in w)
+        # w/mx is IEEE division of engine-identical doubles -> raw
+        v = [c / mx for c in w]
+    emb.unpersist()
+    return spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(v)], "pos long, component double"
+    )

@@ -250,3 +250,41 @@ def test_countmin_one_sided_error(spark, sf_dir):
     # the heavy hitters must be probed with their true counts attached
     assert any(r["actual"] > 0 for r in rows)
     assert any(r["token"].startswith("absent|") for r in rows)
+
+
+def test_mutual_info_terms_match_hand_computation(spark, tmp_path):
+    import math
+
+    import pandas as pd
+
+    from review_engine_spark.plans.roster_analytics import q_mutual_info
+
+    rows = (
+        [("en", "a")] * 2 + [("en", "b")] * 1
+        + [("fr", "a")] * 1 + [("fr", "b")] * 2
+    )
+    pd.DataFrame(
+        {
+            "doc_id": range(1, len(rows) + 1),
+            "text": "x",
+            "lang": [l for l, _ in rows],
+            "source": [s for _, s in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    out = {
+        (r["lang"], r["source"]): (r["obs"], r["mi_term"])
+        for r in q_mutual_info(spark, str(tmp_path)).collect()
+    }
+
+    def term(obs, rx, cx, n=6):
+        return round((obs / n) * math.log(obs * n / (rx * cx)), 6)
+
+    assert out[("en", "a")] == (2, term(2, 3, 3))
+    assert out[("en", "b")] == (1, term(1, 3, 3))
+    assert out[("fr", "a")] == (1, term(1, 3, 3))
+    assert out[("fr", "b")] == (2, term(2, 3, 3))
+    # positive association cells carry positive terms, and the total MI
+    # (sum of terms) is positive for this dependent table
+    assert out[("en", "a")][1] > 0 and out[("fr", "b")][1] > 0
+    assert sum(v for _, v in out.values()) > 0

@@ -257,3 +257,37 @@ def test_adamic_adar_exact_weights_and_tie_break(spark, tmp_path):
     assert out[(3, 1)] == (1, w3, 1)
     assert out[(3, 2)] == (1, w3, 2)
     assert len(out) == 6
+
+
+def test_kcore_peels_periphery_and_keeps_clique(spark, tmp_path):
+    """K4 clique survives the 3-core; a pendant user and an isolated
+    pair peel away (and the clique's degrees exclude peeled edges)."""
+    import pandas as pd
+    from review_engine_spark.plans.roster_mining import q_kcore
+
+    # one order per (user, part): parts 900.. give each K4 pair a
+    # shared part (buyer count 2, inside the [2,20] band); part 910
+    # attaches pendant user 5 to user 1; part 911 links the 6-7 pair
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        rows += [(a, 900 + i), (b, 900 + i)]
+    rows += [(1, 910), (5, 910), (6, 911), (7, 911)]
+    pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(rows) + 1),
+            "o_custkey": [u for u, _ in rows],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": range(1, len(rows) + 1),
+            "l_partkey": [p for _, p in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    out = {
+        r["user_id"]: r["core_degree"]
+        for r in q_kcore(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}

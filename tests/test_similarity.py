@@ -36,3 +36,22 @@ def test_batch_topk_matches_python_reference(spark):
         )[:7]
         for rn, (sim, neg_id) in enumerate(ranked, start=1):
             assert got[(qi, rn)] == (-neg_id, sim), (qi, rn)
+
+
+def test_pca_power_recovers_rank1_direction(spark, tmp_path):
+    """Vectors all parallel to (3, 1): the top component converges to
+    the infinity-normalized direction (1.0, 1/3) immediately, and the
+    deterministic all-ones start fixes the sign."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from review_engine_spark.plans.roster_vector import q_pca_power
+
+    vecs = [[3.0, 1.0], [6.0, 2.0], [-3.0, -1.0], [30.0, 10.0]]
+    pd.DataFrame(
+        {"vec_id": range(1, 5), "embedding": vecs}
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    out = {r["pos"]: r["component"] for r in q_pca_power(spark, str(tmp_path)).collect()}
+    assert out[1] == _pytest.approx(1.0, abs=1e-9)
+    assert out[2] == _pytest.approx(1 / 3, abs=1e-5)

@@ -383,6 +383,17 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
     "q_readability": [
         (False, r"Exchange", "readability is a narrow map — no shuffle at all"),
     ],
+    "q_kcore": [
+        (False, r"CartesianProduct|BroadcastNestedLoopJoin", "peels are keyed semi-joins"),
+        (True, r"LocalTableScan|Scan ExistingRDD|InMemory", "result is checkpoint-materialized (edge cache dropped safely)"),
+    ],
+    "q_mutual_info": [
+        (True, r"BroadcastHashJoin|BroadcastNestedLoopJoin", "marginals are domain-bounded broadcasts"),
+        (False, r"SortMergeJoin", "no corpus-keyed join anywhere"),
+    ],
+    "q_pca_power": [
+        (False, r"Exchange hashpartitioning\(vec_id", "no corpus join — v is a driver-coordinated literal"),
+    ],
 }
 
 
