@@ -586,3 +586,52 @@ def ngram_novelty(
             / F.col("n_shingles").cast("double"),
         )
     )
+
+
+#: Gopher/MassiveText stopword probe set (frozen; mirrored as literals
+#: in the roster oracles).
+GOPHER_STOPS = ["the", "a", "of", "to", "and", "in"]
+
+
+def gopher_gate(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/MassiveText heuristic quality gate: (id, keep, reason).
+
+    First-failing-rule semantics over five integer-threshold rules
+    (word count band, mean word length band, alpha-word fraction,
+    stopword floor). Every comparison is an INTEGER cross-product, so
+    no float ratio can tie-break differently across engines. A pure
+    narrow map (no shuffle) — the same expression tree runs unchanged
+    on a batch OR a streaming DataFrame, which is what
+    ``run_stream_quality_gate`` relies on for batch/stream parity by
+    construction.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    m = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("n_wchars"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+        .cast("long")
+        .alias("n_alpha"),
+        sum(
+            F.array_contains(toks, s).cast("long") for s in GOPHER_STOPS
+        ).alias("n_stops"),
+    )
+    reason = (
+        F.when(F.col("n_words") < 30, F.lit("too_few_words"))
+        .when(F.col("n_words") > 80, F.lit("too_many_words"))
+        .when(3 * F.col("n_words") > F.col("n_wchars"), F.lit("short_words"))
+        .when(F.col("n_wchars") > 10 * F.col("n_words"), F.lit("long_words"))
+        .when(5 * F.col("n_alpha") < 4 * F.col("n_words"), F.lit("low_alpha"))
+        .when(F.col("n_stops") < 2, F.lit("no_stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+    return m.select(
+        F.col(id_col), (reason == "ok").alias("keep"), reason.alias("reason")
+    )

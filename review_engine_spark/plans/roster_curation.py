@@ -1460,36 +1460,14 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     5·n_alpha ≥ 4·n_words, ...) so no float ratio can tie-break
     differently across engines. One scan, no shuffle, pure Catalyst —
     the same cost class as q_quality_gate, which it composes with (run
-    both, union the reasons) in a real pipeline."""
+    both, union the reasons) in a real pipeline. The expression tree
+    lives in ``operators.curation.gopher_gate`` so the streaming twin
+    (q_stream_quality_gate) runs the IDENTICAL gate — batch/stream
+    parity by construction, not by porting."""
+    from review_engine_spark.operators.curation import gopher_gate
+
     docs = read_parquet_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
-    )
-    m = docs.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_words"),
-        F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-        ).alias("n_wchars"),
-        F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
-        .cast("long")
-        .alias("n_alpha"),
-        sum(
-            F.array_contains(toks, s).cast("long") for s in _GOPHER_STOPS
-        ).alias("n_stops"),
-    )
-    reason = (
-        F.when(F.col("n_words") < 30, F.lit("too_few_words"))
-        .when(F.col("n_words") > 80, F.lit("too_many_words"))
-        .when(3 * F.col("n_words") > F.col("n_wchars"), F.lit("short_words"))
-        .when(F.col("n_wchars") > 10 * F.col("n_words"), F.lit("long_words"))
-        .when(5 * F.col("n_alpha") < 4 * F.col("n_words"), F.lit("low_alpha"))
-        .when(F.col("n_stops") < 2, F.lit("no_stopwords"))
-        .otherwise(F.lit("ok"))
-    )
-    return m.select(
-        "doc_id", (reason == "ok").alias("keep"), reason.alias("reason")
-    )
+    return gopher_gate(docs, "text", "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1532,3 +1510,46 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_parquet_table(spark, sf_dir, "documents")
     return ngram_novelty(docs, "text", "doc_id", width=8)
+
+
+
+@declared(
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+                    AS BIGINT) AS n_wchars,
+               CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(list_filter(
+                   ['the', 'a', 'of', 'to', 'and', 'in'],
+                   s -> list_contains(toks, s))) AS BIGINT) AS n_stops
+        FROM t
+    ),
+    r AS (
+        SELECT doc_id,
+               CASE WHEN n_words < 30 THEN 'too_few_words'
+                    WHEN n_words > 80 THEN 'too_many_words'
+                    WHEN 3 * n_words > n_wchars THEN 'short_words'
+                    WHEN n_wchars > 10 * n_words THEN 'long_words'
+                    WHEN 5 * n_alpha < 4 * n_words THEN 'low_alpha'
+                    WHEN n_stops < 2 THEN 'no_stopwords'
+                    ELSE 'ok' END AS reason
+        FROM m
+    )
+    SELECT doc_id, reason = 'ok' AS keep, reason FROM r
+    """
+)
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher-rule gate running INSIDE Structured Streaming over the
+    finite documents feed (append mode, stateless narrow map) — the
+    ingest front door. Shares q_gopher_rules' expression tree
+    (operators.curation.gopher_gate), so the oracle is the identical
+    batch SQL: streaming adds delivery, not semantics."""
+    from review_engine_spark.streaming.jobs import run_stream_quality_gate
+
+    return run_stream_quality_gate(spark, sf_dir)

@@ -322,7 +322,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_oracle(iters: int) -> str:
+def _pca_ctes(iters: int) -> str:
     """Unrolled-CTE replay of ``q_pca_power``: per round a per-row dot
     (rounded 6 — within-row sum order differs), a per-dim weighted sum
     (rounded 6 — cross-row sum order differs), then an infinity-norm
@@ -357,12 +357,29 @@ def _pca_oracle(iters: int) -> str:
             f"m{i} AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w{i})",
             f"v{i} AS MATERIALIZED (SELECT pos, w / mx AS val FROM w{i}, m{i})",
         ]
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _pca_oracle(iters: int) -> str:
     return (
-        "WITH "
-        + ",\n    ".join(parts)
+        _pca_ctes(iters)
         + f"""
     SELECT CAST(pos AS BIGINT) AS pos, val AS component
     FROM v{iters}
+    """
+    )
+
+
+def _pca_project_oracle(iters: int) -> str:
+    """Projection tail over the shared power-iteration CTEs: per-vector
+    score = dot(x, v_final), rounded 6 (the within-row sum-order
+    class)."""
+    return (
+        _pca_ctes(iters)
+        + f"""
+    SELECT e.vec_id, round(sum(e.x * v.val), 6) AS score
+    FROM e JOIN v{iters} v USING (pos)
+    GROUP BY e.vec_id
     """
     )
 
@@ -378,18 +395,19 @@ def _pca_oracle(iters: int) -> str:
 # would be corpus×d² rows). Order-dependent sums round to 6dp; the
 # normalize divides two identical rounded doubles RAW.
 # ---------------------------------------------------------------------------
-@declared(oracle=_pca_oracle(iters=6))
-def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal direction of the embedding matrix after 6 power-
-    iteration rounds (uncentered; infinity-norm scaled, sign fixed by
-    the deterministic all-ones start)."""
+def _power_component(
+    spark: SparkSession, sf_dir: str, iters: int = 6
+) -> list[float]:
+    """Run the power iteration and return the final component as Python
+    doubles — shared by q_pca_power (emit the direction) and
+    q_pca_project (apply it)."""
     emb = read_parquet_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
     emb = emb.persist()
     d = len(emb.select("x").first()["x"])
     v = [1.0] * d
-    for _ in range(6):
+    for _ in range(iters):
         v_arr = F.array(*[F.lit(c) for c in v])
         s = F.round(dot_product(F.col("x"), v_arr), 6).alias("s")
         rows = emb.select(s, F.posexplode("x").alias("pos", "xv"))
@@ -405,6 +423,37 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         # w/mx is IEEE division of engine-identical doubles -> raw
         v = [c / mx for c in w]
     emb.unpersist()
+    return v
+
+
+@declared(oracle=_pca_oracle(iters=6))
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix after 6 power-
+    iteration rounds (uncentered; infinity-norm scaled, sign fixed by
+    the deterministic all-ones start)."""
+    v = _power_component(spark, sf_dir, iters=6)
     return spark.createDataFrame(
         [(i + 1, c) for i, c in enumerate(v)], "pos long, component double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection — the apply half of q_pca_power (the detect→apply
+# closure convention): every embedding scored against the trained
+# principal direction. One narrow per-row dot against the broadcast
+# literal — no shuffle beyond the training rounds themselves; at scale
+# this is the 1-d "concept score" used for slicing/whitening/outlier
+# cuts over the embedding corpus.
+# ---------------------------------------------------------------------------
+@declared(oracle=_pca_project_oracle(iters=6))
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection score onto the 6-round power-iteration
+    component (rounded 6 — the within-row sum-order class)."""
+    v = _power_component(spark, sf_dir, iters=6)
+    v_arr = F.array(*[F.lit(c) for c in v])
+    emb = read_parquet_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    return emb.select(
+        "vec_id", F.round(dot_product(F.col("x"), v_arr), 6).alias("score")
     )

@@ -1292,3 +1292,47 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _snapshot(spark, agg, "complete", "stream_static_out")
+
+
+def run_stream_quality_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    path_glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Ingest-time document quality gating: the EXACT Gopher-rule gate
+    q_gopher_rules runs in batch (``operators.curation.gopher_gate`` —
+    one shared expression tree, so batch/stream parity holds by
+    construction), applied inside Structured Streaming over a finite
+    documents feed and driven to completion (append mode: the gate is a
+    stateless narrow map, so no watermark is needed and every input row
+    emits exactly one verdict row).
+
+    This is the 100 TB/day front-door shape: filter documents AS THEY
+    ARRIVE instead of landing raw text and re-scanning it in batch.
+    Scale: zero state, zero shuffle — throughput is bounded by scan +
+    regex only, and the file sink path (SPARK_GRAFT_STREAM_SINK=files)
+    keeps the output off the driver.
+    """
+    from review_engine_spark.operators.curation import gopher_gate
+
+    import os
+
+    table_dir = os.path.join(sf_dir, path_glob)
+    if os.path.isdir(table_dir):
+        src_path, glob_opt = table_dir, None
+    else:
+        src_path, glob_opt = sf_dir, path_glob
+
+    def _opt(r):
+        return r.option("pathGlobFilter", glob_opt) if glob_opt else r
+
+    batch = _opt(spark.read).parquet(src_path)
+    reader = _opt(spark.readStream.schema(batch.schema).format("parquet"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(src_path)
+    return _snapshot(
+        spark, gopher_gate(stream, "text", "doc_id"), "append",
+        "stream_quality_gate_out",
+    )

@@ -51,3 +51,31 @@ def test_file_sink_empty_stream_returns_schema(spark, sf_dir, monkeypatch):
     out = jobs._snapshot(spark, stream, "append", "empty_sink_test")
     assert out.columns == ["user_id", "event_type"]
     assert out.count() == 0
+
+
+def test_stream_quality_gate_equals_batch_gate(spark, tmp_path):
+    """The streaming gate must emit exactly the batch gate's verdicts —
+    same expression tree (operators.curation.gopher_gate), streaming
+    only adds delivery."""
+    import pandas as pd
+
+    from review_engine_spark.operators.curation import gopher_gate
+    from review_engine_spark.streaming.jobs import run_stream_quality_gate
+
+    ok = "the a of to and in " + "wordy " * 24  # 30 words, stops, alpha
+    texts = [ok, "tiny doc", "x " * 100, ok + " zz99 " * 0]
+    pd.DataFrame(
+        {"doc_id": range(1, len(texts) + 1), "text": texts}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    batch = {
+        (r["doc_id"], r["keep"], r["reason"])
+        for r in gopher_gate(
+            spark.read.parquet(str(tmp_path / "documents.parquet"))
+        ).collect()
+    }
+    stream = {
+        (r["doc_id"], r["keep"], r["reason"])
+        for r in run_stream_quality_gate(spark, str(tmp_path)).collect()
+    }
+    assert stream == batch and len(stream) == len(texts)

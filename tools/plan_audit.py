@@ -394,6 +394,9 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
     "q_pca_power": [
         (False, r"Exchange hashpartitioning\(vec_id", "no corpus join — v is a driver-coordinated literal"),
     ],
+    "q_pca_project": [
+        (False, r"Exchange", "projection is a narrow map against the literal component"),
+    ],
 }
 
 
