@@ -7,7 +7,7 @@ deterministic LCG seeding keeps even the clustering step SQL-replayable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from review_engine_spark.operators.curation import (
     boilerplate_flags,
@@ -1195,11 +1195,65 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rank_cutoff(sc: DataFrame, col: str, num: int, den: int) -> DataFrame:
+    """1-row exact order-statistic cutoff: the ceil(num/den · n)-th
+    smallest non-null value of ``col`` (n = non-null count).
+
+    This deliberately REPLACES the interpolated percentile the two
+    percentile gates first shipped with: at a TIED bracket (lo == hi, a
+    common event on a 6dp score grid) Spark's ``percentile`` returns
+    the grid value exactly (lo + (hi−lo)·f) while DuckDB's
+    ``quantile_cont`` computes lo·(1−f) + hi·f, which is one ulp OFF
+    the grid — so a document sitting exactly at the cutoff crossed the
+    gate on one engine and not the other (caught by the round-10
+    seed-2 sweep: q_dsir_sample doc 241). An order statistic is an
+    ELEMENT of the shared grid, bit-identical by construction; only
+    integer arithmetic picks the rank (cum·den ≥ n·num ⇔
+    cum ≥ ceil(num·n/den)).
+
+    Scale: the cumulative window runs over the per-VALUE aggregate,
+    whose cardinality is bounded by the 1e-6 score grid × the score
+    range — the q_ks_test domain-window class, not corpus rows (the
+    plan-audit sweep verifies an aggregate feeds the global window).
+    """
+    vals = sc.select(F.col(col).alias("_v")).where(F.col("_v").isNotNull())
+    g = vals.groupBy("_v").agg(F.count("*").alias("_c"))
+    n1 = vals.agg(F.count("*").alias("_n"))
+    cw = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.withColumn("_cum", F.sum("_c").over(cw))
+    return (
+        cum.crossJoin(F.broadcast(n1))
+        .where(F.col("_cum") * den >= F.col("_n") * num)
+        .agg(F.min("_v").alias("_cut"))
+    )
+
+
+def _rank_cutoff_sql(src: str, col: str, num: int, den: int) -> str:
+    """Oracle mirror of ``_rank_cutoff`` (emits CTEs cutg/cutn/cut;
+    read ``cut.c``)."""
+    return f"""cutg AS (
+        SELECT {col} AS v, count(*) AS c FROM {src}
+        WHERE {col} IS NOT NULL GROUP BY 1
+    ),
+    cutn AS (
+        SELECT count(*) AS n FROM {src} WHERE {col} IS NOT NULL
+    ),
+    cut AS (
+        SELECT min(v) AS c FROM (
+            SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM cutg
+        ), cutn
+        WHERE cum * {den} >= n * {num}
+    )"""
+
+
 @declared(
     oracle="WITH "
     + _BIGRAM_SC_CTES
+    + ",\n    "
+    + _rank_cutoff_sql("sc", "bigram_logprob", 3, 10)
     + """,
-    cut AS (SELECT quantile_cont(bigram_logprob, 0.3) AS c FROM sc),
     r AS (
         SELECT d.doc_id,
                CASE WHEN sc.doc_id IS NULL THEN 'too_short'
@@ -1216,23 +1270,20 @@ def q_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing thresholded). First-failing-rule chain like q_quality_gate:
     docs with <2 tokens carry no bigram evidence → 'too_short'; docs in
     the worst-perplexity 30% of the corpus (bigram_logprob at or below
-    the exact 30th percentile — CCNet's tail bucket, value-thresholded
-    so score ties cross the gate together) → 'high_perplexity'; rest
-    'ok'.
+    the exact 30th-percentile ORDER STATISTIC — CCNet's tail bucket,
+    value-thresholded so score ties cross the gate together) →
+    'high_perplexity'; rest 'ok'.
 
     Scale shape: scoring is the shuffle-hash-pinned bigram pipeline;
-    the cutoff is ONE exact-percentile aggregate (map-side partial,
-    never a global window) broadcast back over the rows — the D7
-    scalar pattern. Cross-engine float note: scores are rounded to the
-    1e-6 grid BEFORE the percentile, and the interpolated cutoff either
-    lands exactly on a grid value (when the bracketing order statistics
-    tie) or strictly between two grid values by margins ~1e-7 ≫ double
-    eps — either way `<=` agrees across engines."""
+    the cutoff is the exact-rank element via ``_rank_cutoff`` (see its
+    docstring for why the interpolated percentile was cross-engine
+    UNSAFE at tied brackets), broadcast back over the rows — the D7
+    scalar pattern."""
     docs = read_parquet_table(spark, sf_dir, "documents")
     sc = bigram_logprob_scores(spark, sf_dir).select(
         "doc_id", F.col("bigram_logprob").alias("_lp")
     )
-    cut = sc.agg(F.percentile("_lp", F.lit(0.3)).alias("_cut"))
+    cut = _rank_cutoff(sc, "_lp", 3, 10)
     reason = (
         F.when(F.col("_lp").isNull(), F.lit("too_short"))
         .when(F.col("_lp") <= F.col("_cut"), F.lit("high_perplexity"))
@@ -1376,8 +1427,9 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     oracle="WITH "
     + _DSIR_O_CTES
+    + ",\n    "
+    + _rank_cutoff_sql("w", "dsir_logweight", 7, 10)
     + """,
-    cut AS (SELECT quantile_cont(dsir_logweight, 0.7) AS c FROM w),
     sel AS (
         SELECT d.doc_id,
                CASE WHEN w.doc_id IS NULL THEN 'no_features'
@@ -1393,14 +1445,15 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     target-domain-like documents by importance log-weight (value
     threshold at the exact 70th percentile — score ties cross the gate
     together, the q_perplexity_gate convention), with drop reasons.
-    Same D7 scalar-cutoff shape; the rounded-to-1e-6 score grid makes
-    the `<` comparison cross-engine stable (see q_perplexity_gate's
-    float note)."""
+    Same D7 scalar-cutoff shape; the cutoff is the exact 70th-
+    percentile ORDER STATISTIC via ``_rank_cutoff`` — the interpolated
+    percentile this query first shipped with diverged across engines
+    at a tied bracket (seed-2 sweep, doc 241; see _rank_cutoff)."""
     docs = read_parquet_table(spark, sf_dir, "documents")
     w = dsir_logweights(spark, sf_dir).select(
         "doc_id", F.col("dsir_logweight").alias("_lw")
     )
-    cut = w.agg(F.percentile("_lw", F.lit(0.7)).alias("_cut"))
+    cut = _rank_cutoff(w, "_lw", 7, 10)
     reason = (
         F.when(F.col("_lw").isNull(), F.lit("no_features"))
         .when(F.col("_lw") < F.col("_cut"), F.lit("low_weight"))

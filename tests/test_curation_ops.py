@@ -750,3 +750,22 @@ def test_ngram_novelty_within_doc_repeat_counts_once(spark):
     # 9 window positions but pos 1 == pos 9 -> 8 DISTINCT shingles
     assert row["n_shingles"] == 8 and row["n_novel"] == 8
     assert row["novelty"] == 1.0
+
+
+def test_rank_cutoff_is_exact_grid_element_even_at_tied_bracket(spark):
+    """The seed-2 catch class: at a tied percentile bracket the
+    interpolated quantile is one ulp off the grid on DuckDB; the rank
+    cutoff must return the exact k-th smallest element instead."""
+    from review_engine_spark.plans.roster_curation import _rank_cutoff
+
+    # 10 values, heavy tie exactly at the 70th-percentile bracket
+    vals = [0.1, 0.2, 0.3, 0.4, 0.5, 0.057834, 0.057834, 0.057834,
+            0.9, None]
+    df = spark.createDataFrame([(v,) for v in vals], "s double")
+    (row,) = _rank_cutoff(df, "s", 7, 10).collect()
+    nn = sorted(v for v in vals if v is not None)
+    import math
+    k = math.ceil(0.7 * len(nn))
+    assert row["_cut"] == nn[k - 1]
+    # and the cutoff is bit-identical to a grid member (no interpolation)
+    assert row["_cut"] in nn

@@ -651,6 +651,13 @@ def source_sweep(declared: set[str]) -> tuple[list[str], set[str]]:
     chain)."""
     bad: list[str] = []
     verify: set[str] = set()
+    # Helpers containing a global window, mapped to EVERY declared query
+    # that reaches them: those queries' final plans get the same runtime
+    # global_window_violations check as an inline site (a helper name in
+    # this map is not a waiver — it routes to runtime verification).
+    helper_windows = {
+        "_rank_cutoff": ["q_perplexity_gate", "q_dsir_sample"],
+    }
     for p in sorted((REPO / "review_engine_spark").rglob("*.py")):
         lines = p.read_text().splitlines()
         for ln_no, ln in enumerate(lines, 1):
@@ -665,6 +672,17 @@ def source_sweep(declared: set[str]) -> tuple[list[str], set[str]]:
                         break
                 if encl in declared:
                     verify.add(encl)
+                    continue
+                if encl in helper_windows:
+                    missing = [
+                        q for q in helper_windows[encl] if q not in declared
+                    ]
+                    if missing:
+                        bad.append(
+                            f"{p.relative_to(REPO)}:{ln_no}: helper_windows "
+                            f"maps {encl} to undeclared queries {missing}"
+                        )
+                    verify.update(q for q in helper_windows[encl] if q in declared)
                     continue
                 ctx = "\n".join(lines[max(0, ln_no - 7): ln_no])
                 if ".limit(" not in ctx:
