@@ -769,3 +769,26 @@ def test_rank_cutoff_is_exact_grid_element_even_at_tied_bracket(spark):
     assert row["_cut"] == nn[k - 1]
     # and the cutoff is bit-identical to a grid member (no interpolation)
     assert row["_cut"] in nn
+
+
+def test_rank_cutoff_matches_python_order_statistic_property(spark):
+    """Property over randomized 6dp grids (hypothesis-style sweep with a
+    fixed seed): the cutoff is always the ceil(num*n/den)-th smallest
+    non-null element, bit-identical to a member of the input grid."""
+    import math
+    import random
+
+    from review_engine_spark.plans.roster_curation import _rank_cutoff
+
+    rng = random.Random(20260816)
+    for trial in range(8):
+        n = rng.randint(1, 40)
+        # heavy-tie grids: values drawn from a tiny 6dp domain
+        domain = [round(rng.uniform(-1, 1), 6) for _ in range(rng.randint(1, 5))]
+        vals = [rng.choice(domain) for _ in range(n)] + [None] * rng.randint(0, 3)
+        num, den = rng.choice([(3, 10), (7, 10), (1, 2), (9, 10)])
+        df = spark.createDataFrame([(v,) for v in vals], "s double")
+        (row,) = _rank_cutoff(df, "s", num, den).collect()
+        nn = sorted(v for v in vals if v is not None)
+        k = math.ceil(num * len(nn) / den)
+        assert row["_cut"] == nn[k - 1], (trial, vals, num, den)

@@ -291,3 +291,11 @@ def test_kcore_peels_periphery_and_keeps_clique(spark, tmp_path):
         for r in q_kcore(spark, str(tmp_path)).collect()
     }
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_adamic_adar_weight_table_matches_ln_definition():
+    import math
+
+    from review_engine_spark.plans.roster_mining import _AA_W_MICRO
+
+    assert _AA_W_MICRO == [round(1e6 / math.log(d)) for d in range(2, 21)]

@@ -294,3 +294,22 @@ def test_ndcg_k_beyond_discount_table_raises(spark):
 
     with _pytest.raises(ValueError, match="discount table"):
         evaluate_cooccur_ndcg(None, None, None, k=6)
+
+
+def test_ndcg_discount_table_matches_log2_definition():
+    """The hardcoded micro-unit discounts must be round(1e6/log2(r+1))
+    and the ideal table its exact prefix sums — pin the derivation so a
+    typo can't silently skew every NDCG."""
+    import math
+
+    from review_engine_spark.operators.recommend import (
+        _NDCG_DISCOUNT_MICRO,
+        _NDCG_IDEAL_MICRO,
+    )
+
+    expect = [round(1e6 / math.log2(r + 1)) for r in range(1, 6)]
+    assert _NDCG_DISCOUNT_MICRO == expect
+    acc = 0
+    for w, ideal in zip(_NDCG_DISCOUNT_MICRO, _NDCG_IDEAL_MICRO):
+        acc += w
+        assert ideal == acc
