@@ -57,6 +57,10 @@ CARTESIAN_OK: dict[str, str] = {
 WHITELIST: dict[str, str] = {
     "q_dau_mau_hll": "distinct calendar days — bounded by the calendar "
     "(≤ a few thousand rows at any corpus age), not the corpus",
+    "q_mutual_info": "lang/source marginals + the 1-row total — bounded "
+    "by the attribute DOMAINS (enumeration-like codes, ≤ dozens of "
+    "rows each), not the corpus; the q_dau_mau_hll domain-bounded "
+    "class",
     "q_mmr": "collected ≤200-row candidate set (reference semantics)",
     "q_dot": "1-row query vector (vec_id=0 filtered slice)",
     "q_knn_ivf": "≤2 query vectors + k centroid rows (both bounded)",
