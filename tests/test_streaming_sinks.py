@@ -79,3 +79,14 @@ def test_stream_quality_gate_equals_batch_gate(spark, tmp_path):
         for r in run_stream_quality_gate(spark, str(tmp_path)).collect()
     }
     assert stream == batch and len(stream) == len(texts)
+
+
+def test_quality_gate_file_sink_matches_memory_sink(spark, sf_dir, monkeypatch):
+    """The round-10 stream gate through both sink paths (append-mode
+    parquet FileStreamSink vs memory) — identical verdict rows."""
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SINK", raising=False)
+    via_memory = _rows(jobs.run_stream_quality_gate(spark, sf_dir))
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SINK", "files")
+    via_files = _rows(jobs.run_stream_quality_gate(spark, sf_dir))
+    assert via_files == via_memory
+    assert len(via_memory) > 0
