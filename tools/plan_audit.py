@@ -371,6 +371,7 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
     ],
     "q_ndcg_eval": [
         (False, r"CartesianProduct", "rank join is keyed on (user, item)"),
+        (True, r"ReusedExchange", "the _loo_user_recs split/train subtree is planned once and reused"),
     ],
     "q_adamic_adar": [
         (False, r"SortMergeJoin|CartesianProduct", "pairs come from packed-array explode, not a self-join"),
