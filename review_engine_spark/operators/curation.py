@@ -612,6 +612,12 @@ def gopher_gate(
     )
     m = docs.select(
         F.col(id_col),
+        # NULL text must fail the gate deterministically: without this
+        # flag the WHEN chain's comparisons all evaluate NULL and fall
+        # through to 'ok', and size(NULL) is even config-dependent
+        # (spark.sql.legacy.sizeOfNull makes it -1, silently flipping
+        # the verdict to 'too_few_words' on THAT deployment only).
+        F.col(text_col).isNull().alias("_null_text"),
         F.size(toks).cast("long").alias("n_words"),
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
@@ -624,7 +630,8 @@ def gopher_gate(
         ).alias("n_stops"),
     )
     reason = (
-        F.when(F.col("n_words") < 30, F.lit("too_few_words"))
+        F.when(F.col("_null_text"), F.lit("too_few_words"))
+        .when(F.col("n_words") < 30, F.lit("too_few_words"))
         .when(F.col("n_words") > 80, F.lit("too_many_words"))
         .when(3 * F.col("n_words") > F.col("n_wchars"), F.lit("short_words"))
         .when(F.col("n_wchars") > 10 * F.col("n_words"), F.lit("long_words"))

@@ -1491,7 +1491,8 @@ _GOPHER_STOPS = ["the", "a", "of", "to", "and", "in"]
     ),
     r AS (
         SELECT doc_id,
-               CASE WHEN n_words < 30 THEN 'too_few_words'
+               CASE WHEN n_words IS NULL THEN 'too_few_words'
+                    WHEN n_words < 30 THEN 'too_few_words'
                     WHEN n_words > 80 THEN 'too_many_words'
                     WHEN 3 * n_words > n_wchars THEN 'short_words'
                     WHEN n_wchars > 10 * n_words THEN 'long_words'
@@ -1585,7 +1586,8 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
         SELECT doc_id,
-               CASE WHEN n_words < 30 THEN 'too_few_words'
+               CASE WHEN n_words IS NULL THEN 'too_few_words'
+                    WHEN n_words < 30 THEN 'too_few_words'
                     WHEN n_words > 80 THEN 'too_many_words'
                     WHEN 3 * n_words > n_wchars THEN 'short_words'
                     WHEN n_wchars > 10 * n_words THEN 'long_words'

@@ -395,48 +395,148 @@ def _pca_project_oracle(iters: int) -> str:
 # would be corpus×d² rows). Order-dependent sums round to 6dp; the
 # normalize divides two identical rounded doubles RAW.
 # ---------------------------------------------------------------------------
-#: Trained components memoized per (application, sf_dir, iters): the
-#: iteration is deterministic, so q_pca_project reuses q_pca_power's
-#: training instead of re-running the 6 corpus rounds (the bucket-table
-#: / BPE-artifact convention — bench's clearCache() clears DF caches,
-#: not trained-artifact reuse, which is the operator's design).
-_PCA_MEMO: dict[tuple[str, str, int], list[float]] = {}
+#: Trained components memoized IN-PROCESS by artifact path. The path is
+#: content-addressed by the embeddings table's (realpath, mtime, size)
+#: stat — the BPE-artifact convention — so a regenerated fixture at the
+#: same sf_dir can never be served a stale component (the round-10 memo
+#: keyed on (applicationId, sf_dir, iters) could: ADVICE r10).
+_PCA_MEMO: dict[str, list[list[float]]] = {}
+
+
+def _pca_stat_digest(sf_dir: str, iters: int) -> str:
+    """Fingerprint of (embeddings data, iteration count). The embeddings
+    table may be a single parquet file (driver fixture) or a directory
+    of part files (Spark-written test fixtures) — stat both shapes."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(p):
+        parts = sorted(
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        )
+        stat = "|".join(
+            f"{f}|{os.stat(f).st_mtime_ns}|{os.stat(f).st_size}" for f in parts
+        )
+    else:
+        st = os.stat(p)
+        stat = f"{os.path.realpath(p)}|{st.st_mtime_ns}|{st.st_size}"
+    return hashlib.md5(f"{stat}|iters={iters}".encode()).hexdigest()[:16]
+
+
+def pca_components(
+    spark: SparkSession, sf_dir: str, k: int = 1, iters: int = 6
+) -> list[list[float]]:
+    """Top-``k`` principal directions by power iteration with Hotelling
+    deflation, via a persisted content-addressed artifact (the
+    ``bpe_rules`` convention): an artifact trained for k' ≥ k serves any
+    smaller request as a prefix (deflation never changes earlier
+    components), so q_pca_power (k=1), q_pca_topk (k=4) and both
+    projection halves share one training run per corpus.
+
+    Per component: 6 rounds of v ← X'(Xv) with infinity-norm scaling
+    (each round ONE narrow per-row dot + ONE d-key map-side-combined
+    aggregate — no corpus join, no d×d covariance explode), then the
+    matrix deflates per row: x ← x − (round6(x·v) / round6(v·v))·v.
+    Both rounded operands are engine-identical doubles, so every
+    deflated element is bit-identical across engines RAW — the oracle
+    replays the identical algebra (see ``_pca_topk_ctes``).
+    """
+    import glob
+    import json
+    import os
+
+    digest = _pca_stat_digest(sf_dir, iters)
+    root = os.environ.get(
+        "SPARK_GRAFT_PCA_DIR", "/tmp/review_engine_spark_pca"
+    )
+    memo = _PCA_MEMO.get(digest)
+    if memo is not None and len(memo) >= k:
+        return memo[:k]
+    # any artifact for this corpus digest trained to k' >= k is a hit
+    best_path, best_k = None, 0
+    for path in glob.glob(os.path.join(root, f"pca_k*_{digest}.json")):
+        k_art = int(os.path.basename(path).split("_")[1][1:])
+        if k_art > best_k:
+            best_path, best_k = path, k_art
+    if best_path is not None and best_k >= k:
+        with open(best_path) as fh:
+            comps = [list(map(float, c)) for c in json.load(fh)["components"]]
+        _PCA_MEMO[digest] = comps
+        return comps[:k]
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    cur = emb.persist()
+    d = len(cur.select("x").first()["x"])
+    comps: list[list[float]] = []
+    for ci in range(k):
+        v = [1.0] * d
+        for _ in range(iters):
+            v_arr = F.array(*[F.lit(c) for c in v])
+            s = F.round(dot_product(F.col("x"), v_arr), 6).alias("s")
+            rows = cur.select(s, F.posexplode("x").alias("pos", "xv"))
+            w_rows = (
+                rows.groupBy("pos")
+                .agg(F.round(F.sum(F.col("xv") * F.col("s")), 6).alias("w"))
+                .collect()
+            )
+            w = [0.0] * d
+            for r in w_rows:
+                w[r["pos"]] = r["w"]
+            mx = max(abs(c) for c in w)
+            if mx == 0.0:
+                # k exceeded the matrix's numerical rank (after round-6):
+                # the deflated corpus is exactly zero, so every further
+                # component is the zero vector. Only reachable when the
+                # caller over-asks; the oracle convention requires
+                # k <= rank (fixture embeddings are full-rank).
+                v = w
+                break
+            # w/mx is IEEE division of engine-identical doubles -> raw
+            v = [c / mx for c in w]
+        comps.append(v)
+        if ci < k - 1:
+            # Hotelling deflation against the just-found direction. The
+            # coefficient column is materialized in its own projection
+            # BEFORE the zip_with so the lambda references an attribute,
+            # not a recomputed aggregate (the NOTES HOF hazard).
+            vv = round(sum(c * c for c in v), 6)
+            v_arr = F.array(*[F.lit(c) for c in v])
+            nxt = cur.select(
+                "vec_id",
+                F.round(dot_product(F.col("x"), v_arr), 6).alias("c"),
+                "x",
+            ).select(
+                "vec_id",
+                F.zip_with(
+                    F.col("x"),
+                    v_arr,
+                    lambda xj, vj: xj - (F.col("c") / F.lit(vv)) * vj,
+                ).alias("x"),
+            )
+            nxt = nxt.persist()
+            nxt.count()  # materialize before dropping the parent
+            cur.unpersist()
+            cur = nxt
+    cur.unpersist()
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"pca_k{k}_{digest}.json")
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"k": k, "iters": iters, "components": comps}, fh)
+    os.replace(tmp, path)  # atomic: concurrent callers see old|new
+    _PCA_MEMO[digest] = comps
+    return comps
 
 
 def _power_component(
     spark: SparkSession, sf_dir: str, iters: int = 6
 ) -> list[float]:
-    """Run the power iteration and return the final component as Python
-    doubles — shared by q_pca_power (emit the direction) and
-    q_pca_project (apply it)."""
-    key = (spark.sparkContext.applicationId, sf_dir, iters)
-    got = _PCA_MEMO.get(key)
-    if got is not None:
-        return got
-    emb = read_parquet_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("x")
-    )
-    emb = emb.persist()
-    d = len(emb.select("x").first()["x"])
-    v = [1.0] * d
-    for _ in range(iters):
-        v_arr = F.array(*[F.lit(c) for c in v])
-        s = F.round(dot_product(F.col("x"), v_arr), 6).alias("s")
-        rows = emb.select(s, F.posexplode("x").alias("pos", "xv"))
-        w_rows = (
-            rows.groupBy("pos")
-            .agg(F.round(F.sum(F.col("xv") * F.col("s")), 6).alias("w"))
-            .collect()
-        )
-        w = [0.0] * d
-        for r in w_rows:
-            w[r["pos"]] = r["w"]
-        mx = max(abs(c) for c in w)
-        # w/mx is IEEE division of engine-identical doubles -> raw
-        v = [c / mx for c in w]
-    emb.unpersist()
-    _PCA_MEMO[key] = v
-    return v
+    """Top-1 direction — shared by q_pca_power (emit) and q_pca_project
+    (apply); a prefix of any larger trained artifact."""
+    return pca_components(spark, sf_dir, k=1, iters=iters)[0]
 
 
 @declared(oracle=_pca_oracle(iters=6))
@@ -469,4 +569,126 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "vec_id", F.round(dot_product(F.col("x"), v_arr), 6).alias("score")
+    )
+
+
+def _pca_topk_ctes(k: int, iters: int) -> str:
+    """Unrolled-CTE replay of ``pca_components``: the 6-round power
+    chain per component, plus a Hotelling-deflation CTE between
+    components. Deflation arithmetic is RAW on purpose: the coefficient
+    (round6 per-row dot) and the norm (round6 Σv²) are engine-identical
+    doubles, so coef/vv, its product with the component literal-equal
+    ``val``, and the subtraction are all bit-identical IEEE ops —
+    rounding them would only add the decimal-repr hazard (NOTES: never
+    round a bit-identical double). Every CTE is AS MATERIALIZED (the
+    q_pca_power exponential-inlining lesson)."""
+    parts = [
+        """e1 AS MATERIALIZED (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    )""",
+        "p AS MATERIALIZED (SELECT DISTINCT pos FROM e1)",
+    ]
+    for c in range(1, k + 1):
+        parts.append(
+            f"v{c}_0 AS MATERIALIZED "
+            f"(SELECT pos, 1.0::DOUBLE AS val FROM p)"
+        )
+        for i in range(1, iters + 1):
+            parts += [
+                f"""s{c}_{i} AS MATERIALIZED (
+        SELECT e.vec_id, round(sum(e.x * v.val), 6) AS s
+        FROM e{c} e JOIN v{c}_{i - 1} v USING (pos) GROUP BY e.vec_id
+    )""",
+                f"""w{c}_{i} AS MATERIALIZED (
+        SELECT e.pos, round(sum(e.x * s.s), 6) AS w
+        FROM e{c} e JOIN s{c}_{i} s USING (vec_id) GROUP BY e.pos
+    )""",
+                f"m{c}_{i} AS MATERIALIZED "
+                f"(SELECT max(abs(w)) AS mx FROM w{c}_{i})",
+                f"v{c}_{i} AS MATERIALIZED "
+                f"(SELECT pos, w / mx AS val FROM w{c}_{i}, m{c}_{i})",
+            ]
+        if c < k:
+            parts += [
+                f"vv{c} AS MATERIALIZED "
+                f"(SELECT round(sum(val * val), 6) AS vv FROM v{c}_{iters})",
+                f"""cc{c} AS MATERIALIZED (
+        SELECT e.vec_id, round(sum(e.x * v.val), 6) AS coef
+        FROM e{c} e JOIN v{c}_{iters} v USING (pos) GROUP BY e.vec_id
+    )""",
+                f"""e{c + 1} AS MATERIALIZED (
+        SELECT e.vec_id, e.pos, e.x - (cc.coef / vv.vv) * v.val AS x
+        FROM e{c} e JOIN cc{c} cc USING (vec_id)
+             JOIN v{c}_{iters} v USING (pos), vv{c} vv
+    )""",
+            ]
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _pca_topk_oracle(k: int, iters: int) -> str:
+    tails = [
+        f"SELECT CAST({c} AS BIGINT) AS comp, CAST(pos AS BIGINT) AS pos, "
+        f"val AS component FROM v{c}_{iters}"
+        for c in range(1, k + 1)
+    ]
+    return _pca_topk_ctes(k, iters) + "\n    " + "\n    UNION ALL ".join(tails)
+
+
+def _pca_project_topk_oracle(k: int, iters: int) -> str:
+    tails = [
+        f"""SELECT e.vec_id, CAST({c} AS BIGINT) AS comp,
+           round(sum(e.x * v.val), 6) AS score
+    FROM e1 e JOIN v{c}_{iters} v USING (pos) GROUP BY e.vec_id"""
+        for c in range(1, k + 1)
+    ]
+    return _pca_topk_ctes(k, iters) + "\n    " + "\n    UNION ALL ".join(tails)
+
+
+@declared(oracle=_pca_topk_oracle(k=4, iters=6))
+def q_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 principal directions by power iteration + Hotelling
+    deflation (VERDICT r10 item 5) — SemDeDup-style embedding curation
+    whitens on k ≥ 4 components, not just the top-1 the round-10
+    operator emitted. One persisted artifact serves this, q_pca_power
+    (its k=1 prefix) and both projection halves."""
+    comps = pca_components(spark, sf_dir, k=4, iters=6)
+    rows = [
+        (ci + 1, i + 1, val)
+        for ci, comp in enumerate(comps)
+        for i, val in enumerate(comp)
+    ]
+    return spark.createDataFrame(
+        rows, "comp long, pos long, component double"
+    )
+
+
+@declared(oracle=_pca_project_topk_oracle(k=4, iters=6))
+def q_pca_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scores against all 4 trained components — the k-dim
+    reduced representation (one narrow pass; the k dots share the row's
+    single array read, and the components are plan literals, so there is
+    no shuffle at ANY corpus size)."""
+    comps = pca_components(spark, sf_dir, k=4, iters=6)
+    scores = F.array(
+        *[
+            F.round(
+                dot_product(
+                    F.col("x"), F.array(*[F.lit(c) for c in comp])
+                ),
+                6,
+            )
+            for comp in comps
+        ]
+    )
+    emb = read_parquet_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    return emb.select(
+        "vec_id", F.posexplode(scores).alias("_i", "score")
+    ).select(
+        "vec_id",
+        (F.col("_i") + 1).cast("long").alias("comp"),
+        "score",
     )

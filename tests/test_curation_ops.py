@@ -707,6 +707,7 @@ def test_gopher_rules_every_branch_fires(spark, tmp_path):
         (4, ("extraordinarily " * 35).strip()),         # long_words (mean 16)
         (5, " ".join(str(i) for i in range(100, 135))), # low_alpha (0 alpha)
         (6, "zebra quark " * 18),                       # no_stopwords
+        (7, None),                                      # NULL text fails
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
@@ -721,6 +722,9 @@ def test_gopher_rules_every_branch_fires(spark, tmp_path):
     assert got[4] == (False, "long_words")
     assert got[5] == (False, "low_alpha")
     assert got[6] == (False, "no_stopwords")
+    # NULL text must fail deterministically (not fall through to 'ok',
+    # and not depend on spark.sql.legacy.sizeOfNull) — ADVICE r10.
+    assert got[7] == (False, "too_few_words")
 
 
 def test_ngram_novelty_first_doc_wins_and_fractions(spark):

@@ -55,3 +55,78 @@ def test_pca_power_recovers_rank1_direction(spark, tmp_path):
     out = {r["pos"]: r["component"] for r in q_pca_power(spark, str(tmp_path)).collect()}
     assert out[1] == _pytest.approx(1.0, abs=1e-9)
     assert out[2] == _pytest.approx(1 / 3, abs=1e-5)
+
+
+def test_pca_topk_deflation_recovers_orthogonal_directions(
+    spark, tmp_path, monkeypatch
+):
+    """Data built from two orthogonal directions with very different
+    variance: component 1 converges to the dominant direction and,
+    after deflation, component 2 to the orthogonal one (both
+    infinity-normalized, sign fixed by the all-ones start)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from review_engine_spark.plans.roster_vector import pca_components
+
+    monkeypatch.setenv("SPARK_GRAFT_PCA_DIR", str(tmp_path / "artifacts"))
+    # dominant direction (2, 1), minor orthogonal direction (1, -2)
+    vecs = []
+    for a in (10.0, -8.0, 12.0, -11.0, 9.0):
+        vecs.append([2.0 * a, 1.0 * a])
+    for b in (1.0, -1.5, 1.2):
+        vecs.append([1.0 * b, -2.0 * b])
+    pd.DataFrame(
+        {"vec_id": range(1, len(vecs) + 1), "embedding": vecs}
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    c1, c2 = pca_components(spark, str(tmp_path), k=2, iters=6)
+    assert c1[0] == _pytest.approx(1.0, abs=1e-6)
+    assert c1[1] == _pytest.approx(0.5, abs=1e-4)
+    # after removing (2,1)-span mass, only the ±(1,-2) span remains;
+    # the deterministic all-ones start picks the (-0.5, 1) orientation
+    assert c2[1] == _pytest.approx(1.0, abs=1e-6)
+    assert c2[0] == _pytest.approx(-0.5, abs=1e-4)
+
+
+def test_pca_artifact_prefix_reuse_and_data_invalidation(
+    spark, tmp_path, monkeypatch
+):
+    """(a) A k=4 artifact serves a k=1 request as a prefix with NO
+    retraining (trainer stubbed out for the second call — the BPE
+    convention). (b) Regenerating the embeddings fixture at the SAME
+    path must invalidate the artifact: the r10 memo keyed on
+    (applicationId, sf_dir) served stale components (ADVICE r10)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from review_engine_spark.plans import roster_vector as rv
+
+    monkeypatch.setenv("SPARK_GRAFT_PCA_DIR", str(tmp_path / "artifacts"))
+    # full-rank data (two orthogonal spans) so the k=2 deflation has a
+    # real second direction to find
+    vecs = [[3.0, 1.0], [6.0, 2.0], [-3.0, -1.0], [30.0, 10.0], [1.0, -3.0]]
+    pd.DataFrame(
+        {"vec_id": range(1, 6), "embedding": vecs}
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    comps4 = rv.pca_components(spark, str(tmp_path), k=2, iters=6)
+    rv._PCA_MEMO.clear()  # force the disk-artifact path, not the memo
+
+    real_read = rv.read_parquet_table
+
+    def boom(*a, **k):
+        raise AssertionError("pca retrained despite fresh k>=1 artifact")
+
+    monkeypatch.setattr(rv, "read_parquet_table", boom)
+    assert rv.pca_components(spark, str(tmp_path), k=1, iters=6) == comps4[:1]
+
+    # rewrite the fixture in place (new mtime/size) -> MUST retrain
+    monkeypatch.setattr(rv, "read_parquet_table", real_read)
+    vecs2 = [[1.0, 4.0], [2.0, 8.0], [-1.0, -4.0], [10.0, 40.0]]
+    pd.DataFrame(
+        {"vec_id": range(1, 5), "embedding": vecs2}
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    c1_new = rv.pca_components(spark, str(tmp_path), k=1, iters=6)[0]
+    assert c1_new[1] == _pytest.approx(1.0, abs=1e-9)  # new dominant (1,4)
+    assert c1_new[0] == _pytest.approx(0.25, abs=1e-5)
