@@ -124,3 +124,35 @@ def test_check_fingerprints_flags_synthetic_mutation(tmp_path, monkeypatch):
     assert v == [] and any("acknowledged" in n for n in notes)
     v, _ = plan_audit.check_fingerprints({"q_x": mutated}, update=False)
     assert v == []
+
+
+def test_fingerprint_capture_is_cache_state_independent(spark, sf_dir):
+    """The round-10 contention flake, simulated: post-execution explains
+    of a query with persisted subtrees interleave nested Initial-Plan
+    markers inside materialized InMemoryRelation children, so the
+    captured fingerprint varied with cache/AQE state (three distinct
+    values across six same-session captures). The audit now captures
+    the PRE-execution explain under a clean cache; this pins that the
+    capture is identical before/after heavy cache pollution AND across
+    repeated materializations of the same query."""
+    import __spark_entry__ as em
+    from plan_audit import plan_fingerprint
+
+    qs = em.queries()
+
+    def capture(name):
+        spark.catalog.clearCache()  # the audit's per-query discipline
+        df = qs[name](spark, sf_dir)
+        raw = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        return plan_fingerprint(raw)[0]
+
+    clean = capture("q_cooccur_topk")
+    # pollute: materialize the query twice back-to-back (stacked cache
+    # entries — the exact round-10 interference mechanism) and capture
+    # again under the audit discipline
+    qs["q_cooccur_topk"](spark, sf_dir).collect()
+    qs["q_cooccur_topk"](spark, sf_dir).collect()
+    assert capture("q_cooccur_topk") == clean
+    assert capture("q_cooccur_topk") == clean
