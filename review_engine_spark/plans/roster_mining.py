@@ -39,6 +39,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from review_engine_spark.functions.packing import pack_pair, unpack_pair
 from review_engine_spark.operators.cluster import iter_checkpoint
 from review_engine_spark.plans import declared
 from review_engine_spark.sources.io import read_parquet_table
@@ -416,17 +417,15 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(
                     F.col("us"), i + 2, F.greatest(F.size("us") - i - 1, F.lit(0))
                 ),
-                lambda y: x * F.lit(4294967296) + y,
+                lambda y: pack_pair(x, y),
             ),
         )
     )
+    u_dec, v_dec = unpack_pair("uu")
     und = (
         per_part.select(F.explode(pair_arr).alias("uu"))
         .distinct()
-        .select(
-            F.expr("uu div 4294967296").alias("u"),
-            F.expr("uu % 4294967296").alias("v"),
-        )
+        .select(u_dec.alias("u"), v_dec.alias("v"))
     )
     return und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
@@ -1847,20 +1846,17 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("us"), i + 2,
                     F.greatest(F.size("us") - i - 1, F.lit(0)),
                 ),
-                lambda y: x * F.lit(4294967296) + y,
+                lambda y: pack_pair(x, y),
             ),
         )
     )
+    u_dec, v_dec = unpack_pair("uu")
     agg = (
         per_part.select(
             F.element_at(warr, (F.col("deg") - 1).cast("int")).alias("w"),
             F.explode(pair_arr).alias("uu"),
         )
-        .select(
-            F.expr("uu div 4294967296").alias("u"),
-            F.expr("uu % 4294967296").alias("v"),
-            "w",
-        )
+        .select(u_dec.alias("u"), v_dec.alias("v"), "w")
         .groupBy("u", "v")
         .agg(
             F.count("*").alias("n_common"),

@@ -128,7 +128,15 @@ def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM train_li GROUP BY o_custkey, l_partkey
         ) WHERE arn = 1
     ),
-    basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM train_li),
+    -- mirrors cooccurrence_topk's max_basket=256 skew cap (the engine
+    -- slices each sorted training basket before pair generation; without
+    -- this the oracles diverge on any order with > 256 distinct parts)
+    tb AS (
+        SELECT l_orderkey,
+               list_slice(list_sort(list(DISTINCT l_partkey)), 1, 256) AS items
+        FROM train_li GROUP BY l_orderkey
+    ),
+    basket AS (SELECT l_orderkey, unnest(items) AS l_partkey FROM tb),
     cnt AS (SELECT l_partkey, count(*) AS n FROM basket GROUP BY 1),
     pairs AS (
         SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS c
@@ -226,7 +234,15 @@ def q_recsys_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM train_li GROUP BY o_custkey, l_partkey
         ) WHERE arn = 1
     ),
-    basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM train_li),
+    -- mirrors cooccurrence_topk's max_basket=256 skew cap (the engine
+    -- slices each sorted training basket before pair generation; without
+    -- this the oracles diverge on any order with > 256 distinct parts)
+    tb AS (
+        SELECT l_orderkey,
+               list_slice(list_sort(list(DISTINCT l_partkey)), 1, 256) AS items
+        FROM train_li GROUP BY l_orderkey
+    ),
+    basket AS (SELECT l_orderkey, unnest(items) AS l_partkey FROM tb),
     cnt AS (SELECT l_partkey, count(*) AS n FROM basket GROUP BY 1),
     pairs AS (
         SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS c

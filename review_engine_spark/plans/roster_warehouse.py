@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from review_engine_spark.functions.packing import pack_pair, unpack_pair
 from review_engine_spark.plans import declared
 from review_engine_spark.sources.io import read_parquet_table
 
@@ -929,10 +930,13 @@ def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("deg").between(2, 50))
         .withColumn("w", F.expr("CAST(floor(1000000.0 / deg) AS BIGINT)"))
     )
-    # Pairs travel as ONE packed BIGINT (u1·2^32 + u2; keys < 2^31 by
-    # construction) — a long-keyed hash aggregate is ~10× faster than the
-    # equivalent struct-keyed one, and the shuffle row shrinks to 16
-    # bytes. Unpack with exact integer div/mod (no double round-trip).
+    # Pairs travel as ONE packed BIGINT (u1·2^32 + u2) — a long-keyed
+    # hash aggregate is ~10× faster than the equivalent struct-keyed
+    # one, and the shuffle row shrinks to 16 bytes. The u<2^31 / v<2^32
+    # injectivity bound is ENFORCED by pack_pair's assert_true guard
+    # (ADVICE r10: custkeys beyond 2^31 would otherwise corrupt pairs
+    # silently at exactly the scale this plan targets). Unpack with
+    # exact integer div/mod (no double round-trip).
     pair_arr = F.flatten(
         F.transform(
             F.col("us"),
@@ -940,11 +944,12 @@ def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(
                     F.col("us"), i + 2, F.greatest(F.size("us") - i - 1, F.lit(0))
                 ),
-                lambda y: x * F.lit(4294967296) + y,
+                lambda y: pack_pair(x, y),
             ),
         )
     )
     pairs = per_part.select("w", F.explode(pair_arr).alias("uu"))
+    u1_dec, u2_dec = unpack_pair("uu")
     return (
         pairs.groupBy("uu")
         .agg(
@@ -952,8 +957,8 @@ def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("shared_parts"),
         )
         .select(
-            F.expr("uu div 4294967296").alias("u1"),
-            F.expr("uu % 4294967296").alias("u2"),
+            u1_dec.alias("u1"),
+            u2_dec.alias("u2"),
             "score_micro",
             "shared_parts",
         )

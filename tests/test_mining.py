@@ -299,3 +299,31 @@ def test_adamic_adar_weight_table_matches_ln_definition():
     from review_engine_spark.plans.roster_mining import _AA_W_MICRO
 
     assert _AA_W_MICRO == [round(1e6 / math.log(d)) for d in range(2, 21)]
+
+
+def test_pack_pair_guards_overflow_and_roundtrips(spark):
+    """The packed-BIGINT pair key is injective only for u < 2^31,
+    v < 2^32 (ADVICE r10: TPC-H custkeys exceed 2^31 at SF ~30k+). The
+    guard must FAIL the job on out-of-range ids instead of silently
+    corrupting pairs, and in-range packs must round-trip exactly."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from review_engine_spark.functions.packing import pack_pair, unpack_pair
+
+    ok = spark.createDataFrame(
+        [(2**31 - 1, 2**32 - 1), (0, 0), (123456789, 987654321)],
+        "u long, v long",
+    ).select(pack_pair(F.col("u"), F.col("v")).alias("uu"), "u", "v")
+    u_dec, v_dec = unpack_pair("uu")
+    for r in ok.select(
+        "u", "v", u_dec.alias("u2"), v_dec.alias("v2")
+    ).collect():
+        assert (r["u"], r["v"]) == (r["u2"], r["v2"])
+
+    for bad_u, bad_v in [(2**31, 0), (-1, 0), (0, 2**32), (0, -1)]:
+        bad = spark.createDataFrame(
+            [(bad_u, bad_v)], "u long, v long"
+        ).select(pack_pair(F.col("u"), F.col("v")).alias("uu"))
+        with _pytest.raises(Exception, match="pack_pair overflow"):
+            bad.collect()

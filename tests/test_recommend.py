@@ -313,3 +313,63 @@ def test_ndcg_discount_table_matches_log2_definition():
     for w, ideal in zip(_NDCG_DISCOUNT_MICRO, _NDCG_IDEAL_MICRO):
         acc += w
         assert ideal == acc
+
+
+def test_ndcg_oracle_mirrors_max_basket_cap(spark, tmp_path):
+    """ADVICE r10: the eval oracles rebuilt the recommender WITHOUT
+    cooccurrence_topk's max_basket=256 cap, diverging on any order with
+    > 256 distinct parts. Fixture: a 257-part mega-basket where the
+    capped-away part (2000) would otherwise reach the anchor's top-5.
+    Pins (a) engine == capped oracle, (b) the cap BINDS — an uncapped
+    oracle variant disagrees on sum_dcg."""
+    import duckdb
+    import pandas as pd
+
+    from review_engine_spark.plans import ORACLES
+    from review_engine_spark.plans.roster_recsys import q_ndcg_eval
+
+    pd.DataFrame(
+        {"c_custkey": [1, 2, 3], "c_mktsegment": ["A", "A", "A"]}
+    ).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame(
+        {
+            "o_orderkey": [101, 109, 201, 209, 301, 309],
+            "o_custkey": [1, 1, 2, 2, 3, 3],
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01", "2024-02-01"] * 3
+            ),
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    mega = [(101, 1, 10.0)] + [
+        (101, p, 1.0) for p in range(1000, 1255)
+    ] + [(101, 2000, 1.0)]  # 257 distinct parts; cap drops 2000
+    li = mega + [
+        (201, 1, 1.0), (201, 2000, 1.0),   # uncapped would double c(1,2000)
+        (301, 1, 1.0), (301, 1000, 1.0),
+        (109, 2000, 1.0),                   # user1 test: hit iff 2000 recs
+        (209, 1, 1.0),
+        (309, 9999, 1.0),
+    ]
+    pd.DataFrame(
+        li, columns=["l_orderkey", "l_partkey", "l_quantity"]
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    got = sorted(
+        (r["c_mktsegment"], r["n_users"], r["sum_dcg"], r["avg_ndcg"])
+        for r in q_ndcg_eval(spark, str(tmp_path)).collect()
+    )
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    sql = ORACLES["q_ndcg_eval"]
+    oracle = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == oracle
+
+    uncapped = sql.replace("1, 256)", "1, 1000000)")
+    assert uncapped != sql
+    diverged = sorted(tuple(r) for r in con.execute(uncapped).fetchall())
+    assert diverged != oracle  # the cap binds on this fixture
