@@ -101,8 +101,22 @@ def main() -> int:
             run(q, d)
     spark.catalog.clearCache()
 
+    # Accepted passes ACCUMULATE across invocations (state file): the
+    # host's external disk gusts recur every minute or two, so one
+    # invocation rarely lands >=2 quiet passes — but quiet passes from
+    # different invocations are equally valid samples of the same
+    # binary + replica.
+    import json
+
+    state_path = Path("/tmp/measure_substring_state.json")
     samples: dict[str, list[tuple[float, float]]] = {q: [] for q in QUERIES}
     accepted = 0
+    if state_path.exists():
+        prior = json.loads(state_path.read_text())
+        for q in QUERIES:
+            samples[q] = [tuple(s) for s in prior.get(q, [])]
+        accepted = prior.get("_accepted", 0)
+        print(f"(resuming with {accepted} prior accepted passes)")
     for p in range(n_passes):
         c0, d0 = canary(), disk_canary()
         t = {}
@@ -133,8 +147,11 @@ def main() -> int:
                 samples[q].append((fx, hx))
         if ok:
             accepted += 1
+            state = {q: samples[q] for q in QUERIES}
+            state["_accepted"] = accepted
+            state_path.write_text(json.dumps(state))
 
-    print(f"\naccepted {accepted}/{n_passes} passes")
+    print(f"\naccepted {accepted} passes total (incl. prior invocations)")
     if accepted < 2:
         print("INSUFFICIENT quiet passes — do not record", flush=True)
         return 1
