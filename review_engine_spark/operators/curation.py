@@ -536,6 +536,75 @@ def substring_dedup_apply(
     )
 
 
+def ingest_gate_frame(
+    docs: DataFrame, scored: DataFrame, cut: DataFrame
+) -> DataFrame:
+    """The COMPOSED ingest gate (VERDICT r10 item 3): quality + gopher +
+    perplexity as one union-of-reasons pass — what a real 100 TB/day
+    front door runs instead of three separate scans.
+
+    ``docs`` carries (doc_id, text, n_chars); ``scored`` is the bigram-LM
+    score frame for exactly these docs (train offline, score arrivals —
+    see ``score_bigrams_against``); ``cut`` is the 1-row ``_cut``
+    order-statistic threshold. Plan shape: ONE narrow projection
+    computes the quality-chain reason and every gopher metric over a
+    single tokenization (whole-stage CSE shares the split), then the
+    sparse score frame left-joins back and the broadcast 1-row cutoff
+    cross-joins (the D7 scalar pattern) — no other shuffle.
+
+    Output (doc_id, keep, reasons): ``keep`` iff all three sub-gates say
+    ok; ``reasons`` is the comma-joined list of gate-prefixed
+    first-failing reasons (``quality:too_short,gopher:no_stopwords,...``
+    — the curation-dashboard histogram key), or ``'ok'``.
+    """
+    from review_engine_spark.operators.textstats import lang_id, quality_score
+
+    quality = F.round(quality_score(F.col("text"), F.col("n_chars")), 6)
+    q_reason = (
+        F.when(F.col("n_chars") < 200, F.lit("too_short"))
+        .when(quality < 0.35, F.lit("low_quality"))
+        .when(lang_id(F.col("text")) == "und", F.lit("und_lang"))
+        .otherwise(F.lit("ok"))
+    )
+    m = docs.select(
+        F.col("doc_id"),
+        q_reason.alias("_q"),
+        *gopher_metric_cols("text"),
+    )
+    mg = m.select(
+        "doc_id", "_q", gopher_reason_from_metrics().alias("_g")
+    )
+    sc = scored.select("doc_id", F.col("bigram_logprob").alias("_lp"))
+    out = mg.join(sc, "doc_id", "left").crossJoin(F.broadcast(cut))
+    p_reason = (
+        F.when(F.col("_lp").isNull(), F.lit("too_short"))
+        .when(F.col("_lp") <= F.col("_cut"), F.lit("high_perplexity"))
+        .otherwise(F.lit("ok"))
+    )
+    all_ok = (
+        (F.col("_q") == "ok") & (F.col("_g") == "ok") & (p_reason == "ok")
+    )
+    # concat_ws skips NULLs on both engines, so a passing sub-gate
+    # contributes nothing to the reason list
+    reasons = F.when(all_ok, F.lit("ok")).otherwise(
+        F.concat_ws(
+            ",",
+            F.when(
+                F.col("_q") != "ok", F.concat(F.lit("quality:"), F.col("_q"))
+            ),
+            F.when(
+                F.col("_g") != "ok", F.concat(F.lit("gopher:"), F.col("_g"))
+            ),
+            F.when(
+                p_reason != "ok", F.concat(F.lit("perplexity:"), p_reason)
+            ),
+        )
+    )
+    return out.select(
+        "doc_id", all_ok.alias("keep"), reasons.alias("reasons")
+    )
+
+
 def ngram_novelty(
     docs: DataFrame,
     text_col: str = "text",
@@ -607,11 +676,22 @@ def gopher_gate(
     ``run_stream_quality_gate`` relies on for batch/stream parity by
     construction.
     """
+    m = docs.select(F.col(id_col), *gopher_metric_cols(text_col))
+    reason = gopher_reason_from_metrics()
+    return m.select(
+        F.col(id_col), (reason == "ok").alias("keep"), reason.alias("reason")
+    )
+
+
+def gopher_metric_cols(text_col: str) -> list:
+    """The gate's metric columns (aliased), factored out so the composed
+    streaming ingest gate can compute them in the SAME projection as the
+    quality-gate metrics — one narrow map, one expression tree shared
+    with the standalone gate."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
     )
-    m = docs.select(
-        F.col(id_col),
+    return [
         # NULL text must fail the gate deterministically: without this
         # flag the WHEN chain's comparisons all evaluate NULL and fall
         # through to 'ok', and size(NULL) is even config-dependent
@@ -628,8 +708,12 @@ def gopher_gate(
         sum(
             F.array_contains(toks, s).cast("long") for s in GOPHER_STOPS
         ).alias("n_stops"),
-    )
-    reason = (
+    ]
+
+
+def gopher_reason_from_metrics():
+    """First-failing-rule reason over ``gopher_metric_cols`` output."""
+    return (
         F.when(F.col("_null_text"), F.lit("too_few_words"))
         .when(F.col("n_words") < 30, F.lit("too_few_words"))
         .when(F.col("n_words") > 80, F.lit("too_many_words"))
@@ -638,7 +722,4 @@ def gopher_gate(
         .when(5 * F.col("n_alpha") < 4 * F.col("n_words"), F.lit("low_alpha"))
         .when(F.col("n_stops") < 2, F.lit("no_stopwords"))
         .otherwise(F.lit("ok"))
-    )
-    return m.select(
-        F.col(id_col), (reason == "ok").alias("keep"), reason.alias("reason")
     )

@@ -1149,11 +1149,8 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_scores(spark, sf_dir)
 
 
-def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_bigrams, bigram_logprob) — the scoring core shared by
-    q_bigram_logprob (which returns it) and q_perplexity_gate (which
-    thresholds it)."""
-    docs = read_parquet_table(spark, sf_dir, "documents")
+def _bigram_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, a, b) — one row per adjacent token pair (narrow)."""
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
     )
@@ -1164,18 +1161,43 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = F.slice(
         "toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))
     )
-    pairs = base.select(
+    return base.select(
         "doc_id", F.explode(F.arrays_zip(head, tail)).alias("p")
     ).select("doc_id", F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+
+
+def train_bigram_stats(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The TRAINING half of the bigram LM: (cab, un, vocab_n) count
+    tables from a reference corpus. Factored from the scoring half so
+    the streaming ingest gate can train ONCE on the standing corpus and
+    apply per micro-batch (the CCNet deployment shape: the LM is an
+    offline artifact, arrivals are scored against it)."""
+    pairs = _bigram_pairs(docs)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
     cab = pairs.groupBy("a", "b").agg(
         F.count("*").cast("long").alias("cab")
     )
     un = (
-        base.select(F.explode("toks").alias("a"))
+        docs.select(F.explode(toks).alias("a"))
         .groupBy("a")
         .agg(F.count("*").cast("long").alias("ca"))
     )
     vocab_n = un.agg(F.count("*").cast("long").alias("v"))
+    return cab, un, vocab_n
+
+
+def score_bigrams_against(
+    docs: DataFrame, cab: DataFrame, un: DataFrame, vocab_n: DataFrame
+) -> DataFrame:
+    """The SCORING half: (doc_id, n_bigrams, bigram_logprob) for ``docs``
+    against trained count tables. Unseen bigrams/unigrams contribute
+    nothing (inner joins) — on the training corpus itself that is a
+    no-op, which keeps this refactor bit-identical to the fused form."""
+    pairs = _bigram_pairs(docs)
     scored = (
         # bigram/unigram tables are corpus-scaled — no forced
         # broadcast; AQE converts when actually small
@@ -1193,6 +1215,14 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.avg("_lp"), 6).alias("bigram_logprob"),
     )
+
+
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, bigram_logprob) — the scoring core shared by
+    q_bigram_logprob (which returns it) and q_perplexity_gate (which
+    thresholds it): train on the corpus, score the corpus."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return score_bigrams_against(docs, *train_bigram_stats(docs))
 
 
 def _rank_cutoff(sc: DataFrame, col: str, num: int, den: int) -> DataFrame:
@@ -1608,3 +1638,162 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from review_engine_spark.streaming.jobs import run_stream_quality_gate
 
     return run_stream_quality_gate(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# The COMPOSED ingest gate (VERDICT r10 item 3): quality + gopher +
+# perplexity as ONE union-of-reasons pass — the filter chain a real
+# 100 TB/day front door runs on arriving documents (reference analog:
+# the embed front-door clean/filter chain, embed.py:59-61). The batch
+# twin and the streaming form share operators.curation.ingest_gate_frame
+# verbatim, and the bigram LM follows the CCNet deployment shape: train
+# ONCE on the standing corpus (train_bigram_stats), score arrivals
+# against the artifact (score_bigrams_against). Oracle: the three
+# sub-gates' existing oracle fragments composed over shared CTEs.
+# ---------------------------------------------------------------------------
+def _ingest_gate_oracle() -> str:
+    from review_engine_spark.plans.roster_ext import (
+        _STOPS_SQL,
+        _lang_case_expr,
+    )
+
+    return rf"""
+    WITH {_BIGRAM_SC_CTES},
+    {_rank_cutoff_sql("sc", "bigram_logprob", 3, 10)},
+    qm AS (
+        SELECT doc_id, n_chars, text,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter(
+                    list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> ''),
+                    x -> list_contains([{_STOPS_SQL}], x))) AS DOUBLE)
+                   AS stop_hits,
+               CAST(n_chars AS DOUBLE) AS length,
+               CAST(n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                    AS DOUBLE) AS punct
+        FROM documents
+    ),
+    qq AS (
+        SELECT doc_id, n_chars, text,
+               round(least(1.0, greatest(0.0,
+                   0.2 + 0.1 * ln(1.0 + n_tok)
+                   - 0.5 * (CASE WHEN n_tok > 0 THEN stop_hits / n_tok
+                                 ELSE 0.0 END)
+                   - 0.8 * (CASE WHEN length > 0 THEN punct / length
+                                 ELSE 0.0 END)
+               )), 6) AS quality
+        FROM qm
+    ),
+    qr AS (
+        SELECT doc_id,
+               CASE WHEN n_chars < 200 THEN 'too_short'
+                    WHEN quality < 0.35 THEN 'low_quality'
+                    WHEN ({_lang_case_expr()}) = 'und' THEN 'und_lang'
+                    ELSE 'ok' END AS q_reason
+        FROM qq
+    ),
+    gm AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+                    AS BIGINT) AS n_wchars,
+               CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(list_filter(
+                   ['the', 'a', 'of', 'to', 'and', 'in'],
+                   s -> list_contains(toks, s))) AS BIGINT) AS n_stops
+        FROM t
+    ),
+    gr AS (
+        SELECT doc_id,
+               CASE WHEN n_words IS NULL THEN 'too_few_words'
+                    WHEN n_words < 30 THEN 'too_few_words'
+                    WHEN n_words > 80 THEN 'too_many_words'
+                    WHEN 3 * n_words > n_wchars THEN 'short_words'
+                    WHEN n_wchars > 10 * n_words THEN 'long_words'
+                    WHEN 5 * n_alpha < 4 * n_words THEN 'low_alpha'
+                    WHEN n_stops < 2 THEN 'no_stopwords'
+                    ELSE 'ok' END AS g_reason
+        FROM gm
+    ),
+    pr AS (
+        SELECT d.doc_id,
+               CASE WHEN sc.doc_id IS NULL THEN 'too_short'
+                    WHEN sc.bigram_logprob <= cut.c THEN 'high_perplexity'
+                    ELSE 'ok' END AS p_reason
+        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id, cut
+    )
+    SELECT qr.doc_id,
+           (qr.q_reason = 'ok' AND gr.g_reason = 'ok'
+            AND pr.p_reason = 'ok') AS keep,
+           CASE WHEN qr.q_reason = 'ok' AND gr.g_reason = 'ok'
+                     AND pr.p_reason = 'ok'
+                THEN 'ok'
+                ELSE concat_ws(',',
+                     CASE WHEN qr.q_reason <> 'ok'
+                          THEN 'quality:' || qr.q_reason END,
+                     CASE WHEN gr.g_reason <> 'ok'
+                          THEN 'gopher:' || gr.g_reason END,
+                     CASE WHEN pr.p_reason <> 'ok'
+                          THEN 'perplexity:' || pr.p_reason END)
+                END AS reasons
+    FROM qr JOIN gr USING (doc_id) JOIN pr USING (doc_id)
+    """
+
+
+def _ingest_gate_inputs(spark: SparkSession, sf_dir: str):
+    """(docs, stats, scored, cut) shared by the batch twin and the
+    streaming front door — train the bigram LM on the standing corpus,
+    score it, and take the exact 30th-percentile order-statistic
+    cutoff (the q_perplexity_gate convention)."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    stats = train_bigram_stats(docs)
+    scored = score_bigrams_against(docs, *stats)
+    cut = _rank_cutoff(
+        scored.select("doc_id", F.col("bigram_logprob").alias("_lp")),
+        "_lp",
+        3,
+        10,
+    )
+    return docs, stats, scored, cut
+
+
+@declared(oracle=_ingest_gate_oracle())
+def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the composed ingest gate: quality + gopher +
+    perplexity in one pass with union-of-reasons output. One narrow
+    projection carries all row-level metrics (single shared
+    tokenization); the only corpus-scaled shuffles are the bigram-LM
+    score pipeline q_perplexity_gate already pays; the cutoff is the D7
+    broadcast scalar."""
+    from review_engine_spark.operators.curation import ingest_gate_frame
+
+    docs, _stats, scored, cut = _ingest_gate_inputs(spark, sf_dir)
+    return ingest_gate_frame(docs, scored, cut)
+
+
+@declared(oracle=_ingest_gate_oracle())
+def q_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed gate running as the STREAMING front door: documents
+    arrive through Structured Streaming and each micro-batch is gated by
+    the IDENTICAL ingest_gate_frame expression tree against the
+    statically trained LM artifact + cutoff (foreachBatch — the
+    production ingest deployment; per-doc verdicts need no cross-batch
+    state because every document's rows live in one micro-batch).
+    Oracle: the same batch composition SQL — streaming adds delivery,
+    not semantics; multi-batch == single-batch == batch twin is pinned
+    in tests/test_streaming.py."""
+    from review_engine_spark.streaming.jobs import run_stream_ingest_gate
+
+    docs, stats, scored, cut = _ingest_gate_inputs(spark, sf_dir)
+    cab, un, vocab_n = stats
+    cab = cab.persist()
+    un = un.persist()
+    cut = cut.persist()  # 1 row; re-read per micro-batch, trained once
+    try:
+        return run_stream_ingest_gate(spark, sf_dir, (cab, un, vocab_n), cut)
+    finally:
+        cab.unpersist()
+        un.unpersist()
+        cut.unpersist()

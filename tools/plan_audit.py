@@ -663,6 +663,10 @@ def source_sweep(declared: set[str]) -> tuple[list[str], set[str]]:
     # this map is not a waiver — it routes to runtime verification).
     helper_windows = {
         "_rank_cutoff": ["q_perplexity_gate", "q_dsir_sample"],
+        # chained caller of _rank_cutoff (the composed ingest gate's
+        # shared trainer) — its reachable declared queries get the same
+        # runtime bounded-input check
+        "_ingest_gate_inputs": ["q_ingest_gate", "q_stream_ingest_gate"],
     }
     for p in sorted((REPO / "review_engine_spark").rglob("*.py")):
         lines = p.read_text().splitlines()
@@ -715,6 +719,13 @@ def source_sweep(declared: set[str]) -> tuple[list[str], set[str]]:
                         encl = m.group(1)
                         break
                 if encl == helper:  # the definition itself
+                    continue
+                if encl in helper_windows and encl != helper:
+                    # chained helper: its own routed queries are already
+                    # runtime-verified below
+                    verify.update(
+                        q for q in helper_windows[encl] if q in declared
+                    )
                     continue
                 if encl not in routed:
                     bad.append(
