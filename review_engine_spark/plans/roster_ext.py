@@ -1883,7 +1883,28 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_upsert(spark, sf_dir)
 
 
-@declared()
+@declared(
+    oracle=r"""
+    WITH top20 AS (
+        SELECT p_partkey, p_name FROM part ORDER BY p_partkey LIMIT 20
+    ),
+    h AS (
+        SELECT p_partkey, repeat(p_name, 3) AS s,
+               md5(repeat(p_name, 3)) AS hx
+        FROM top20
+    )
+    SELECT CAST(p_partkey AS VARCHAR) AS media_id,
+           CAST(64 + try_cast('0x' || substr(hx, 1, 2) AS INTEGER) % 192
+                AS INTEGER) AS width,
+           CAST(64 + try_cast('0x' || substr(hx, 3, 2) AS INTEGER) % 192
+                AS INTEGER) AS height,
+           CAST(strlen(s) AS BIGINT) AS n_bytes,
+           (['jpeg', 'png', 'webp'])
+               [(try_cast('0x' || substr(hx, 5, 2) AS INTEGER) % 3) + 1]
+               AS format
+    FROM h
+    """
+)
 def q_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 lake-native variant: ``binaryFile`` source — the built-in
     reader for image/audio/video blobs already landed in the lake (the
@@ -1891,9 +1912,15 @@ def q_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal corpus is actually scanned). Each file becomes (path,
     length, content: binary); pathGlobFilter prunes non-media files at
     listing time, and the decode stays behind mapInPandas exactly as in
-    q_media_decode. Rows-only: the fixture blobs are generated into a
-    temp dir from part-table bytes (deterministic content, but paths
-    are temp-dir-local)."""
+    q_media_decode.
+
+    Oracle-checked (was rows-only until r11): the fixture blobs are
+    generated from part-table bytes ((p_name * 3).encode(), first 20
+    partkeys) and the decode stub derives (width, height, format) from
+    the payload's md5 digest bytes — so DuckDB PREDICTS the full output
+    from the part view (md5 hex → digest-byte arithmetic, the DSIR
+    hex-substr convention), value-checking the whole write → binaryFile
+    scan → glob prune → Arrow decode round trip."""
     from review_engine_spark.operators.multimodal import decode_image_meta
 
     src = tempfile.mkdtemp(prefix="binfiles_")

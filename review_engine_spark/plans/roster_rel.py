@@ -1141,32 +1141,165 @@ def q_ri_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared()
-def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count sketches (rows-only: the DataSketches
-    HLL binary has no DuckDB twin). Per-day HLL sketches of user_id are
-    unioned into a global estimate — the incremental pattern at scale:
-    daily partitions keep sketches, re-aggregation never rescans
-    history. Estimate accuracy vs exact is pinned in tests, and the
-    REGISTER ALGEBRA (bucket/rho/max-merge/harmonic estimate) is
-    oracle-checked end to end by the md5-twin ``q_hll_md5``
-    (plans/roster_retrieval.py), the same twin pattern as
-    q_minhash_jaccard / q_simhash_md5."""
-    ev = read_parquet_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count("*").alias("n_events"),
+def _hll_mergeable_oracle() -> str:
+    # lazy format at import-call time is unnecessary — the constants are
+    # module literals in roster_retrieval, but roster_rel loads FIRST in
+    # plans/__init__, so the twin's SQL fragments are inlined here
+    # verbatim (same literals, pinned equal in tests/test_operators.py)
+    est = (
+        "round(CASE WHEN (0.7213e0 / (1.0e0 + 1.079e0 / 512.0e0) "
+        "* 262144.0e0 * 4503599627370496.0e0 / CAST({s} AS DOUBLE)) "
+        "<= 1280.0e0 AND {v} > 0 "
+        "THEN 512.0e0 * ln(512.0e0 / CAST({v} AS DOUBLE)) "
+        "ELSE (0.7213e0 / (1.0e0 + 1.079e0 / 512.0e0) * 262144.0e0 "
+        "* 4503599627370496.0e0 / CAST({s} AS DOUBLE)) END, 4)"
     )
-    total = daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
-        F.sum("n_events").alias("n_events"),
-    ).select(F.lit("ALL").alias("day_s"), "est_users", "n_events")
-    per_day = daily.select(
-        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
-        F.hll_sketch_estimate("sk").alias("est_users"),
+    sv = """list_sum(list_transform(sketch,
+                   r -> CAST(1 AS BIGINT) << CAST(52 - r AS INTEGER)))"""
+    vv = "len(list_filter(sketch, r -> r = 0))"
+    return f"""
+    WITH h AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_s,
+               try_cast('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS hv
+        FROM events
+    ),
+    r AS (
+        SELECT day_s, hv % 512 AS bucket,
+               CAST(max(CASE WHEN hv // 512 = 0 THEN 52
+                             ELSE 52 - length(bin(hv // 512)) END)
+                    AS BIGINT) AS rho,
+               CAST(count(*) AS BIGINT) AS c
+        FROM h GROUP BY day_s, bucket
+    ),
+    pd AS (
+        SELECT day_s, map_from_entries(list(struct_pack(k := bucket,
+                                                        v := rho))) AS mp,
+               sum(c) AS n_events
+        FROM r GROUP BY day_s
+    ),
+    pds AS (
+        SELECT day_s,
+               list_transform(range(0, 512),
+                   b -> coalesce(mp[b][1], CAST(0 AS BIGINT))) AS sketch,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM pd
+    ),
+    g AS (
+        SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket
+    ),
+    ga AS (
+        SELECT map_from_entries(list(struct_pack(k := bucket,
+                                                 v := rho))) AS mp
+        FROM g
+    ),
+    gs AS (
+        SELECT 'ALL' AS day_s,
+               list_transform(range(0, 512),
+                   b -> coalesce(mp[b][1], CAST(0 AS BIGINT))) AS sketch,
+               (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_events
+        FROM ga
+    ),
+    uni AS (SELECT * FROM pds UNION ALL SELECT * FROM gs)
+    SELECT day_s,
+           array_to_string(list_transform(sketch, r -> CAST(r AS VARCHAR)),
+                           ',') AS sketch,
+           {est.format(s=sv, v=vv)} AS est_users,
+           n_events
+    FROM uni
+    """
+
+
+@declared(oracle=_hll_mergeable_oracle())
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches with the SKETCH as a
+    first-class value: one 512-register HLL array per day (register =
+    max leading-zero rank of md5(user) in the bucket, 0 = empty) plus
+    the global union row — max-merge over registers IS the HLL union,
+    so daily partitions keep sketches and re-aggregation never rescans
+    history (mergeability re-derived from the emitted arrays alone is
+    pinned in tests). Estimates use the standard bias-corrected
+    harmonic mean over the array.
+
+    Oracle-checked (was rows-only until r11): the earlier form emitted
+    Spark's DataSketches binary (estimate unpredictable cross-engine);
+    the register-array encoding makes sketch, union, and estimate all
+    exact values both engines compute bit-identically (the q_hll_md5
+    twin algebra, now carried by the production query itself)."""
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_s"),
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    w = F.expr("hv DIV 512")
+    rho = (
+        F.when(w == 0, F.lit(52)).otherwise(52 - F.length(F.bin(w)))
+    ).cast("long")
+    regs = (
+        ev.select("day_s", (F.col("hv") % 512).alias("bucket"), rho.alias("rho"))
+        .groupBy("day_s", "bucket")
+        .agg(F.max("rho").alias("rho"), F.count("*").alias("c"))
+    )
+
+    def to_sketch(grouped):
+        mp = F.map_from_entries(
+            F.collect_list(F.struct("bucket", "rho"))
+        ).alias("mp")
+        return grouped.agg(mp, F.sum("c").cast("long").alias("n_events"))
+
+    sketch = F.transform(
+        F.sequence(F.lit(0), F.lit(511)),
+        lambda b: F.coalesce(
+            F.element_at(F.col("mp"), b), F.lit(0).cast("long")
+        ),
+    ).alias("sketch")
+    per_day = to_sketch(regs.groupBy("day_s")).select(
+        "day_s", sketch, "n_events"
+    )
+    n_total = ev.agg(F.count("*").cast("long").alias("n_events"))
+    glob = (
+        to_sketch(
+            regs.groupBy("bucket")
+            .agg(F.max("rho").alias("rho"), F.sum("c").alias("c"))
+            .select(
+                "bucket", "rho", "c", F.lit("ALL").alias("day_s")
+            )
+            .groupBy("day_s")
+        )
+        .select("day_s", sketch)
+        .crossJoin(F.broadcast(n_total))
+    )
+    uni = per_day.unionByName(glob.select("day_s", "sketch", "n_events"))
+    # SQL form: the Python F.shiftleft only takes a literal bit count
+    s = F.expr(
+        "aggregate(sketch, CAST(0 AS BIGINT), (acc, r) -> "
+        "acc + shiftleft(CAST(1 AS BIGINT), CAST(52 - r AS INT)))"
+    )
+    v = F.size(F.filter("sketch", lambda r: r == 0))
+    raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(512.0))
+        * F.lit(262144.0)
+        * F.lit(4503599627370496.0)
+        / s.cast("double")
+    )
+    est = F.round(
+        F.when(
+            (raw <= 1280.0) & (v > 0),
+            F.lit(512.0) * F.log(F.lit(512.0) / v.cast("double")),
+        ).otherwise(raw),
+        4,
+    )
+    sketch_s = F.concat_ws(",", F.col("sketch").cast("array<string>"))
+    return uni.select(
+        "day_s",
+        sketch_s.alias("sketch"),
+        est.alias("est_users"),
         "n_events",
     )
-    return per_day.unionByName(total)
 
 
 @declared(

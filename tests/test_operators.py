@@ -531,16 +531,31 @@ def test_cohort_retention_offsets(spark):
 
 def test_hll_union_estimate_close_to_exact(spark, sf_dir):
     """Unioned per-day HLL sketches must estimate the global distinct
-    user count within HLL's expected error (lgK=12 → ~1.6% rse)."""
+    user count within the m=512 register array's expected error
+    (rse ~1.04/sqrt(512) ≈ 4.6%; allow 3 sigma) — and MERGEABILITY must
+    hold from the emitted values alone: element-wise max over the
+    per-day register arrays reproduces the ALL sketch exactly (daily
+    partitions keep sketches; re-aggregation never rescans history)."""
     from review_engine_spark.plans.roster_rel import q_hll_mergeable
     from review_engine_spark.sources.io import read_parquet_table
 
-    rows = {r["day_s"]: r["est_users"] for r in q_hll_mergeable(spark, sf_dir).collect()}
+    rows = {
+        r["day_s"]: (r["sketch"], r["est_users"])
+        for r in q_hll_mergeable(spark, sf_dir).collect()
+    }
     exact = (
         read_parquet_table(spark, sf_dir, "events")
         .select("user_id").distinct().count()
     )
-    assert abs(rows["ALL"] - exact) <= max(2, exact * 0.05)
+    assert abs(rows["ALL"][1] - exact) <= max(3, exact * 3 * 1.04 / 512**0.5)
+
+    merged = [0] * 512
+    for day, (sk, _e) in rows.items():
+        if day == "ALL":
+            continue
+        for i, reg in enumerate(int(x) for x in sk.split(",")):
+            merged[i] = max(merged[i], reg)
+    assert ",".join(map(str, merged)) == rows["ALL"][0]
 
 
 def test_hll_md5_twin_estimates_close_to_exact(spark, sf_dir):
