@@ -58,19 +58,26 @@ from review_engine_spark.plans import roster_mining  # noqa: E402,F401
 #   tier 4 — rows-only queries (no oracle; bench covers execution).
 # ---------------------------------------------------------------------------
 
-#: Round-10 window arithmetic: 13 new unproven oracle queries (tier 2)
-#: + the full 37-query r5 cohort (the round's explicit rotation target,
-#: VERDICT r9 item 5) fill the 50 slots EXACTLY, so tier 1 is empty
-#: this round by choice: the four r10 plan-changed queries
-#: (q_sequence_pack / q_bpe_encode read the tokenizer artifact,
-#: q_substring_dedup / q_substring_scrub share one detect core) are all
-#: r9-driver-green, were re-proven locally on the new plans at FIVE
-#: fixture sweeps (sf0.001/0.01/0.1 + seed-2 sf0.01/0.1), and each
-#: change carries a dedicated pytest pin (artifact-vs-retrain equality,
-#: shared-plan reuse, xxhash64-vs-md5 parity). Re-proving them via the
-#: driver would displace four r5-cohort members and miss the cohort
-#: "no proof older than r6" goal.
-_TIER1_FIXED: list[str] = []
+#: Round-11 window arithmetic: 7 new unproven oracle queries (tier 2:
+#: q_pca_topk, q_pca_project_topk, q_ingest_gate, q_stream_ingest_gate,
+#: q_binary_files, q_hll_mergeable, q_bpe_fertility) + tier 1 pins for
+#: the r11 plan-changed-but-previously-green queries (q_perplexity_gate
+#: and q_bigram_logprob ride the train/score bigram split;
+#: q_gopher_rules and q_stream_quality_gate gained the NULL-text rule
+#: in code AND oracle; q_recsys_eval's oracle gained the basket cap;
+#: q_adamic_adar/q_resource_allocation route through the guarded
+#: pack_pair). The remaining ~36 spare slots fall to tier 3 = the
+#: 49-query r6 cohort (now oldest), re-proving most of it; the
+#: leftover r6 stragglers rotate next round.
+_TIER1_FIXED: list[str] = [
+    "q_perplexity_gate",
+    "q_bigram_logprob",
+    "q_gopher_rules",
+    "q_stream_quality_gate",
+    "q_recsys_eval",
+    "q_adamic_adar",
+    "q_resource_allocation",
+]
 
 #: name -> last round the driver proved it green (CORRECTNESS_r01..r08
 #: union: rows_match & schema_match & hash_match). 228 entries.
@@ -170,6 +177,27 @@ _LAST_GREEN: dict[str, int] = {
     "q_tpch_q2": 9, "q_tpch_q20": 9, "q_tpch_q21": 9, "q_tpch_q22": 9,
     "q_tpch_q8": 9, "q_tpch_q9": 9, "q_trend_slope": 9, "q_wilson_ci": 9,
     "q_winnow_md5": 9,
+    # proven green in round 10 (50 queries: the 13 r10-new oracle
+    # queries + the full 37-query r5 cohort — the r9 rotation target)
+    "q_abc_class": 10, "q_adamic_adar": 10, "q_assoc_rules": 10,
+    "q_assortativity": 10, "q_bfs_levels": 10, "q_bom_rollup": 10,
+    "q_collation": 10, "q_croston": 10, "q_cumulative_distinct": 10,
+    "q_dau_mau": 10, "q_degree_hist": 10, "q_dense_report": 10,
+    "q_dsir_sample": 10, "q_dsir_weights": 10, "q_dup_payments": 10,
+    "q_geo_knn": 10, "q_gopher_rules": 10, "q_holt_linear": 10,
+    "q_holt_winters": 10, "q_interval_merge": 10,
+    "q_inventory_balance": 10, "q_kcore": 10, "q_mutual_info": 10,
+    "q_ndcg_eval": 10, "q_new_returning": 10, "q_ngram_novelty": 10,
+    "q_ols_regression": 10, "q_path_topk": 10, "q_pca_power": 10,
+    "q_pca_project": 10, "q_peaks": 10, "q_perplexity_gate": 10,
+    "q_python_stream_source": 10, "q_readability": 10,
+    "q_resource_allocation": 10, "q_rfm": 10, "q_robust_zscore": 10,
+    "q_rolling_active": 10, "q_runs_test": 10,
+    "q_seasonal_decompose": 10, "q_seasonal_naive": 10,
+    "q_spend_deciles": 10, "q_sql_script": 10,
+    "q_stream_quality_gate": 10, "q_stream_static_join": 10,
+    "q_survival_km": 10, "q_theil_sen": 10, "q_time_weighted_avg": 10,
+    "q_winsorize": 10, "q_yoy_growth": 10,
 }
 
 # Backward-compat name used by tools/plan_audit.py and tests.

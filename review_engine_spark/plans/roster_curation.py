@@ -998,6 +998,54 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    oracle=_bpe_chain_ctes(_BPE_ROUNDS)
+    + """,
+    f AS (
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(b.n_words) AS BIGINT) AS n_words,
+               CAST(sum(b.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens
+        FROM bpe_len b JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+    )
+    SELECT lang, n_docs, n_words, n_bpe_tokens,
+           CASE WHEN n_words > 0
+                THEN CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+                END AS fertility
+    FROM f
+    """
+)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (VERDICT r10 item 6): BPE
+    subword tokens per whitespace word, grouped by the documents
+    table's ``lang`` — the tokenizer-health metric every multilingual
+    pipeline reports (fertility ≫ 1 on a language means the vocabulary
+    underserves it and its sequences are inflated). Reads the per-doc
+    lengths off the persisted tokenizer artifact (``bpe_doc_lengths``;
+    no retraining), joins the lang label, and aggregates exact BIGINTs
+    — the one division is of engine-identical integers, so the double
+    is bit-identical RAW (no rounding). Languages with zero words emit
+    NULL fertility on both engines (never a div-by-zero cast)."""
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    lens = bpe_doc_lengths(spark, sf_dir)
+    g = lens.join(docs, "doc_id").groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+    fert = F.when(
+        F.col("n_words") > 0,
+        F.col("n_bpe_tokens").cast("double")
+        / F.col("n_words").cast("double"),
+    )
+    return g.select(
+        "lang", "n_docs", "n_words", "n_bpe_tokens", fert.alias("fertility")
+    )
+
+
+@declared(
     oracle=rf"""
     WITH b AS (
         SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
