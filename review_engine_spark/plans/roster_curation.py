@@ -1845,3 +1845,143 @@ def q_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cab.unpersist()
         un.unpersist()
         cut.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Zipf / vocabulary-growth corpus health (VERDICT r10 item 8): the
+# log-log OLS slope of frequency vs rank over the top-K vocabulary,
+# plus type/token counts. Determinism design (the q_mutual_info
+# convention, extended to a FIT): every OLS input is either an exact
+# BIGINT (rank, freq, K, n_types, n_tokens) or a per-term round-6 ln of
+# one (x = ln rank, y = ln freq — the established libm 6dp guard); the
+# order-dependent hazard of Σx/Σy/Σxy/Σxx is removed by folding over
+# ONE rank-ordered array (Spark F.aggregate vs DuckDB list_reduce over
+# a list(... ORDER BY rank) — same left fold, same element order, and
+# 0.0+v == v bitwise for v >= +0.0, so the differing init conventions
+# agree). The slope/intercept divisions then run on engine-identical
+# doubles RAW. Scale: vocab aggregate is corpus-linear; the top-K cut
+# is TakeOrderedAndProject; the rank window sits AFTER the K-row limit
+# (the F1 rank-after-limit shape); the fit itself touches K=100 rows.
+# ---------------------------------------------------------------------------
+_ZIPF_K = 100
+
+
+@declared(
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    vc AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(freq) AS BIGINT) AS n_tokens
+        FROM vc
+    ),
+    top AS (
+        SELECT token, freq FROM vc ORDER BY freq DESC, token LIMIT {_ZIPF_K}
+    ),
+    rk AS (
+        SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+                   AS rank,
+               freq
+        FROM top
+    ),
+    terms AS (
+        SELECT rank,
+               round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+               round(ln(CAST(freq AS DOUBLE)), 6) AS y
+        FROM rk
+    ),
+    arr AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               list(x ORDER BY rank) AS xs,
+               list(y ORDER BY rank) AS ys
+        FROM terms
+    ),
+    sums AS (
+        SELECT k,
+               list_reduce(xs, (p, q) -> p + q) AS sx,
+               list_reduce(ys, (p, q) -> p + q) AS sy,
+               list_reduce(list_transform(range(1, len(xs) + 1),
+                   i -> xs[i] * ys[i]), (p, q) -> p + q) AS sxy,
+               list_reduce(list_transform(xs, v -> v * v),
+                   (p, q) -> p + q) AS sxx
+        FROM arr
+    )
+    SELECT t.n_types, t.n_tokens, s.k AS k_ranks,
+           (CAST(s.k AS DOUBLE) * s.sxy - s.sx * s.sy)
+             / (CAST(s.k AS DOUBLE) * s.sxx - s.sx * s.sx) AS zipf_slope,
+           (s.sy - ((CAST(s.k AS DOUBLE) * s.sxy - s.sx * s.sy)
+             / (CAST(s.k AS DOUBLE) * s.sxx - s.sx * s.sx)) * s.sx)
+             / CAST(s.k AS DOUBLE) AS zipf_intercept,
+           CAST(t.n_types AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+               AS type_token_ratio
+    FROM sums s, tot t
+    """
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health fit: Zipf log-log OLS slope over the top-100
+    vocabulary ranks (a healthy natural-language corpus sits near −1;
+    drift toward 0 flags boilerplate/templating, steeper flags
+    vocabulary collapse), plus type/token counts (the Heaps'-law
+    inputs) and the type-token ratio."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    vc = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    tot = vc.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("freq").cast("long").alias("n_tokens"),
+    )
+    top = vc.orderBy(F.desc("freq"), F.asc("token")).limit(_ZIPF_K)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    rk = top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "freq"
+    )
+    terms = rk.select(
+        "rank",
+        F.round(F.log(F.col("rank").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 6).alias("y"),
+    )
+    arr = terms.agg(
+        F.count("*").cast("long").alias("k"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "x"))),
+            lambda t: t.x,
+        ).alias("xs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "y"))),
+            lambda t: t.y,
+        ).alias("ys"),
+    )
+    fold = lambda col: F.aggregate(  # noqa: E731 — shared fold shape
+        col, F.lit(0.0), lambda acc, v: acc + v
+    )
+    sums = arr.select(
+        "k",
+        fold(F.col("xs")).alias("sx"),
+        fold(F.col("ys")).alias("sy"),
+        fold(F.zip_with("xs", "ys", lambda a, b: a * b)).alias("sxy"),
+        fold(F.transform("xs", lambda v: v * v)).alias("sxx"),
+    )
+    kd = F.col("k").cast("double")
+    slope = (kd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / kd
+    return sums.crossJoin(F.broadcast(tot)).select(
+        "n_types",
+        "n_tokens",
+        F.col("k").alias("k_ranks"),
+        slope.alias("zipf_slope"),
+        intercept.alias("zipf_intercept"),
+        (F.col("n_types").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("type_token_ratio"),
+    )
