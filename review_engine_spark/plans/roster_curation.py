@@ -1985,3 +1985,235 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_types").cast("double") / F.col("n_tokens").cast("double"))
         .alias("type_token_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth — the companion fit to q_zipf_fit:
+# V(n) ≈ K·n^β over CHECKPOINTS of the corpus in doc_id order (β ~0.4-0.6
+# for natural language; β → 1 flags unbounded noise vocab — OCR junk,
+# random ids; β → 0 flags template collapse). Scale design: NO global
+# window over the corpus — 32 checkpoint doc_ids are exact integer
+# fractions of max(doc_id) (D7 1-row broadcast), per-checkpoint token
+# totals and first-seen-type totals are conditional aggregates against
+# the broadcast checkpoint list (32 rows out), and the log-log OLS runs
+# the q_zipf_fit fixed-fold recipe over ≤32 terms.
+# ---------------------------------------------------------------------------
+_HEAPS_CKPTS = 32
+
+
+@declared(
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    mx AS (SELECT max(doc_id) AS m FROM documents),
+    ck AS (
+        SELECT CAST(i AS BIGINT) AS i,
+               CAST(floor(CAST(i AS DOUBLE) * m / {_HEAPS_CKPTS})
+                    AS BIGINT) AS c
+        FROM mx, unnest(range(1, {_HEAPS_CKPTS} + 1)) AS t(i)
+    ),
+    fd AS (
+        SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token
+    ),
+    types_at AS (
+        SELECT ck.i, CAST(count(*) AS BIGINT) AS n_types
+        FROM ck JOIN fd ON fd.first_doc <= ck.c GROUP BY ck.i
+    ),
+    tokens_at AS (
+        SELECT ck.i, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM ck JOIN tok ON tok.doc_id <= ck.c GROUP BY ck.i
+    ),
+    terms AS (
+        SELECT a.i, round(ln(CAST(a.n_tokens AS DOUBLE)), 6) AS x,
+               round(ln(CAST(b.n_types AS DOUBLE)), 6) AS y
+        FROM tokens_at a JOIN types_at b USING (i)
+        WHERE a.n_tokens > 0 AND b.n_types > 0
+    ),
+    arr AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               list(x ORDER BY i) AS xs,
+               list(y ORDER BY i) AS ys
+        FROM terms
+    ),
+    sums AS (
+        SELECT k,
+               list_reduce(xs, (p, q) -> p + q) AS sx,
+               list_reduce(ys, (p, q) -> p + q) AS sy,
+               list_reduce(list_transform(range(1, len(xs) + 1),
+                   i -> xs[i] * ys[i]), (p, q) -> p + q) AS sxy,
+               list_reduce(list_transform(xs, v -> v * v),
+                   (p, q) -> p + q) AS sxx
+        FROM arr
+    )
+    SELECT s.k AS k_checkpoints,
+           (CAST(s.k AS DOUBLE) * s.sxy - s.sx * s.sy)
+             / (CAST(s.k AS DOUBLE) * s.sxx - s.sx * s.sx) AS heaps_beta,
+           (s.sy - ((CAST(s.k AS DOUBLE) * s.sxy - s.sx * s.sy)
+             / (CAST(s.k AS DOUBLE) * s.sxx - s.sx * s.sx)) * s.sx)
+             / CAST(s.k AS DOUBLE) AS heaps_logk
+    FROM sums s
+    """
+)
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: log-log OLS of cumulative
+    distinct types vs cumulative tokens at 32 doc-order checkpoints —
+    the corpus-health companion to q_zipf_fit (β near 0.4-0.6 is
+    healthy text; β → 1 flags noise vocabulary, β → 0 template
+    collapse). Checkpoints are exact integer fractions of max(doc_id);
+    per-checkpoint totals are conditional aggregates against the
+    broadcast 32-row checkpoint table (never a corpus-wide cumulative
+    window); the OLS reuses q_zipf_fit's fixed-order fold."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    tok = docs.select("doc_id", F.explode(toks).alias("token"))
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    ck = (
+        spark.range(1, _HEAPS_CKPTS + 1)
+        .withColumnRenamed("id", "i")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "i",
+            F.floor(
+                F.col("i").cast("double") * F.col("m") / _HEAPS_CKPTS
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    fd = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    types_at = (
+        F.broadcast(ck)
+        .join(fd, fd.first_doc <= F.col("c"))
+        .groupBy("i")
+        .agg(F.count("*").cast("long").alias("n_types"))
+    )
+    tokens_at = (
+        F.broadcast(ck)
+        .join(tok, tok.doc_id <= F.col("c"))
+        .groupBy("i")
+        .agg(F.count("*").cast("long").alias("n_tokens"))
+    )
+    terms = (
+        tokens_at.join(types_at, "i")
+        .where((F.col("n_tokens") > 0) & (F.col("n_types") > 0))
+        .select(
+            "i",
+            F.round(F.log(F.col("n_tokens").cast("double")), 6).alias("x"),
+            F.round(F.log(F.col("n_types").cast("double")), 6).alias("y"),
+        )
+    )
+    arr = terms.agg(
+        F.count("*").cast("long").alias("k"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "x"))), lambda t: t.x
+        ).alias("xs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "y"))), lambda t: t.y
+        ).alias("ys"),
+    )
+    fold = lambda col: F.aggregate(  # noqa: E731 — shared fold shape
+        col, F.lit(0.0), lambda acc, v: acc + v
+    )
+    sums = arr.select(
+        "k",
+        fold(F.col("xs")).alias("sx"),
+        fold(F.col("ys")).alias("sy"),
+        fold(F.zip_with("xs", "ys", lambda a, b: a * b)).alias("sxy"),
+        fold(F.transform("xs", lambda v: v * v)).alias("sxx"),
+    )
+    kd = F.col("k").cast("double")
+    slope = (kd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / kd
+    return sums.select(
+        F.col("k").alias("k_checkpoints"),
+        slope.alias("heaps_beta"),
+        intercept.alias("heaps_logk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA outlier gate — the SemDeDup-style embedding-space cut that the
+# multi-component PCA exists for: score every vector in the trained
+# 4-component space, squared distance from the origin of that space,
+# drop the top 5% (exact 95th-percentile order-statistic cutoff — score
+# ties cross the gate together, the _rank_cutoff convention). Each
+# component score is a round-6 dot against plan-literal components; the
+# 4-term distance sum is a fixed-order literal expression on both
+# engines, so dist2 is bit-identical and the cutoff compare is exact.
+# ---------------------------------------------------------------------------
+def _pca_outlier_oracle() -> str:
+    from review_engine_spark.plans.roster_vector import _pca_topk_ctes
+
+    projs = ",\n    ".join(
+        f"""pr{c} AS MATERIALIZED (
+        SELECT e.vec_id, round(sum(e.x * v.val), 6) AS s
+        FROM e1 e JOIN v{c}_6 v USING (pos) GROUP BY e.vec_id
+    )"""
+        for c in range(1, 5)
+    )
+    return (
+        _pca_topk_ctes(4, 6)
+        + ",\n    "
+        + projs
+        + ",\n    "
+        + """d AS (
+        SELECT pr1.vec_id,
+               pr1.s * pr1.s + pr2.s * pr2.s + pr3.s * pr3.s
+                 + pr4.s * pr4.s AS dist2
+        FROM pr1 JOIN pr2 USING (vec_id) JOIN pr3 USING (vec_id)
+             JOIN pr4 USING (vec_id)
+    ),
+    """
+        + _rank_cutoff_sql("d", "dist2", 19, 20)
+        + """
+    SELECT d.vec_id, d.dist2,
+           d.dist2 <= cut.c AS keep,
+           CASE WHEN d.dist2 <= cut.c THEN 'ok'
+                ELSE 'pca_outlier' END AS reason
+    FROM d, cut
+    """
+    )
+
+
+@declared(oracle=_pca_outlier_oracle())
+def q_pca_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier gate over the trained PCA artifact
+    (SemDeDup-style curation cut): per-vector squared distance in the
+    4-component space, keep iff within the exact 95th-percentile order
+    statistic. One narrow projection pass (components are plan
+    literals from the persisted artifact) + the D7 broadcast cutoff —
+    no shuffle grows with the corpus beyond the cutoff's bounded
+    value-grid aggregate."""
+    from review_engine_spark.functions.vector import dot_product
+    from review_engine_spark.plans.roster_vector import pca_components
+
+    comps = pca_components(spark, sf_dir, k=4, iters=6)
+    emb = read_parquet_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    ss = [
+        F.round(
+            dot_product(F.col("x"), F.array(*[F.lit(c) for c in comp])), 6
+        )
+        for comp in comps
+    ]
+    dist2 = (
+        ss[0] * ss[0] + ss[1] * ss[1] + ss[2] * ss[2] + ss[3] * ss[3]
+    )
+    d = emb.select("vec_id", dist2.alias("dist2"))
+    cut = _rank_cutoff(
+        d.select("vec_id", F.col("dist2").alias("_d")), "_d", 19, 20
+    )
+    return d.crossJoin(F.broadcast(cut)).select(
+        "vec_id",
+        "dist2",
+        (F.col("dist2") <= F.col("_cut")).alias("keep"),
+        F.when(F.col("dist2") <= F.col("_cut"), F.lit("ok"))
+        .otherwise(F.lit("pca_outlier"))
+        .alias("reason"),
+    )

@@ -662,7 +662,7 @@ def source_sweep(declared: set[str]) -> tuple[list[str], set[str]]:
     # global_window_violations check as an inline site (a helper name in
     # this map is not a waiver — it routes to runtime verification).
     helper_windows = {
-        "_rank_cutoff": ["q_perplexity_gate", "q_dsir_sample"],
+        "_rank_cutoff": ["q_perplexity_gate", "q_dsir_sample", "q_pca_outlier_gate"],
         # chained caller of _rank_cutoff (the composed ingest gate's
         # shared trainer) — its reachable declared queries get the same
         # runtime bounded-input check
