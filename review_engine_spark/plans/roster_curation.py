@@ -2217,3 +2217,139 @@ def q_pca_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("pca_outlier"))
         .alias("reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document-containment dedup (RefinedWeb/FineWeb practice: a document
+# wholly CONTAINED in another is a duplicate even when the container
+# has extra boilerplate, so symmetric-Jaccard dedup misses it).
+# Containment(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| over
+# distinct width-8 stride-1 md5 shingles. Candidate pairs come from
+# RARE-shingle blocking (2 ≤ df ≤ 20 — the fuzzy-pairs convention:
+# pair volume per shingle capped at C(20,2), and a df=1 shingle can
+# pair nothing); the exact intersection then runs only over candidate
+# pairs (candidate-bounded join, never corpus×corpus). The ≥ 0.8 gate
+# is the integer cross-product 5·inter ≥ 4·n (no float tie-break);
+# the reported containment is a raw division of engine-identical
+# BIGINTs.
+# ---------------------------------------------------------------------------
+@declared(
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos
+        FROM t WHERE len(toks) >= 8
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(toks[pos:pos + 7], ' ')) AS h
+        FROM c
+    ),
+    n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns FROM sh GROUP BY 1),
+    df AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+    rare AS (SELECT h FROM df WHERE df BETWEEN 2 AND 20),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN rare USING (h) JOIN sh b USING (h)
+        WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a
+        JOIN sh sb ON sb.doc_id = c.b AND sb.h = sa.h
+        GROUP BY c.a, c.b
+    ),
+    directed AS (
+        SELECT i.a AS contained_id, i.b AS container_id, i.i,
+               na.ns AS n_shingles
+        FROM inter i JOIN n na ON na.doc_id = i.a
+        WHERE 5 * i.i >= 4 * na.ns
+        UNION ALL
+        SELECT i.b AS contained_id, i.a AS container_id, i.i,
+               nb.ns AS n_shingles
+        FROM inter i JOIN n nb ON nb.doc_id = i.b
+        WHERE 5 * i.i >= 4 * nb.ns
+    )
+    SELECT contained_id, container_id,
+           i AS n_shared, n_shingles,
+           CAST(i AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS containment
+    FROM directed
+    """
+)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup: documents ≥ 80% shingle-contained in another
+    document (both directions of each candidate pair evaluated). Rare-
+    shingle blocking generates candidates; the exact intersection is
+    candidate-bounded; the gate is an exact integer cross-product."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "nt", F.size("toks")
+    )
+    idx = F.when(
+        F.col("nt") - 7 >= 1, F.sequence(F.lit(1), F.col("nt") - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (
+        base.select(
+            "doc_id", "toks", F.posexplode(idx).alias("_i", "pos")
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), 8))).alias(
+                "h"
+            ),
+        )
+        .distinct()
+    )
+    n = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("ns"))
+    rare = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df").between(2, 20))
+        .select("h")
+    )
+    sa = sh.select(F.col("doc_id").alias("a"), "h")
+    sb = sh.select(F.col("doc_id").alias("b"), "h")
+    cand = (
+        sa.join(rare.hint("shuffle_hash"), "h")
+        .join(sb, "h")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "h"])
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    na = n.select(F.col("doc_id").alias("a"), F.col("ns").alias("ns_a"))
+    nb = n.select(F.col("doc_id").alias("b"), F.col("ns").alias("ns_b"))
+    j = inter.join(na, "a").join(nb, "b")
+    d1 = j.where(5 * F.col("i") >= 4 * F.col("ns_a")).select(
+        F.col("a").alias("contained_id"),
+        F.col("b").alias("container_id"),
+        F.col("i").alias("n_shared"),
+        F.col("ns_a").alias("n_shingles"),
+    )
+    d2 = j.where(5 * F.col("i") >= 4 * F.col("ns_b")).select(
+        F.col("b").alias("contained_id"),
+        F.col("a").alias("container_id"),
+        F.col("i").alias("n_shared"),
+        F.col("ns_b").alias("n_shingles"),
+    )
+    return d1.unionByName(d2).select(
+        "contained_id",
+        "container_id",
+        "n_shared",
+        "n_shingles",
+        (
+            F.col("n_shared").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("containment"),
+    )

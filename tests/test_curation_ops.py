@@ -796,3 +796,33 @@ def test_rank_cutoff_matches_python_order_statistic_property(spark):
         nn = sorted(v for v in vals if v is not None)
         k = math.ceil(num * len(nn) / den)
         assert row["_cut"] == nn[k - 1], (trial, vals, num, den)
+
+
+def test_containment_dedup_directions_and_threshold(spark, tmp_path):
+    """Hand corpus: A is an exact substring of B (containment 1.0, one
+    direction only — B is NOT contained in A); C shares a block below
+    the 80% gate and must not appear."""
+    import pandas as pd
+
+    from review_engine_spark.plans.roster_curation import q_containment_dedup
+
+    core = " ".join(f"w{i}" for i in range(20))           # 20 tokens
+    b = core + " " + " ".join(f"x{i}" for i in range(30))  # container
+    c = " ".join(f"w{i}" for i in range(10)) + " " + \
+        " ".join(f"y{i}" for i in range(40))               # partial share
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [core, b, c],
+         "n_chars": [len(core), len(b), len(c)]}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    rows = {
+        (r["contained_id"], r["container_id"]): (
+            r["n_shared"], r["n_shingles"], r["containment"]
+        )
+        for r in q_containment_dedup(spark, str(tmp_path)).collect()
+    }
+    # A (13 distinct 8-shingles) fully inside B
+    assert rows[(1, 2)][2] == 1.0
+    assert rows[(1, 2)][0] == rows[(1, 2)][1] == 13
+    assert (2, 1) not in rows          # the container is not contained
+    assert all(k[0] != 3 for k in rows)  # C is below the 80% gate
