@@ -871,16 +871,49 @@ def q_embed_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared()
+@declared(
+    oracle="""
+    WITH m AS (
+        SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 200
+    ),
+    h AS (
+        SELECT CAST(p_partkey AS VARCHAR) AS media_id,
+               md5(sha256('img://part/' || p_partkey)) AS hx
+        FROM m
+    )
+    SELECT media_id,
+           CAST(64 + try_cast('0x' || substr(hx, 1, 2) AS INTEGER) % 192
+                AS INTEGER) AS width,
+           CAST(64 + try_cast('0x' || substr(hx, 3, 2) AS INTEGER) % 192
+                AS INTEGER) AS height,
+           CAST(64 AS BIGINT) AS n_bytes,
+           (['jpeg', 'png', 'webp'])
+               [(try_cast('0x' || substr(hx, 5, 2) AS INTEGER) % 3) + 1]
+               AS format
+    FROM h
+    """
+)
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/§2.K multimodal plumbing: cap → fetch(binary) → mapInPandas
-    decode to typed metadata (summarize.py:28-35 analog; stub decode)."""
+    decode to typed metadata (summarize.py:28-35 analog; stub decode).
+
+    Oracle-checked (was rows-only until r11): the fetch stub's payload
+    is the 64-char sha256 hex of the URL and the decode stub derives
+    (width, height, format) from the payload's md5 digest bytes, so
+    DuckDB predicts the full output from the part view — the
+    q_binary_files digest-arithmetic convention. The cap is now
+    ORDER BY p_partkey LIMIT 200 (a bare limit's row choice is
+    plan-dependent; the cap-before-UDF contract is unchanged)."""
     from review_engine_spark.operators.multimodal import (
         attach_media_binary,
         decode_image_meta,
     )
 
-    part = read_parquet_table(spark, sf_dir, "part").limit(200)
+    part = (
+        read_parquet_table(spark, sf_dir, "part")
+        .orderBy("p_partkey")
+        .limit(200)
+    )
     media = part.select(
         F.col("p_partkey").cast("string").alias("media_id"),
         F.concat(F.lit("img://part/"), F.col("p_partkey")).alias("url"),
@@ -889,16 +922,45 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(fetched)
 
 
-@declared()
+@declared(
+    oracle="""
+    WITH m AS (
+        SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 50
+    ),
+    h AS (
+        SELECT CAST(p_partkey AS VARCHAR) AS media_id,
+               sha256('vid://part/' || p_partkey) AS payload
+        FROM m
+    ),
+    nf AS (
+        SELECT media_id, payload,
+               1 + try_cast('0x' || substr(md5(payload), 1, 2) AS INTEGER)
+                   % 5 AS n_frames
+        FROM h
+    )
+    SELECT media_id,
+           CAST(i * 10 AS INTEGER) AS frame_idx,
+           md5(payload || chr(CAST(i AS INTEGER))) AS frame
+    FROM nf, unnest(range(0, n_frames)) AS t(i)
+    """
+)
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.K video frame sampling shape: 1 media row → N frame rows via
-    mapInPandas (stubbed decoder)."""
+    mapInPandas (stubbed decoder). Oracle-checked (r11): frame count
+    and per-frame digests are md5 arithmetic over the deterministic
+    sha256-hex payload, replayed in DuckDB (chr(i) appends the same
+    single byte the stub appends for i < 5); cap made deterministic
+    (ORDER BY p_partkey LIMIT 50)."""
     from review_engine_spark.operators.multimodal import (
         attach_media_binary,
         sample_video_frames,
     )
 
-    part = read_parquet_table(spark, sf_dir, "part").limit(50)
+    part = (
+        read_parquet_table(spark, sf_dir, "part")
+        .orderBy("p_partkey")
+        .limit(50)
+    )
     media = part.select(
         F.col("p_partkey").cast("string").alias("media_id"),
         F.concat(F.lit("vid://part/"), F.col("p_partkey")).alias("url"),
@@ -907,17 +969,34 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(fetched)
 
 
-@declared()
+@declared(
+    oracle="""
+    WITH m AS (
+        SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 100
+    )
+    SELECT CAST(p_partkey AS VARCHAR) AS media_id,
+           md5(sha256('img://part/' || p_partkey) || '224x224') AS content,
+           CAST(224 AS INTEGER) AS width,
+           CAST(224 AS INTEGER) AS height
+    FROM m
+    """
+)
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.K resize-to-model-input stage: cap → fetch(binary) →
     mapInPandas resize (stubbed resample; real Arrow batch contract),
-    placed after the limit like every media UDF."""
+    placed after the limit like every media UDF. Oracle-checked (r11):
+    the stub's resized payload digest is md5(payload || '224x224') —
+    pure varchar arithmetic in DuckDB; cap made deterministic."""
     from review_engine_spark.operators.multimodal import (
         attach_media_binary,
         resize_images,
     )
 
-    part = read_parquet_table(spark, sf_dir, "part").limit(100)
+    part = (
+        read_parquet_table(spark, sf_dir, "part")
+        .orderBy("p_partkey")
+        .limit(100)
+    )
     media = part.select(
         F.col("p_partkey").cast("string").alias("media_id"),
         F.concat(F.lit("img://part/"), F.col("p_partkey")).alias("url"),
@@ -925,22 +1004,65 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(attach_media_binary(media, "url"))
 
 
-@declared()
+@declared(
+    oracle="""
+    WITH m AS (
+        SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 100
+    ),
+    h AS (
+        SELECT CAST(p_partkey AS VARCHAR) AS media_id,
+               sha256('aud://part/' || p_partkey) AS payload
+        FROM m
+    ),
+    w AS (
+        SELECT media_id,
+               CAST(k AS INTEGER) AS window_idx,
+               md5(substr(payload, CAST(k * 16 + 1 AS INTEGER), 16)) AS wh
+        FROM h, unnest(range(0, 4)) AS t(k)
+    ),
+    u AS (
+        SELECT media_id, window_idx,
+               CAST(try_cast('0x' || substr(wh, 1, 8) AS BIGINT) AS HUGEINT)
+                 * 4294967296
+                 + try_cast('0x' || substr(wh, 9, 8) AS BIGINT) AS v
+        FROM w
+    )
+    SELECT media_id, window_idx,
+           CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                     THEN v - 18446744073709551616::HUGEINT
+                     ELSE v END AS BIGINT) AS code,
+           CAST(4 AS INTEGER) AS n_windows
+    FROM u
+    """
+)
 def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.K audio-dedup key build: windowed payload → fingerprint codes
     (chromaprint-shaped stub) — the banded-join dedup key for audio,
-    mirroring MinHash bands for text."""
+    mirroring MinHash bands for text. Oracle-checked (r11): emits the
+    JOIN-READY per-window form (media_id, window_idx, code, n_windows)
+    — the exploded view of the operator's array output — and DuckDB
+    replays each code as the signed big-endian first-8-bytes of
+    md5(window) via HUGEINT wrap-around; cap made deterministic."""
     from review_engine_spark.operators.multimodal import (
         attach_media_binary,
         audio_fingerprint,
     )
 
-    part = read_parquet_table(spark, sf_dir, "part").limit(100)
+    part = (
+        read_parquet_table(spark, sf_dir, "part")
+        .orderBy("p_partkey")
+        .limit(100)
+    )
     media = part.select(
         F.col("p_partkey").cast("string").alias("media_id"),
         F.concat(F.lit("aud://part/"), F.col("p_partkey")).alias("url"),
     )
-    return audio_fingerprint(attach_media_binary(media, "url"))
+    fp = audio_fingerprint(attach_media_binary(media, "url"))
+    return fp.select(
+        "media_id",
+        F.posexplode("fingerprint").alias("window_idx", "code"),
+        "n_windows",
+    ).select("media_id", "window_idx", "code", "n_windows")
 
 
 # ---------------------------------------------------------------------------
