@@ -58,17 +58,18 @@ from review_engine_spark.plans import roster_mining  # noqa: E402,F401
 #   tier 4 — rows-only queries (no oracle; bench covers execution).
 # ---------------------------------------------------------------------------
 
-#: Round-11 window arithmetic: 7 new unproven oracle queries (tier 2:
+#: Round-11 window arithmetic: 14 new unproven oracle queries (tier 2:
 #: q_pca_topk, q_pca_project_topk, q_ingest_gate, q_stream_ingest_gate,
-#: q_binary_files, q_hll_mergeable, q_bpe_fertility) + tier 1 pins for
-#: the r11 plan-changed-but-previously-green queries (q_perplexity_gate
-#: and q_bigram_logprob ride the train/score bigram split;
-#: q_gopher_rules and q_stream_quality_gate gained the NULL-text rule
-#: in code AND oracle; q_recsys_eval's oracle gained the basket cap;
+#: q_binary_files, q_hll_mergeable, q_bpe_fertility, q_zipf_fit,
+#: q_heaps_fit, q_pca_outlier_gate, q_containment_dedup, and the four
+#: promoted media queries) + tier 1 pins for the r11
+#: plan-changed-but-previously-green queries (q_perplexity_gate and
+#: q_bigram_logprob ride the train/score bigram split; q_gopher_rules
+#: and q_stream_quality_gate gained the NULL-text rule in code AND
+#: oracle; q_recsys_eval's oracle gained the basket cap;
 #: q_adamic_adar/q_resource_allocation route through the guarded
-#: pack_pair). The remaining ~36 spare slots fall to tier 3 = the
-#: 49-query r6 cohort (now oldest), re-proving most of it; the
-#: leftover r6 stragglers rotate next round.
+#: pack_pair). The remaining ~29 spare slots fall to tier 3 = the
+#: oldest of the 49-query r6 cohort; the stragglers rotate next round.
 _TIER1_FIXED: list[str] = [
     "q_perplexity_gate",
     "q_bigram_logprob",
