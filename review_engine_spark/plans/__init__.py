@@ -58,26 +58,25 @@ from review_engine_spark.plans import roster_mining  # noqa: E402,F401
 #   tier 4 — rows-only queries (no oracle; bench covers execution).
 # ---------------------------------------------------------------------------
 
-#: Round-11 window arithmetic: 14 new unproven oracle queries (tier 2:
-#: q_pca_topk, q_pca_project_topk, q_ingest_gate, q_stream_ingest_gate,
-#: q_binary_files, q_hll_mergeable, q_bpe_fertility, q_zipf_fit,
-#: q_heaps_fit, q_pca_outlier_gate, q_containment_dedup, and the four
-#: promoted media queries) + tier 1 pins for the r11
-#: plan-changed-but-previously-green queries (q_perplexity_gate and
-#: q_bigram_logprob ride the train/score bigram split; q_gopher_rules
-#: and q_stream_quality_gate gained the NULL-text rule in code AND
-#: oracle; q_recsys_eval's oracle gained the basket cap;
-#: q_adamic_adar/q_resource_allocation route through the guarded
-#: pack_pair). The remaining ~29 spare slots fall to tier 3 = the
-#: oldest of the 49-query r6 cohort; the stragglers rotate next round.
+#: Round-12 window arithmetic (r11 recount per ADVICE: the r11 tier 2
+#: was 15 new oracle queries — 11 named + the four media promotions,
+#: with q_binary_files separate from those — leaving ~28 spare slots,
+#: not 14/29 as the r11 comment said; CORRECTNESS_r11 proved exactly
+#: the intended 50). This round: tier 1 pins the 3 plan-changed
+#: queries (q_heaps_fit moved to the single-pass bucket-and-running-sum
+#: form, dropping both token-stream BroadcastNestedLoopJoins;
+#: q_stream_ingest_gate's memory-sink runner gained batch_id-keyed
+#: idempotent snapshots; q_pca_topk represents the PCA family whose
+#: artifact load path now digest-validates the JSON payload). Tier 2
+#: adds the round-12 queries (unigram-LM tokenizer + URL/host curation,
+#: ~5). The ~42 spare slots fall to tier 3 = the full 21-query r6
+#: straggler cohort (q_approx_percentile .. q_zorder_key — VERDICT r11
+#: item 2 asks the union histogram to show no proof older than r7)
+#: followed by the oldest ~21 of the r7 cohort.
 _TIER1_FIXED: list[str] = [
-    "q_perplexity_gate",
-    "q_bigram_logprob",
-    "q_gopher_rules",
-    "q_stream_quality_gate",
-    "q_recsys_eval",
-    "q_adamic_adar",
-    "q_resource_allocation",
+    "q_heaps_fit",
+    "q_stream_ingest_gate",
+    "q_pca_topk",
 ]
 
 #: name -> last round the driver proved it green (CORRECTNESS_r01..r08
@@ -199,6 +198,25 @@ _LAST_GREEN: dict[str, int] = {
     "q_stream_quality_gate": 10, "q_stream_static_join": 10,
     "q_survival_km": 10, "q_theil_sen": 10, "q_time_weighted_avg": 10,
     "q_winsorize": 10, "q_yoy_growth": 10,
+    # proven green in round 11 (50 queries: the 15 r11-new/promoted
+    # oracle queries + 7 tier-1 plan-changed pins + 28 tier-3 rotations)
+    "q_adamic_adar": 11, "q_asof_join": 11, "q_audio_fingerprint": 11,
+    "q_bigram_logprob": 11, "q_binary_files": 11, "q_bpe_fertility": 11,
+    "q_containment_dedup": 11, "q_cube": 11, "q_dedup_exact": 11,
+    "q_distinct_count": 11, "q_except": 11, "q_extract_summary": 11,
+    "q_fingerprint": 11, "q_gopher_rules": 11, "q_group_collect": 11,
+    "q_group_count": 11, "q_heaps_fit": 11, "q_hll_mergeable": 11,
+    "q_ingest_gate": 11, "q_intersect": 11, "q_join_anti": 11,
+    "q_join_meta": 11, "q_meanpool": 11, "q_media_decode": 11,
+    "q_media_frames": 11, "q_media_resize": 11, "q_parse_budget": 11,
+    "q_pca_outlier_gate": 11, "q_pca_project_topk": 11, "q_pca_topk": 11,
+    "q_percentile_norm": 11, "q_perplexity_gate": 11, "q_price_stats": 11,
+    "q_recsys_eval": 11, "q_resource_allocation": 11, "q_rollup": 11,
+    "q_salted_collect": 11, "q_salted_join": 11, "q_semi_join": 11,
+    "q_star_join": 11, "q_stream_ingest_gate": 11,
+    "q_stream_quality_gate": 11, "q_text_stats": 11, "q_tfidf": 11,
+    "q_tokenize": 11, "q_topk_window": 11, "q_union": 11,
+    "q_window_lag": 11, "q_window_running": 11, "q_zipf_fit": 11,
 }
 
 # Backward-compat name used by tools/plan_audit.py and tests.

@@ -447,23 +447,44 @@ def pca_components(
     import os
 
     digest = _pca_stat_digest(sf_dir, iters)
+    # per-user default root: /tmp/review_engine_spark_pca was world-
+    # writable and shared, so a foreign file matching the name pattern
+    # could be picked up by the glob (ADVICE r11)
     root = os.environ.get(
-        "SPARK_GRAFT_PCA_DIR", "/tmp/review_engine_spark_pca"
+        "SPARK_GRAFT_PCA_DIR",
+        f"/tmp/review_engine_spark_pca-{os.getuid()}",
     )
     memo = _PCA_MEMO.get(digest)
     if memo is not None and len(memo) >= k:
         return memo[:k]
-    # any artifact for this corpus digest trained to k' >= k is a hit
+    # any artifact for this corpus digest trained to k' >= k is a hit —
+    # but the payload must agree with the filename: the JSON carries its
+    # own (digest, k, iters) and is rejected on any mismatch, so a
+    # corrupt/foreign file matching the name is a retrain, never a
+    # silently-served wrong component (ADVICE r11)
     best_path, best_k = None, 0
     for path in glob.glob(os.path.join(root, f"pca_k*_{digest}.json")):
         k_art = int(os.path.basename(path).split("_")[1][1:])
         if k_art > best_k:
             best_path, best_k = path, k_art
     if best_path is not None and best_k >= k:
-        with open(best_path) as fh:
-            comps = [list(map(float, c)) for c in json.load(fh)["components"]]
-        _PCA_MEMO[digest] = comps
-        return comps[:k]
+        try:
+            with open(best_path) as fh:
+                art = json.load(fh)
+            comps = [list(map(float, c)) for c in art["components"]]
+            valid = (
+                art.get("digest") == digest
+                and art.get("iters") == iters
+                and art.get("k") == best_k
+                and len(comps) == best_k
+                and all(len(c) == len(comps[0]) for c in comps)
+            )
+        except (ValueError, KeyError, OSError, TypeError):
+            valid = False
+        if valid:
+            _PCA_MEMO[digest] = comps
+            return comps[:k]
+        os.unlink(best_path)  # quarantine-by-delete: force a retrain
 
     emb = read_parquet_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
@@ -525,7 +546,10 @@ def pca_components(
     path = os.path.join(root, f"pca_k{k}_{digest}.json")
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
-        json.dump({"k": k, "iters": iters, "components": comps}, fh)
+        json.dump(
+            {"k": k, "iters": iters, "digest": digest, "components": comps},
+            fh,
+        )
     os.replace(tmp, path)  # atomic: concurrent callers see old|new
     _PCA_MEMO[digest] = comps
     return comps

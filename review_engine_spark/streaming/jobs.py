@@ -1402,7 +1402,11 @@ def run_stream_ingest_gate(
     use_files = (
         os.environ.get("SPARK_GRAFT_STREAM_SINK", "memory") == "files"
     )
-    frames: list[pd.DataFrame] = []
+    # memory snapshots are keyed by batch_id (last write wins) so an
+    # at-least-once batch replay is idempotent, mirroring the files
+    # path's overwritten batch-<id> dirs (ADVICE r11: a plain append
+    # would duplicate verdict rows on replay)
+    frames: dict[int, pd.DataFrame] = {}
     out_dir = None
     if use_files:
         out_dir = tempfile.mkdtemp(prefix="stream_ingest_gate_sink_")
@@ -1419,7 +1423,7 @@ def run_stream_ingest_gate(
                 f"{out_dir}/batch-{batch_id}"
             )
         else:
-            frames.append(gated.toPandas())
+            frames[batch_id] = gated.toPandas()
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -1442,4 +1446,7 @@ def run_stream_ingest_gate(
         return spark.read.parquet(*batch_dirs)
     if not frames:
         return spark.createDataFrame([], out_schema)
-    return spark.createDataFrame(pd.concat(frames, ignore_index=True), out_schema)
+    ordered = [frames[b] for b in sorted(frames)]
+    return spark.createDataFrame(
+        pd.concat(ordered, ignore_index=True), out_schema
+    )

@@ -108,19 +108,39 @@ def main() -> int:
     # Accepted passes ACCUMULATE across invocations (state file): the
     # host's external disk gusts recur every minute or two, so one
     # invocation rarely lands >=2 quiet passes — but quiet passes from
-    # different invocations are equally valid samples of the same
-    # binary + replica.
+    # different invocations are only valid joint samples of the SAME
+    # binary + replica, so the state is stamped with the replica's
+    # SALT_VERSION and the repo HEAD and discarded on mismatch
+    # (ADVICE r11: un-stamped state silently mixed samples from a
+    # prior build or regenerated replica into the reported median).
     import json
+    import subprocess
+
+    salt = Path(stress_dir, "SALT_VERSION").read_text().strip()
+    try:
+        head = subprocess.run(
+            ["git", "-C", str(REPO), "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001 — not a checkout: stamp salt only
+        head = "no-git"
+    stamp = f"{salt}|{head}"
 
     state_path = Path("/tmp/measure_substring_state.json")
     samples: dict[str, list[tuple[float, float]]] = {q: [] for q in QUERIES}
     accepted = 0
     if state_path.exists():
         prior = json.loads(state_path.read_text())
-        for q in QUERIES:
-            samples[q] = [tuple(s) for s in prior.get(q, [])]
-        accepted = prior.get("_accepted", 0)
-        print(f"(resuming with {accepted} prior accepted passes)")
+        if prior.get("_stamp") == stamp:
+            for q in QUERIES:
+                samples[q] = [tuple(s) for s in prior.get(q, [])]
+            accepted = prior.get("_accepted", 0)
+            print(f"(resuming with {accepted} prior accepted passes)")
+        else:
+            print(
+                f"(discarding prior state: stamp {prior.get('_stamp')!r}"
+                f" != {stamp!r})"
+            )
     for p in range(n_passes):
         c0, d0 = canary(), disk_canary()
         t = {}
@@ -153,6 +173,7 @@ def main() -> int:
             accepted += 1
             state = {q: samples[q] for q in QUERIES}
             state["_accepted"] = accepted
+            state["_stamp"] = stamp
             state_path.write_text(json.dumps(state))
 
     print(f"\naccepted {accepted} passes total (incl. prior invocations)")

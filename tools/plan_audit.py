@@ -12,6 +12,7 @@ Usage: python tools/plan_audit.py [sf_dir]   (exit 1 on any violation)
 
 from __future__ import annotations
 
+import ast
 import re
 import sys
 from pathlib import Path
@@ -642,6 +643,31 @@ def check_fingerprints(
     return violations, notes
 
 
+def _def_spans(src: str) -> list[tuple[int, int, str]]:
+    """(lineno, end_lineno, name) for every function def in ``src`` —
+    the exact AST line ranges, so enclosing-function attribution cannot
+    be fooled by nesting, class methods, decorators, or def-looking
+    text inside strings (ADVICE r11: the old column-0 regex scan
+    attributed calls from nested defs/methods to the wrong function)."""
+    spans: list[tuple[int, int, str]] = []
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            spans.append((node.lineno, node.end_lineno or node.lineno, node.name))
+    return spans
+
+
+def _enclosing_def(
+    spans: list[tuple[int, int, str]], ln_no: int
+) -> str | None:
+    """Innermost function whose body spans 1-based line ``ln_no`` (the
+    containing def that STARTS latest), or None for module/class level."""
+    best: tuple[int, int, str] | None = None
+    for lo, hi, name in spans:
+        if lo <= ln_no <= hi and (best is None or lo > best[0]):
+            best = (lo, hi, name)
+    return best[2] if best else None
+
+
 def source_sweep(declared: set[str]) -> tuple[list[str], set[str]]:
     """Repo-wide static invariant: no empty-partition window anywhere.
     `Window.partitionBy()` with no keys moves the whole input to ONE
@@ -669,17 +695,14 @@ def source_sweep(declared: set[str]) -> tuple[list[str], set[str]]:
         "_ingest_gate_inputs": ["q_ingest_gate", "q_stream_ingest_gate"],
     }
     for p in sorted((REPO / "review_engine_spark").rglob("*.py")):
-        lines = p.read_text().splitlines()
+        src = p.read_text()
+        lines = src.splitlines()
+        spans = _def_spans(src)
         for ln_no, ln in enumerate(lines, 1):
             if re.search(r"Window\.partitionBy\(\s*\)", ln):
                 bad.append(f"{p.relative_to(REPO)}:{ln_no}: empty-partition Window")
             elif re.search(r"Window\.orderBy\(", ln) and "partitionBy" not in ln:
-                encl = None
-                for back in range(ln_no - 1, -1, -1):
-                    m = re.match(r"def (\w+)", lines[back])
-                    if m:
-                        encl = m.group(1)
-                        break
+                encl = _enclosing_def(spans, ln_no)
                 if encl in declared:
                     verify.add(encl)
                     continue
@@ -708,16 +731,13 @@ def source_sweep(declared: set[str]) -> tuple[list[str], set[str]]:
     for helper, routed in helper_windows.items():
         call_re = re.compile(rf"(?<![\w.]){re.escape(helper)}\(")
         for p in sorted((REPO / "review_engine_spark").rglob("*.py")):
-            lines = p.read_text().splitlines()
+            src = p.read_text()
+            lines = src.splitlines()
+            spans = _def_spans(src)
             for ln_no, ln in enumerate(lines, 1):
                 if not call_re.search(ln) or ln.lstrip().startswith("#"):
                     continue
-                encl = None
-                for back in range(ln_no - 1, -1, -1):
-                    m = re.match(r"def (\w+)", lines[back])
-                    if m:
-                        encl = m.group(1)
-                        break
+                encl = _enclosing_def(spans, ln_no)
                 if encl == helper:  # the definition itself
                     continue
                 if encl in helper_windows and encl != helper:
