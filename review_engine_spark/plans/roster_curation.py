@@ -2060,10 +2060,22 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct types vs cumulative tokens at 32 doc-order checkpoints —
     the corpus-health companion to q_zipf_fit (β near 0.4-0.6 is
     healthy text; β → 1 flags noise vocabulary, β → 0 template
-    collapse). Checkpoints are exact integer fractions of max(doc_id);
-    per-checkpoint totals are conditional aggregates against the
-    broadcast 32-row checkpoint table (never a corpus-wide cumulative
-    window); the OLS reuses q_zipf_fit's fixed-order fold."""
+    collapse). Checkpoints are exact integer fractions of max(doc_id).
+
+    Single-pass form (VERDICT r11 item 4): each token row / first-seen
+    type is bucketed by its FIRST covering checkpoint
+    j = ceil(K·d / m) — exact integer arithmetic, equivalent to
+    "counted at every i with d ≤ floor(i·m/K)" — then a ≤K-row
+    running-sum join recovers the cumulative totals. The corpus is
+    scanned ONCE per side; the r11 form instead inequality-joined every
+    exploded token row against the K-row checkpoint table
+    (BroadcastNestedLoopJoin), emitting ~K/2 copies of the corpus into
+    the aggregate — 16× the CPU at 100 TB for no information gain. The
+    remaining inequality join is K×K (both sides ≤32 rows). The oracle
+    keeps the conditional-count form: per-checkpoint totals are exact
+    integers, so the two formulations are provably value-identical and
+    the mirror-token policy (floats only) is not in play. The OLS
+    reuses q_zipf_fit's fixed-order fold."""
     docs = read_parquet_table(spark, sf_dir, "documents")
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
@@ -2084,18 +2096,43 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fd = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
-    types_at = (
-        F.broadcast(ck)
-        .join(fd, fd.first_doc <= F.col("c"))
-        .groupBy("i")
-        .agg(F.count("*").cast("long").alias("n_types"))
-    )
-    tokens_at = (
-        F.broadcast(ck)
-        .join(tok, tok.doc_id <= F.col("c"))
-        .groupBy("i")
-        .agg(F.count("*").cast("long").alias("n_tokens"))
-    )
+
+    def _bucketed_cumulative(rows: DataFrame, d_col: str, out: str) -> DataFrame:
+        # j = ceil(K·d/m) in pure integer arithmetic ((K·d + m − 1) DIV m;
+        # d ≤ m keeps j ≤ K, greatest() clamps a d=0 row to bucket 1):
+        # j ≤ i ⟺ d ≤ floor(i·m/K), so the running sum of bucket counts
+        # over the K ordered checkpoints reproduces the conditional
+        # count exactly. The cumulative is a global window over the
+        # K-row equi-joined checkpoint table — bounded by construction
+        # (the plan-audit bounded-window doctrine), never an inequality
+        # join.
+        buckets = (
+            rows.crossJoin(F.broadcast(mx))
+            .select(
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.expr(
+                        f"CAST(({_HEAPS_CKPTS}L * {d_col} + m - 1) DIV m "
+                        "AS BIGINT)"
+                    ),
+                ).alias("j")
+            )
+            .groupBy("j")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        cum = Window.orderBy("i").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            ck.join(buckets, ck.i == buckets.j, "left")
+            .select("i", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+            .select(
+                "i", F.sum("cnt").over(cum).cast("long").alias(out)
+            )
+        )
+
+    types_at = _bucketed_cumulative(fd, "first_doc", "n_types")
+    tokens_at = _bucketed_cumulative(tok, "doc_id", "n_tokens")
     terms = (
         tokens_at.join(types_at, "i")
         .where((F.col("n_tokens") > 0) & (F.col("n_types") > 0))

@@ -521,6 +521,103 @@ def global_window_violations(plan: str) -> list[str]:
     return bad
 
 
+#: BNL doctrine thresholds (VERDICT r11 item 8). A build side of ≤4
+#: rows is a filter / constant-factor map (the D7 1-row broadcast, the
+#: 2-row query-vector compare) — safe against any stream. A larger
+#: build (up to the 32-row checkpoint table) is only safe against a
+#: BOUNDED stream: multi-row build × corpus-scaled stream is the r11
+#: q_heaps_fit shape that multiplied the token stream ×16.
+_BNL_BUILD_MAX = 32
+_BNL_FREE_FACTOR = 4
+_BNL_STREAM_MAX = 4096
+
+
+def bnl_violations_runtime(df) -> tuple[list[str], int]:
+    """Runtime BroadcastNestedLoopJoin audit: walk the EXECUTED adaptive
+    plan via py4j and read each BNL's actual build/stream row counts
+    from node metrics (the audited queries are executed at sf0.01, so
+    the metrics are real). Returns (violations, n_bnl_nodes). Allowed
+    shapes: build ≤ _BNL_FREE_FACTOR rows against anything, or
+    build ≤ _BNL_BUILD_MAX against a stream ≤ _BNL_STREAM_MAX. A
+    static source comment cannot waive this — only the executed row
+    counts can."""
+    out: list[str] = []
+
+    def cls(n) -> str:
+        return n.getClass().getSimpleName()
+
+    def unwrap(n):
+        # descend through AQE / query-stage / reuse wrappers
+        for _ in range(64):
+            c = cls(n)
+            if c == "AdaptiveSparkPlanExec":
+                n = n.executedPlan()
+            elif c.endswith("QueryStageExec"):
+                n = n.plan()
+            elif c == "ReusedExchangeExec":
+                n = n.child()
+            else:
+                return n
+        return n
+
+    def children(n) -> list:
+        ch = n.children()
+        return [unwrap(ch.apply(i)) for i in range(ch.size())]
+
+    def rows_out(n):
+        # nearest descendant (preorder) exposing numOutputRows; row
+        # counts survive the metric-less 1:1 wrappers (Project, WSC,
+        # InputAdapter) between it and the join input
+        stack = [unwrap(n)]
+        while stack:
+            cur = stack.pop(0)
+            try:
+                m = cur.metrics()
+                if m.contains("numOutputRows"):
+                    return int(m.apply("numOutputRows").value())
+            except Exception:  # noqa: BLE001 — metric-less node
+                pass
+            stack = children(cur) + stack
+        return None
+
+    try:
+        root = unwrap(df._jdf.queryExecution().executedPlan())
+    except Exception as e:  # noqa: BLE001
+        return [f"BNL audit could not read the executed plan: {e}"], 0
+    n_bnl = 0
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if cls(n) == "BroadcastNestedLoopJoinExec":
+            n_bnl += 1
+            ch = children(n)
+            if len(ch) == 2:
+                build_right = "BuildRight" in n.buildSide().toString()
+                build, stream = (
+                    (ch[1], ch[0]) if build_right else (ch[0], ch[1])
+                )
+                b, s = rows_out(build), rows_out(stream)
+                if b is None or s is None:
+                    out.append(
+                        "BNL audit: numOutputRows metric missing on a "
+                        "BroadcastNestedLoopJoin input"
+                    )
+                elif b > _BNL_BUILD_MAX:
+                    out.append(
+                        f"BroadcastNestedLoopJoin build side carried {b} "
+                        f"rows (max {_BNL_BUILD_MAX}) — not a bounded "
+                        "broadcast"
+                    )
+                elif b > _BNL_FREE_FACTOR and s > _BNL_STREAM_MAX:
+                    out.append(
+                        f"BroadcastNestedLoopJoin amplifies: {b}-row build "
+                        f"× {s}-row stream (multi-row build requires a "
+                        f"≤{_BNL_STREAM_MAX}-row stream)"
+                    )
+        stack.extend(children(n))
+    return out, n_bnl
+
+
 def plan_fingerprint(plan: str) -> tuple[str, list[str]]:
     """Normalized fingerprint of a formatted plan's FINAL tree — the
     cross-round plan-regression canary (VERDICT r9 item 8): a silently
@@ -656,16 +753,24 @@ def _def_spans(src: str) -> list[tuple[int, int, str]]:
     return spans
 
 
+def _enclosing_defs(
+    spans: list[tuple[int, int, str]], ln_no: int
+) -> list[str]:
+    """All functions whose span contains 1-based line ``ln_no``,
+    innermost (latest-starting) first; empty at module/class level. A
+    nested helper def'd inside a declared query can only be called from
+    within it, so attribution may walk outward through the stack."""
+    hits = [s for s in spans if s[0] <= ln_no <= s[1]]
+    return [name for _, _, name in sorted(hits, key=lambda s: -s[0])]
+
+
 def _enclosing_def(
     spans: list[tuple[int, int, str]], ln_no: int
 ) -> str | None:
     """Innermost function whose body spans 1-based line ``ln_no`` (the
     containing def that STARTS latest), or None for module/class level."""
-    best: tuple[int, int, str] | None = None
-    for lo, hi, name in spans:
-        if lo <= ln_no <= hi and (best is None or lo > best[0]):
-            best = (lo, hi, name)
-    return best[2] if best else None
+    stack = _enclosing_defs(spans, ln_no)
+    return stack[0] if stack else None
 
 
 def source_sweep(declared: set[str]) -> tuple[list[str], set[str]]:
@@ -702,7 +807,13 @@ def source_sweep(declared: set[str]) -> tuple[list[str], set[str]]:
             if re.search(r"Window\.partitionBy\(\s*\)", ln):
                 bad.append(f"{p.relative_to(REPO)}:{ln_no}: empty-partition Window")
             elif re.search(r"Window\.orderBy\(", ln) and "partitionBy" not in ln:
-                encl = _enclosing_def(spans, ln_no)
+                # walk the def stack innermost→outermost: a nested
+                # helper inside a declared query attributes to the query
+                stack = _enclosing_defs(spans, ln_no)
+                encl = next(
+                    (n for n in stack if n in declared or n in helper_windows),
+                    stack[0] if stack else None,
+                )
                 if encl in declared:
                     verify.add(encl)
                     continue
@@ -737,8 +848,16 @@ def source_sweep(declared: set[str]) -> tuple[list[str], set[str]]:
             for ln_no, ln in enumerate(lines, 1):
                 if not call_re.search(ln) or ln.lstrip().startswith("#"):
                     continue
-                encl = _enclosing_def(spans, ln_no)
-                if encl == helper:  # the definition itself
+                stack = _enclosing_defs(spans, ln_no)
+                encl = next(
+                    (
+                        n
+                        for n in stack
+                        if n == helper or n in helper_windows or n in routed
+                    ),
+                    stack[0] if stack else None,
+                )
+                if encl == helper:  # the definition itself / recursion
                     continue
                 if encl in helper_windows and encl != helper:
                     # chained helper: its own routed queries are already
@@ -816,6 +935,15 @@ def main() -> int:
             print(f"{status:9s} {name}: global window fed only by bounded input")
             for g in gw:
                 failures.append(f"{name}: {g}")
+        bnl_bad, n_bnl = bnl_violations_runtime(df)
+        if n_bnl or bnl_bad:
+            status = "VIOLATION" if bnl_bad else "ok"
+            print(
+                f"{status:9s} {name}: {n_bnl} BNL node(s) within the "
+                "bounded-broadcast doctrine"
+            )
+            for b in bnl_bad:
+                failures.append(f"{name}: {b}")
         for must, pat, why in rules:
             hit = re.search(pat, plan) is not None
             ok = hit if must else not hit
