@@ -8,7 +8,10 @@ scan) and reporting best-of-N (default 2: first run pays one-time
 codegen JIT, the warm run is steady state). The slowest ~15 queries are
 then re-run 3x and recorded as the MEDIAN (single-sweep numbers on the
 heavy tier carry ±20% noise — see NOTES.md round-7); the sidecar's
-"median3_queries" map says which entries that applies to.
+"median3_queries" map says which entries that applies to. Every drift
+checkpoint also records the fsync disk canary (tools/canaries.py) and
+the sidecar names the queries whose segment was disk-gusted — the CPU
+canary cannot see the host's external disk-I/O gusts (round-11 study).
 
 The FINAL stdout line is ONE compact JSON object:
 
@@ -49,6 +52,7 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     from review_engine_spark.session import get_spark
+    from tools.canaries import DISK_QUIET_MAX_S, disk_canary
 
     spark = get_spark("bench")
     qs = entrymod.queries()
@@ -99,7 +103,17 @@ def main() -> int:
     # corrected = raw · CANARY_REF_S / (mean of its bracketing canaries).
     # The correction is reported ALONGSIDE the raw total, never instead
     # of it (sidecar: drift-corrected per-query map + checkpoint list).
+    #
+    # Each checkpoint ALSO records the fsync disk canary (VERDICT r11
+    # item 1): the CPU canary is blind to external disk-I/O gusts on
+    # the spark.local.dir volume — the proven round-11 noise source for
+    # shuffle-heavy queries — so the CPU-only correction certified
+    # disk-gusted timings as clean and the driver/builder corrected
+    # headlines diverged 22%. Queries inside a disk-gusted segment are
+    # NAMED in the sidecar so a cross-round comparison can exclude or
+    # re-measure them instead of silently absorbing the gust.
     checkpoints: list[tuple[int, float]] = [(0, canary_start)]
+    disk_checkpoints: list[tuple[int, float]] = [(0, disk_canary())]
 
     timings: dict[str, float] = {}
     qpos: dict[str, int] = {}
@@ -127,9 +141,11 @@ def main() -> int:
         spark.catalog.clearCache()
         if not args.queries and qi % 50 == 49:
             checkpoints.append((qi + 1, canary_pass()))
+            disk_checkpoints.append((qi + 1, disk_canary()))
     n_sweep = len(qs)
     if not args.queries:
         checkpoints.append((n_sweep, canary_pass()))
+        disk_checkpoints.append((n_sweep, disk_canary()))
 
     # Median-of-3 refinement for the slow tier: a single-sweep timing on
     # the heaviest queries carries ±20% run-to-run noise (r7: q_pagerank
@@ -171,6 +187,41 @@ def main() -> int:
 
     canary_end = canary_pass()
     canary_drift = round(canary_end / max(canary_start, 1e-9), 2)
+    disk_end = disk_canary()
+
+    # Disk-gust flags: a query is suspect when EITHER disk reading
+    # bracketing its sweep segment exceeded the quiet floor
+    # (median3-replaced entries bracket on the post-sweep readings).
+    # Flagging, not correcting: the gust-to-inflation transfer is
+    # query-shape-dependent (shuffle-volume-proportional), so a scalar
+    # rescale would manufacture precision — the honest artifact names
+    # the suspect timings and lets the comparison re-measure them.
+    def _disk_gusted(lo: float, hi: float) -> bool:
+        return lo > DISK_QUIET_MAX_S or hi > DISK_QUIET_MAX_S
+
+    disk_gusted_queries: list[str] = []
+    post_disk = (disk_checkpoints[-1][1], disk_end)
+    for name in timings:
+        if name in median3:
+            gusted = _disk_gusted(*post_disk)
+        else:
+            i = qpos[name]
+            hi = next(
+                (
+                    j
+                    for j in range(len(disk_checkpoints))
+                    if disk_checkpoints[j][0] > i
+                ),
+                None,
+            )
+            if hi is None or hi == 0:
+                gusted = _disk_gusted(disk_checkpoints[-1][1], disk_end)
+            else:
+                gusted = _disk_gusted(
+                    disk_checkpoints[hi - 1][1], disk_checkpoints[hi][1]
+                )
+        if gusted:
+            disk_gusted_queries.append(name)
 
     # Per-query drift correction: a query between checkpoints (a, b) is
     # scaled by CANARY_REF_S / mean(c_a, c_b). r9 normalized to the
@@ -233,6 +284,13 @@ def main() -> int:
             sum(corrected.values()) / max(len(corrected), 1), 3
         ),
         "canary_ref_s": c_ref,  # FIXED cross-run ruler (see comment above)
+        # fsync disk canary brackets (see checkpoint comment): the CPU
+        # correction cannot see disk gusts, so these say whether the
+        # run's shuffle-heavy timings are trustworthy at all
+        "disk_start_s": round(disk_checkpoints[0][1], 3),
+        "disk_end_s": round(disk_end, 3),
+        "disk_quiet_max_s": DISK_QUIET_MAX_S,
+        "n_disk_gusted": len(disk_gusted_queries),
     }
     # subset invocations (explicit query args) must not clobber the
     # full-roster sidecar the driver/analysis reads. The sidecar also
@@ -248,6 +306,10 @@ def main() -> int:
                     canary_checkpoints=[
                         [i, round(c, 3)] for i, c in checkpoints
                     ],
+                    disk_checkpoints=[
+                        [i, round(c, 3)] for i, c in disk_checkpoints
+                    ],
+                    disk_gusted_queries=sorted(disk_gusted_queries),
                 ),
                 fh,
                 indent=1,

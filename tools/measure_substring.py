@@ -41,28 +41,10 @@ CANARY_SPREAD = 0.12  # bracketing canaries must agree within 12%
 # almost monotonically (0.16 s -> dedup 5.65 s; 0.64 s -> 11.9 s;
 # 0.99 s -> 13.2 s), so a 1.2 s bound admitted 2x-inflated samples.
 # Quiet readings on this host are 0.15-0.36 s.
-DISK_MAX = 0.35  # seconds to fsync-write 64 MiB to spark.local.dir's disk
 QUERIES = ["q_substring_dedup", "q_substring_scrub"]
 
-
-def disk_canary(path: str = "/tmp/.disk_canary") -> float:
-    """Time an fsync'd 64 MiB write to the disk that backs
-    spark.local.dir — the round-11 diagnosis localized the substring
-    family's 100x variance to EXTERNAL disk-I/O gusts on that volume
-    (tmpfs shuffle dirs collapse the spread from ~3x to ~±15% while the
-    CPU canary stays green), so a CPU-only bracket cannot certify a
-    pass."""
-    buf = b"\x5a" * (1 << 20)
-    t0 = time.perf_counter()
-    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC)
-    try:
-        for _ in range(64):
-            os.write(fd, buf)
-        os.fsync(fd)
-    finally:
-        os.close(fd)
-        os.unlink(path)
-    return time.perf_counter() - t0
+from tools.canaries import DISK_QUIET_MAX_S as DISK_MAX  # noqa: E402
+from tools.canaries import disk_canary  # noqa: E402
 
 
 def main() -> int:
