@@ -1045,6 +1045,603 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# UNIGRAM-LM TOKENIZER (SentencePiece-style; Kudo 2018) — the companion
+# trainer to BPE (VERDICT r11 item 6): seed a candidate vocabulary from
+# weighted substring counts, run fixed-iteration hard-EM (Viterbi
+# E-step: each word's single best segmentation under current piece
+# log-probs; M-step: re-estimate log-probs from the exact integer
+# piece counts), then prune to the target size. Reference analog: the
+# tokenize surface of rank.py:144-160 in hyperburn777/review_engine.
+#
+# Scale shape (100 TB): ONE corpus-scale distinct-words aggregate, then
+# every EM round is a narrow vocabulary-sized projection (the Viterbi
+# DP is unrolled Catalyst expressions against a ≤~100-entry literal
+# piece→logprob map — no join, no Python) + a vocabulary-bounded
+# aggregate + a ≤~100-row driver collect (the k-means/PCA round
+# pattern). Encode is the same DP over distinct words + one broadcast
+# join back to the corpus token stream (the bpe_doc_lengths shape).
+#
+# Determinism/oracle: Viterbi counts are exact BIGINTs (hard EM);
+# log-probs are round(ln(c/total), 6) computed in-engine on BOTH sides
+# (the round-6 float policy); DP scores are fixed-order sums of those
+# round-6 doubles, so argmax choices and tie-breaks (longest piece
+# first) are bit-identical across engines. The oracle replays seed +
+# every EM round with the DP unrolled as DuckDB lateral column aliases
+# — the q_bpe_merges unrolled-CTE convention.
+# ---------------------------------------------------------------------------
+
+_UNI_MAXW = 16  # words longer than this train/encode as char-count fallback
+_UNI_MAXL = 4  # max piece length seeded
+_UNI_SEED_V = 64  # seed vocabulary size (plus forced single chars)
+_UNI_FINAL_V = 48  # pruned output vocabulary size
+_UNI_EM_ROUNDS = 2
+_UNI_NEG = -1.0e9  # unknown-span penalty (never wins over a known path)
+
+
+def _uni_dp_ctes(prefix: str, src_cte: str, map_cte: str) -> list[str]:
+    """Unrolled Viterbi DP as a chain of MATERIALIZED CTEs (one per
+    position) against the 1-row piece→logprob MAP CTE ``map_cte``
+    (lateral aliases cannot contain subqueries, so the vocabulary rides
+    in as a cross-joined map; extraction yields a list — empty on miss
+    — hence the [1]). Each level MUST materialize: DuckDB substitutes
+    lateral aliases textually, so an un-materialized 16-level DP whose
+    every score references up to 4 prior scores binds a 4^16-node
+    expression tree. Level i adds best-score _b{{i}} and argmax-choice
+    _c{{i}} (ties prefer the LONGEST piece — candidates are evaluated
+    smallest-j first); the final CTE ``{{prefix}}`` appends the
+    backtrack walk _p0.._pW (linear substitution — safe un-materialized)
+    and the best-path ``pieces`` list. Token-for-token mirror of
+    ``_viterbi_frame``."""
+    ctes: list[str] = []
+    prev = None
+    for i in range(1, _UNI_MAXW + 1):
+        js = list(range(max(0, i - _UNI_MAXL), i))
+        exprs: list[str] = []
+        for j in js:
+            b = "0.0" if j == 0 else f"_b{j}"
+            exprs.append(
+                f"{b} + coalesce(umap[substr(token, {j + 1}, "
+                f"{i - j})][1], -1000000000.0) AS _k{i}_{j}"
+            )
+        cand = ", ".join(f"_k{i}_{j}" for j in js)
+        exprs.append(
+            (f"greatest({cand})" if len(js) > 1 else f"_k{i}_{js[0]}")
+            + f" AS _b{i}"
+        )
+        cases = " ".join(f"WHEN _k{i}_{j} = _b{i} THEN {j}" for j in js)
+        exprs.append(f"CASE {cases} END AS _c{i}")
+        src = f"{src_cte}, {map_cte}" if prev is None else prev
+        name = f"{prefix}_l{i}"
+        body = ",\n               ".join(exprs)
+        ctes.append(
+            f"""{name} AS MATERIALIZED (
+        SELECT *,
+               {body}
+        FROM {src}
+    )"""
+        )
+        prev = name
+    # Backtrack walk: ALSO one materialized CTE per step — each _p
+    # references its predecessor twice (guard + use), so an
+    # un-materialized chain substitutes into a 2^W-node tree.
+    carr = (
+        "list_value("
+        + ", ".join(f"_c{i}" for i in range(1, _UNI_MAXW + 1))
+        + ")"
+    )
+    ctes.append(
+        f"""{prefix}_w0 AS MATERIALIZED (
+        SELECT *, {carr} AS _carr, len(token) AS _p0 FROM {prev}
+    )"""
+    )
+    for k in range(1, _UNI_MAXW + 1):
+        ctes.append(
+            f"""{prefix}_w{k} AS MATERIALIZED (
+        SELECT *,
+               CASE WHEN _p{k - 1} > 0 THEN _carr[_p{k - 1}]
+                    ELSE 0 END AS _p{k},
+               CASE WHEN _p{k - 1} > 0 THEN
+                    substr(token, _p{k} + 1, _p{k - 1} - _p{k})
+               END AS _q{k}
+        FROM {prefix}_w{k - 1}
+    )"""
+        )
+    pieces = (
+        "list_filter(list_value("
+        + ", ".join(f"_q{k}" for k in range(1, _UNI_MAXW + 1))
+        + "), x -> x IS NOT NULL)"
+    )
+    ctes.append(
+        f"""{prefix} AS (
+        SELECT *, {pieces} AS pieces FROM {prefix}_w{_UNI_MAXW}
+    )"""
+    )
+    return ctes
+
+
+def _uni_ctes(rounds: int = _UNI_EM_ROUNDS) -> str:
+    """Seed + EM-round CTE chain ending at ``uvf`` (the pruned final
+    vocabulary: piece, c, lp)."""
+    parts = [
+        f"""uw AS (
+        SELECT tok AS token, CAST(count(*) AS BIGINT) AS wc
+        FROM (SELECT unnest({_BPE_TOKS_SQL}) AS tok FROM documents)
+        GROUP BY tok
+    )""",
+        f"tw AS (SELECT token, wc FROM uw WHERE len(token) <= {_UNI_MAXW})",
+        f"""usub AS (
+        SELECT substr(token, i, l) AS piece, CAST(sum(wc) AS BIGINT) AS c
+        FROM tw, UNNEST(range(1, len(token) + 1)) AS t(i),
+             UNNEST(range(1, {_UNI_MAXL + 1})) AS u(l)
+        WHERE i + l - 1 <= len(token)
+        GROUP BY 1
+    )""",
+        f"""usel AS (
+        SELECT piece, c FROM usub ORDER BY c DESC, piece LIMIT {_UNI_SEED_V}
+    )""",
+        "usng AS (SELECT piece, c FROM usub WHERE len(piece) = 1)",
+        """uvset AS (
+        SELECT piece, CAST(max(c) AS BIGINT) AS c
+        FROM (SELECT * FROM usel UNION ALL SELECT * FROM usng)
+        GROUP BY piece
+    )""",
+        "ut0 AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uvset)",
+        """uv0 AS (
+        SELECT piece, c, round(ln(CAST(c AS DOUBLE) / t), 6) AS lp
+        FROM uvset, ut0
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""um{r} AS (
+        SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece))
+                   AS umap
+        FROM uv{r - 1}
+    )"""
+        )
+        parts.extend(_uni_dp_ctes(f"ud{r}", "tw", f"um{r}"))
+        parts.append(
+            f"""ue{r} AS (
+        SELECT piece, CAST(sum(wc) AS BIGINT) AS c
+        FROM (SELECT wc, unnest(pieces) AS piece FROM ud{r}) s
+        WHERE piece IN (SELECT piece FROM uv{r - 1})
+        GROUP BY 1
+    )"""
+        )
+        parts.append(
+            f"ut{r} AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ue{r})"
+        )
+        parts.append(
+            f"""uv{r} AS (
+        SELECT piece, c, round(ln(CAST(c AS DOUBLE) / t), 6) AS lp
+        FROM ue{r}, ut{r}
+    )"""
+        )
+    parts.append(
+        f"""uvf AS (
+        SELECT piece, c, lp FROM uv{rounds}
+        ORDER BY c DESC, piece LIMIT {_UNI_FINAL_V}
+    )"""
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _uni_len_ctes(rounds: int = _UNI_EM_ROUNDS) -> str:
+    """Train chain + encode-apply chain ending at ``uni_len``
+    (doc_id, n_words, n_uni_tokens) — the bpe_len analog. Unknown
+    best-path spans encode as their character count (char fallback);
+    words longer than the DP bound encode as their length."""
+    dp = ",\n    ".join(_uni_dp_ctes("udf", "uws", "umf"))
+    return (
+        _uni_ctes(rounds)
+        + f""",
+    uww AS (
+        SELECT DISTINCT tok AS token
+        FROM (SELECT unnest({_BPE_TOKS_SQL}) AS tok FROM documents)
+    ),
+    uws AS (SELECT token FROM uww WHERE len(token) <= {_UNI_MAXW}),
+    umf AS (
+        SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece))
+                   AS umap
+        FROM uvf
+    ),
+    {dp},
+    upx AS (SELECT token, unnest(pieces) AS piece FROM udf),
+    uns AS (
+        SELECT upx.token,
+               CAST(sum(CASE WHEN v.piece IS NOT NULL THEN 1
+                             ELSE len(upx.piece) END) AS BIGINT) AS n_sub
+        FROM upx LEFT JOIN uvf v ON v.piece = upx.piece
+        GROUP BY upx.token
+    ),
+    unall AS (
+        SELECT token, n_sub FROM uns
+        UNION ALL
+        SELECT token, CAST(len(token) AS BIGINT) AS n_sub
+        FROM uww WHERE len(token) > {_UNI_MAXW}
+    ),
+    utokd AS (
+        SELECT doc_id, unnest({_BPE_TOKS_SQL}) AS token FROM documents
+    ),
+    uagg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n.n_sub) AS BIGINT) AS n_uni_tokens
+        FROM utokd JOIN unall n USING (token) GROUP BY doc_id
+    ),
+    uni_len AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(a.n_uni_tokens, 0) AS BIGINT) AS n_uni_tokens
+        FROM documents d LEFT JOIN uagg a USING (doc_id)
+    )"""
+    )
+
+
+def _uni_lp_map(vocab: list[tuple]):
+    return F.create_map(
+        *[x for p, _c, lp in vocab for x in (F.lit(p), F.lit(float(lp)))]
+    )
+
+
+def _viterbi_frame(df: DataFrame, vocab: list[tuple]) -> DataFrame:
+    """Add the best-path ``pieces`` column to a (token, ...) frame: the
+    Viterbi DP as ONE ``F.aggregate`` fold over positions 1..len(token)
+    carrying (best-scores, argmax-choices) arrays, then a second
+    bounded fold for the backtrack walk. A single expression pair —
+    the earlier per-position column unroll exploded at Catalyst
+    optimization time (CollapseProject substitutes each level's score
+    into up to 4 consumers → a 4^W tree), the same blowup the oracle's
+    MATERIALIZED CTE chain avoids on the DuckDB side. Lookups hit the
+    driver-held vocabulary as a literal piece→logprob map (corpus-free,
+    no join); candidates evaluate smallest-j (longest piece) first, so
+    tie-breaks on engine-identical doubles match ``_uni_dp_ctes``
+    exactly. Interpreted-HOF cost is confined to VOCABULARY rows."""
+    m = _uni_lp_map(vocab)
+    neg_invalid = F.lit(-1.0e12)  # loses to any valid path (≥ -W·1e9)
+
+    def lp(start0, length):
+        # start0: 0-based span start (Column); length: span length
+        return F.coalesce(
+            F.try_element_at(
+                m, F.col("token").substr(start0 + F.lit(1), length)
+            ),
+            F.lit(_UNI_NEG),
+        )
+
+    def step(acc, i):
+        cands = []  # d descending == j ascending (longest piece first)
+        for d in range(_UNI_MAXL, 0, -1):
+            j = i - F.lit(d)
+            cands.append(
+                (
+                    d,
+                    F.when(
+                        i >= F.lit(d),
+                        F.try_element_at(acc["bs"], j + F.lit(1))
+                        + lp(j, F.lit(d)),
+                    ).otherwise(neg_invalid),
+                )
+            )
+        b = F.greatest(*[c for _, c in cands])
+        ci = None
+        for d, c in cands:
+            branch = (i - F.lit(d)).cast("int")
+            ci = (
+                F.when(c == b, branch)
+                if ci is None
+                else ci.when(c == b, branch)
+            )
+        return F.struct(
+            F.concat(acc["bs"], F.array(b)).alias("bs"),
+            F.concat(acc["cs"], F.array(ci)).alias("cs"),
+        )
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length("token")),
+        F.struct(
+            F.array(F.lit(0.0)).alias("bs"),
+            F.array().cast("array<int>").alias("cs"),
+        ),
+        step,
+    )
+    out = df.withColumn("_dp", dp)
+    cs = F.col("_dp")["cs"]
+
+    def wstep(acc, _k):
+        pos = acc["pos"]
+        prev = F.try_element_at(cs, pos)
+        piece = F.col("token").substr(prev + F.lit(1), pos - prev)
+        return F.when(
+            pos > 0,
+            F.struct(
+                prev.cast("int").alias("pos"),
+                F.concat(acc["ps"], F.array(piece)).alias("ps"),
+            ),
+        ).otherwise(acc)
+
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_UNI_MAXW)),
+        F.struct(
+            F.length("token").cast("int").alias("pos"),
+            F.array().cast("array<string>").alias("ps"),
+        ),
+        wstep,
+    )
+    return out.withColumn("pieces", walk["ps"]).drop("_dp")
+
+
+def _uni_lp_cols(counts: DataFrame) -> DataFrame:
+    """(piece, c) → (piece, c, lp) with lp = round(ln(c/total), 6)
+    computed IN-ENGINE (the oracle computes its own ln the same way —
+    never a driver-side math.log, whose bankers rounding differs)."""
+    tot = counts.agg(F.sum("c").cast("long").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "c",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("t").cast("double")), 6
+        ).alias("lp"),
+    )
+
+
+def train_unigram(
+    docs: DataFrame, rounds: int = _UNI_EM_ROUNDS
+) -> list[tuple]:
+    """Train the unigram-LM vocabulary over ``docs``; returns the
+    pruned [(piece, freq, logprob), ...] sorted (freq DESC, piece)."""
+    words = (
+        docs.select(F.explode(_bpe_toks()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .where(F.length("token") <= _UNI_MAXW)
+    ).persist()
+    subs = (
+        words.select(
+            "wc",
+            "token",
+            F.explode(
+                F.sequence(F.lit(1), F.length("token"))
+            ).alias("i"),
+        )
+        .select(
+            "wc",
+            "token",
+            "i",
+            F.explode(F.sequence(F.lit(1), F.lit(_UNI_MAXL))).alias("l"),
+        )
+        .where(F.col("i") + F.col("l") - 1 <= F.length("token"))
+        .select(
+            F.col("token").substr(F.col("i"), F.col("l")).alias("piece"),
+            "wc",
+        )
+        .groupBy("piece")
+        .agg(F.sum("wc").cast("long").alias("c"))
+    ).persist()
+    sel = subs.orderBy(F.desc("c"), F.asc("piece")).limit(_UNI_SEED_V)
+    sing = subs.where(F.length("piece") == 1)
+    vset = (
+        sel.unionByName(sing)
+        .groupBy("piece")
+        .agg(F.max("c").cast("long").alias("c"))
+    )
+    vocab = [
+        (r["piece"], r["c"], r["lp"]) for r in _uni_lp_cols(vset).collect()
+    ]
+    subs.unpersist()
+    for _t in range(rounds):
+        framed = _viterbi_frame(words, vocab)
+        m = _uni_lp_map(vocab)
+        counts = (
+            framed.select(F.explode("pieces").alias("piece"), "wc")
+            .where(F.try_element_at(m, F.col("piece")).isNotNull())
+            .groupBy("piece")
+            .agg(F.sum("wc").cast("long").alias("c"))
+        )
+        vocab = [
+            (r["piece"], r["c"], r["lp"])
+            for r in _uni_lp_cols(counts).collect()
+        ]
+    words.unpersist()
+    vocab.sort(key=lambda r: (-r[1], r[0]))
+    return vocab[:_UNI_FINAL_V]
+
+
+def _uni_artifact_path(sf_dir: str) -> str:
+    """Unigram-vocab artifact location, content-addressed by the
+    documents stat + training parameters (the ``_bpe_artifact_path``
+    convention, per-user root per the r11 PCA advice)."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    params = (
+        f"W={_UNI_MAXW}|L={_UNI_MAXL}|V={_UNI_SEED_V}|"
+        f"F={_UNI_FINAL_V}|T={_UNI_EM_ROUNDS}"
+    )
+    digest = hashlib.md5(
+        f"{os.path.realpath(p)}|{st.st_mtime_ns}|{st.st_size}|{params}".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get(
+        "SPARK_GRAFT_UNI_DIR",
+        f"/tmp/review_engine_spark_uni-{os.getuid()}",
+    )
+    return os.path.join(root, f"uni_vocab_{digest}.json")
+
+
+_UNI_VOCAB_MEMO: dict[str, list[tuple]] = {}
+
+
+def unigram_vocab(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Trained unigram vocabulary for a corpus via the persisted
+    artifact: load if the JSON matches the corpus digest (payload
+    self-validates — the r11 PCA advice), else train once and write."""
+    import json
+    import os
+
+    path = _uni_artifact_path(sf_dir)
+    memo = _UNI_VOCAB_MEMO.get(path)
+    if memo is not None:
+        return memo
+    digest = os.path.basename(path).split("_")[-1].split(".")[0]
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                art = json.load(fh)
+            vocab = [
+                (str(p), int(c), float(lp)) for p, c, lp in art["pieces"]
+            ]
+            if art.get("digest") == digest and vocab:
+                _UNI_VOCAB_MEMO[path] = vocab
+                return vocab
+        except (ValueError, KeyError, OSError, TypeError):
+            pass
+        os.unlink(path)  # corrupt/foreign: retrain
+    vocab = train_unigram(read_parquet_table(spark, sf_dir, "documents"))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"digest": digest, "pieces": vocab}, fh)
+    os.replace(tmp, path)
+    _UNI_VOCAB_MEMO[path] = vocab
+    return vocab
+
+
+def uni_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram-tokenizer lengths under the trained vocabulary:
+    (doc_id, n_words, n_uni_tokens), zero-filled — the
+    ``bpe_doc_lengths`` analog. Unknown best-path spans count their
+    characters (char fallback); words longer than the DP bound count
+    their length. One vocab-sized DP frame, one broadcast join back to
+    the corpus token stream."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    vocab = unigram_vocab(spark, sf_dir)
+    m = _uni_lp_map(vocab)
+    wall = docs.select(F.explode(_bpe_toks()).alias("token")).distinct()
+    framed = _viterbi_frame(
+        wall.where(F.length("token") <= _UNI_MAXW), vocab
+    )
+    n_sub = F.aggregate(
+        F.col("pieces"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.when(F.try_element_at(m, x).isNotNull(), F.lit(1))
+        .otherwise(F.length(x))
+        .cast("long"),
+    )
+    lens = framed.select("token", n_sub.alias("n_sub")).unionByName(
+        wall.where(F.length("token") > _UNI_MAXW).select(
+            "token", F.length("token").cast("long").alias("n_sub")
+        )
+    )
+    tokd = docs.select("doc_id", F.explode(_bpe_toks()).alias("token"))
+    agg = (
+        tokd.join(lens, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_uni_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_uni_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_uni_tokens"),
+        )
+    )
+
+
+@declared(
+    oracle=_uni_ctes(_UNI_EM_ROUNDS)
+    + "\n    SELECT piece, c AS freq, lp AS logprob FROM uvf"
+)
+def q_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece-style): seed top-64
+    weighted substrings (single chars forced), 2 hard-EM rounds
+    (Viterbi best-segmentation counts → re-estimated log-probs), prune
+    to the top-48 vocabulary. Driver-coordinated rounds with exact
+    BIGINT counts and in-engine round-6 log-probs; every DP/argmax
+    step replayed by the oracle's unrolled lateral-alias CTEs. As the
+    TRAIN step it also refreshes the persisted vocabulary artifact the
+    apply-side queries read (see ``unigram_vocab``)."""
+    import json
+    import os
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    vocab = train_unigram(docs, _UNI_EM_ROUNDS)
+    path = _uni_artifact_path(sf_dir)
+    digest = os.path.basename(path).split("_")[-1].split(".")[0]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"digest": digest, "pieces": vocab}, fh)
+    os.replace(tmp, path)
+    _UNI_VOCAB_MEMO[path] = vocab
+    return spark.createDataFrame(
+        vocab, "piece string, freq long, logprob double"
+    )
+
+
+@declared(
+    oracle=_uni_len_ctes(_UNI_EM_ROUNDS)
+    + "\n    SELECT doc_id, n_words, n_uni_tokens FROM uni_len"
+)
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide unigram-LM tokenization under the trained vocabulary
+    — the apply half of q_unigram_lm_train: every document's piece
+    count under the Viterbi segmenter (char fallback for unknown
+    spans/overlong words), plus its word count for the compression
+    comparison; exact BIGINTs, zero-filled."""
+    return uni_doc_lengths(spark, sf_dir)
+
+
+@declared(
+    oracle=_uni_len_ctes(_UNI_EM_ROUNDS)
+    + """,
+    s AS (
+        SELECT doc_id, n_uni_tokens AS n_tokens,
+               CAST(doc_id % 8 AS INT) AS shard
+        FROM uni_len
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, shard,
+               COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0
+               ) AS cum_before
+        FROM s
+    ),
+    p AS (
+        SELECT doc_id, n_tokens, shard,
+               CAST(floor(cum_before / 512) AS BIGINT) AS local
+        FROM c
+    )
+    SELECT doc_id, n_tokens, shard,
+           shard * 1099511627776 + local AS pack_id,
+           CAST(row_number() OVER (
+               PARTITION BY shard, local ORDER BY doc_id) AS BIGINT) AS pack_pos
+    FROM p
+    """
+)
+def q_unigram_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on REAL unigram-tokenizer lengths — the
+    q_sequence_pack budget path (512-token packs, 8 shards, no global
+    sort) fed by the unigram encode instead of BPE, closing the
+    train→encode→pack chain for the second tokenizer family."""
+    from review_engine_spark.operators.chunking import pack_sequences
+
+    docs = uni_doc_lengths(spark, sf_dir).select(
+        "doc_id", F.col("n_uni_tokens").alias("n_tokens")
+    )
+    return pack_sequences(docs, "n_tokens", "doc_id", budget=512, n_shards=8)
+
+
 @declared(
     oracle=rf"""
     WITH b AS (

@@ -826,3 +826,163 @@ def test_containment_dedup_directions_and_threshold(spark, tmp_path):
     assert rows[(1, 2)][0] == rows[(1, 2)][1] == 13
     assert (2, 1) not in rows          # the container is not contained
     assert all(k[0] != 3 for k in rows)  # C is below the 80% gate
+
+
+def _py_uni_train(texts):
+    """Pure-Python reference unigram-LM trainer (the test_kernels.py
+    oracle convention): identical algebra to train_unigram — weighted
+    substring seed (top-64 + forced single chars), 2 hard-EM rounds of
+    Viterbi best-segmentation counts (ties prefer the longest piece),
+    round-6 HALF_UP log-probs, top-48 prune."""
+    import math
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from review_engine_spark.plans.roster_curation import (
+        _UNI_EM_ROUNDS,
+        _UNI_FINAL_V,
+        _UNI_MAXL,
+        _UNI_MAXW,
+        _UNI_NEG,
+        _UNI_SEED_V,
+    )
+
+    def r6(x):
+        # Spark's round() = BigDecimal HALF_UP on the shortest repr
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w and len(w) <= _UNI_MAXW:
+                words[w] += 1
+
+    subs = Counter()
+    for w, wc in words.items():
+        for i in range(len(w)):
+            for l in range(1, min(_UNI_MAXL, len(w) - i) + 1):
+                subs[w[i : i + l]] += wc
+    sel = sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))[:_UNI_SEED_V]
+    vset = dict(sel)
+    for p, c in subs.items():
+        if len(p) == 1:
+            vset[p] = c
+    tot = sum(vset.values())
+    vocab = {p: (c, r6(math.log(c / tot))) for p, c in vset.items()}
+
+    def viterbi(w, lp):
+        bs = [0.0]
+        cs = []
+        for i in range(1, len(w) + 1):
+            cands = []  # j ascending == longest piece first
+            for d in range(min(_UNI_MAXL, i), 0, -1):
+                j = i - d
+                cands.append((j, bs[j] + lp.get(w[j:i], _UNI_NEG)))
+            best = max(c for _, c in cands)
+            cs.append(next(j for j, c in cands if c == best))
+            bs.append(best)
+        pieces = []
+        pos = len(w)
+        while pos > 0:
+            pieces.append(w[cs[pos - 1] : pos])
+            pos = cs[pos - 1]
+        return pieces
+
+    for _t in range(_UNI_EM_ROUNDS):
+        lp = {p: v[1] for p, v in vocab.items()}
+        counts = Counter()
+        for w, wc in words.items():
+            for piece in viterbi(w, lp):
+                if piece in lp:
+                    counts[piece] += wc
+        tot = sum(counts.values())
+        vocab = {p: (c, r6(math.log(c / tot))) for p, c in counts.items()}
+
+    out = sorted(
+        ((p, c, l) for p, (c, l) in vocab.items()),
+        key=lambda r: (-r[1], r[0]),
+    )
+    return out[:_UNI_FINAL_V]
+
+
+def test_train_unigram_matches_pure_python(spark):
+    """Full parity of train_unigram with the pure-Python reference on a
+    50-doc pangram corpus — every piece, exact frequency, and round-6
+    log-prob of the pruned vocabulary."""
+    from review_engine_spark.plans.roster_curation import train_unigram
+
+    texts = [
+        f"the quick brown fox jumps over the lazy dog {i} "
+        f"pack my box with five dozen liquor jugs "
+        f"sphinx of black quartz judge my vow "
+        f"how vexingly quick daft zebras jump {i * i}"
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = train_unigram(docs)
+    want = _py_uni_train(texts)
+    assert [(p, c) for p, c, _ in got] == [(p, c) for p, c, _ in want]
+    assert all(
+        abs(gl - wl) < 1e-12 for (_, _, gl), (_, _, wl) in zip(got, want)
+    )
+
+
+def test_unigram_artifact_roundtrip_and_self_validation(spark, tmp_path, monkeypatch):
+    """unigram_vocab trains once, serves from the artifact after, and
+    retrains (rather than serving garbage) when the JSON is corrupted
+    — the r11 PCA-artifact self-validation convention."""
+    import json
+    import pandas as pd
+
+    from review_engine_spark.plans import roster_curation as rc
+
+    monkeypatch.setenv("SPARK_GRAFT_UNI_DIR", str(tmp_path / "art"))
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["abab abab cdcd", "abab cdcd cdcd"]}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    v1 = rc.unigram_vocab(spark, str(tmp_path))
+    path = rc._uni_artifact_path(str(tmp_path))
+    assert json.load(open(path))["pieces"]
+    rc._UNI_VOCAB_MEMO.clear()
+    v2 = rc.unigram_vocab(spark, str(tmp_path))  # artifact-served
+    assert v2 == v1
+    # corrupt the payload: digest check must force a retrain
+    art = json.load(open(path))
+    art["digest"] = "deadbeefdeadbeef"
+    art["pieces"] = [["zz", 999, -0.1]]
+    json.dump(art, open(path, "w"))
+    rc._UNI_VOCAB_MEMO.clear()
+    v3 = rc.unigram_vocab(spark, str(tmp_path))
+    assert v3 == v1
+
+
+def test_unigram_encode_char_fallback_for_overlong_words(spark, tmp_path):
+    """A word longer than the DP bound encodes as its character count;
+    normal words encode as their Viterbi piece count."""
+    import pandas as pd
+
+    from review_engine_spark.plans import roster_curation as rc
+
+    long_word = "a" * (rc._UNI_MAXW + 5)
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": [f"abab {long_word}", "abab abab"]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    import os
+
+    os.environ.pop("SPARK_GRAFT_UNI_DIR", None)
+    rows = {
+        r["doc_id"]: (r["n_words"], r["n_uni_tokens"])
+        for r in rc.uni_doc_lengths(spark, str(tmp_path)).collect()
+    }
+    # doc 1: 'abab' (<= 4 pieces) + overlong word at char count
+    assert rows[1][0] == 2
+    assert rows[1][1] >= rc._UNI_MAXW + 5 + 1
+    assert rows[2][0] == 2
