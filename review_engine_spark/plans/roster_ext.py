@@ -1616,6 +1616,232 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "rk")
 
 
+# ---------------------------------------------------------------------------
+# URL / host-level curation (VERDICT r11 item 7) — the C4/RefinedWeb
+# front door: canonicalize crawl URLs, then dedup exact URLs and cap
+# per-host volume BEFORE any content-level pass. The fixture has no
+# URL column, so a synthetic raw URL derives deterministically from
+# (source, doc_id) with real-world mess baked in — mixed-case scheme
+# and host, www. prefixes, default and explicit ports, duplicate
+# slashes, utm_*/ref tracking params, fragments — exercising every
+# normalization branch. All string/regexp ops (RE2-safe patterns, no
+# lookahead) mirror token-for-token in the oracle.
+# ---------------------------------------------------------------------------
+
+
+#: Synthetic raw URL (Spark) — mirrored by _SYNTH_URL_SQL.
+def _synth_url_col():
+    d = F.col("doc_id")
+    scheme = (
+        F.when(d % 3 == 0, F.lit("http"))
+        .when(d % 3 == 1, F.lit("HTTPS"))
+        .otherwise(F.lit("Http"))
+    )
+    www = F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    port = (
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":443"))
+        .when(d % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    dbl = F.when(d % 5 == 0, F.lit("//x")).otherwise(F.lit(""))
+    frag = F.when(d % 2 == 0, F.lit("#top")).otherwise(F.lit(""))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        www,
+        F.col("source"),
+        F.lit(".Example.COM"),
+        port,
+        F.lit("/A/"),
+        (d % 5).cast("string"),
+        dbl,
+        F.lit("?utm_source=rss&p="),
+        (d % 3).cast("string"),
+        F.lit("&ref=feed&q=z"),
+        frag,
+    )
+
+
+_SYNTH_URL_SQL = """
+        (CASE WHEN doc_id % 3 = 0 THEN 'http'
+              WHEN doc_id % 3 = 1 THEN 'HTTPS' ELSE 'Http' END)
+        || '://'
+        || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+        || source || '.Example.COM'
+        || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                 WHEN doc_id % 4 = 1 THEN ':443'
+                 WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+        || '/A/' || CAST(doc_id % 5 AS VARCHAR)
+        || (CASE WHEN doc_id % 5 = 0 THEN '//x' ELSE '' END)
+        || '?utm_source=rss&p=' || CAST(doc_id % 3 AS VARCHAR)
+        || '&ref=feed&q=z'
+        || (CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END)
+"""
+
+
+def _url_parts(urls: DataFrame) -> DataFrame:
+    """Canonicalize a (doc_id, url) frame: lowercase scheme/host, strip
+    www. and the scheme's default port, collapse duplicate slashes
+    (empty path → '/'), drop utm_*/ref tracking params and the
+    fragment. Narrow JVM-side regexp maps — zero shuffle."""
+    url = F.col("url")
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    hostport = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host0 = F.regexp_replace(hostport, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host0, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host0, ":443$", ""))
+        .otherwise(host0)
+    )
+    path0 = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path1 = F.regexp_replace(path0, "/{2,}", "/")
+    path = F.when(path1 == "", F.lit("/")).otherwise(path1)
+    params0 = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(params0, "&"),
+        lambda x: (x != "") & ~x.rlike("^(utm_[a-z]+|ref)="),
+    )
+    params = F.array_join(kept, "&")
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(
+            F.lit("")
+        ),
+    )
+    return urls.select(
+        "doc_id",
+        "url",
+        scheme.alias("scheme"),
+        host.alias("host"),
+        path.alias("path"),
+        params.alias("params"),
+        norm.alias("norm_url"),
+    )
+
+
+#: Oracle CTEs up to `u` (doc_id, url, scheme, host, path, params,
+#: norm_url) — token-for-token mirror of _synth_url_col + _url_parts.
+_URL_NORM_CTES = f"""
+    WITH raw AS (
+        SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
+    ),
+    px AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url,
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+               regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+               regexp_extract(url, '\\?([^#]*)', 1) AS params0
+        FROM raw
+    ),
+    nx AS (
+        SELECT doc_id, url, scheme,
+               CASE WHEN scheme = 'http'
+                    THEN regexp_replace(regexp_replace(hostport,
+                         '^www\\.', ''), ':80$', '')
+                    WHEN scheme = 'https'
+                    THEN regexp_replace(regexp_replace(hostport,
+                         '^www\\.', ''), ':443$', '')
+                    ELSE regexp_replace(hostport, '^www\\.', '') END AS host,
+               CASE WHEN regexp_replace(path0, '/{{2,}}', '/', 'g') = ''
+                    THEN '/'
+                    ELSE regexp_replace(path0, '/{{2,}}', '/', 'g')
+               END AS path,
+               array_to_string(list_filter(string_split(params0, '&'),
+                   x -> x <> '' AND NOT regexp_matches(x,
+                        '^(utm_[a-z]+|ref)=')), '&') AS params
+        FROM px
+    ),
+    u AS (
+        SELECT doc_id, url, scheme, host, path, params,
+               scheme || '://' || host || path ||
+               (CASE WHEN params <> '' THEN '?' || params ELSE '' END)
+                   AS norm_url
+        FROM nx
+    )"""
+
+
+@declared(
+    oracle=_URL_NORM_CTES
+    + """
+    SELECT doc_id, url, scheme, host, path, params, norm_url FROM u
+    """
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the crawl-curation front door: lowercase
+    scheme/host, strip www. and default ports (:80 http / :443 https;
+    explicit non-default ports survive), collapse duplicate slashes,
+    drop utm_*/ref tracking params and fragments. Pure narrow regexp
+    maps (RE2-safe, no lookahead), zero shuffle at any scale."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return _url_parts(
+        docs.select("doc_id", _synth_url_col().alias("url"))
+    )
+
+
+@declared(
+    oracle=_URL_NORM_CTES
+    + """
+    SELECT norm_url, host,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM u GROUP BY norm_url, host
+    """
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-URL dedup AFTER canonicalization (host-level dedup): one
+    survivor per normalized URL (min doc_id — first crawl wins), with
+    the duplicate multiplicity that normalization exposed (distinct raw
+    URLs collapsing onto one canonical form). Hash groupBy on the
+    normalized key — the exact-dedup scale shape, no window."""
+    return (
+        q_url_normalize(spark, sf_dir)
+        .groupBy("norm_url", "host")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+@declared(
+    oracle=_URL_NORM_CTES
+    + """
+    SELECT doc_id, host, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT doc_id, host,
+               row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rk
+        FROM u
+    )
+    WHERE rk <= 40
+    """
+)
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-HOST frequency cap on canonicalized URLs — q_domain_cap's
+    mechanism (two-stage salted capped_top_per_key: a crawled
+    mega-host pre-caps per salt shard, so no reducer ever sorts more
+    than cap·n_salts rows) composed downstream of q_url_normalize:
+    at most 40 docs per normalized host, deterministic by doc_id."""
+    from review_engine_spark.operators.skew import capped_top_per_key
+
+    urls = q_url_normalize(spark, sf_dir)
+    return capped_top_per_key(
+        urls.select("doc_id", "host"), "host", "doc_id", 40
+    ).select("doc_id", "host", "rk")
+
+
 def _quality_gate_sql() -> str:
     return f"""
     WITH m AS (

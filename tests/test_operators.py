@@ -933,3 +933,25 @@ def test_freq_items_contains_all_truly_frequent(spark, sf_dir):
         .collect()
     }
     assert candidates == truly_frequent
+
+
+def test_url_normalize_branches(spark):
+    """Every canonicalization branch on hand-built URLs: case folding,
+    www./default-port stripping (non-default ports survive), duplicate
+    slash collapse, empty path, tracking-param removal, fragment drop."""
+    from review_engine_spark.plans.roster_ext import _url_parts
+
+    cases = [
+        (1, "HTTP://WWW.Ex.COM:80//a//b?utm_source=x&keep=1&ref=r#f"),
+        (2, "https://ex.com:443/"),
+        (3, "Http://ex.com:8080?utm_campaign=c"),
+        (4, "https://WWW.EX.com:80/p"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, url string")
+    got = {r["doc_id"]: r.asDict() for r in _url_parts(df).collect()}
+    assert got[1]["norm_url"] == "http://ex.com/a/b?keep=1"
+    assert got[2]["norm_url"] == "https://ex.com/"
+    # non-default port survives; empty path becomes '/'
+    assert got[3]["norm_url"] == "http://ex.com:8080/"
+    # :80 on https is NOT a default port — it survives
+    assert got[4]["norm_url"] == "https://ex.com:80/p"
