@@ -113,8 +113,12 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
         (False, r"CartesianProduct", "span join is a hash equi-join"),
     ],
     "q_semantic_dedup": [
-        (True, r"BroadcastExchange", "k centroids broadcast to the corpus scan"),
-        (False, r"CartesianProduct", "within-cluster pairs come from an equi-join"),
+        (True, r"ShuffledHashJoin",
+         "within-cluster pairs come from a keyed shuffle-hash join"),
+        (False, r"CartesianProduct", "never an all-pairs cartesian"),
+        (False, r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas",
+         "gate-regime pair stage is pure Catalyst (numpy Gram engages "
+         "only past the oracle-checked cluster size)"),
     ],
     "q_kmeans": [
         (False, r"Exchange", "assignment is a narrow literal-centroid argmin — zero shuffles"),
@@ -147,6 +151,22 @@ RULES: dict[str, list[tuple[bool, str, str]]] = {
          "partition-column filter prunes directories at planning time"),
         (False, r"PushedFilters: \[[^\]]*lang",
          "lang never reaches row-level filtering — it is pruned, not scanned"),
+    ],
+    "q_url_normalize": [
+        (False, r"Exchange", "canonicalization is a narrow regexp map — zero shuffle"),
+        (False, r"BatchEvalPython|ArrowEvalPython", "pure Catalyst — no Python"),
+    ],
+    "q_url_dedup": [
+        (True, r"partial_min|HashAggregate", "survivor election collapses map-side"),
+        (False, r"Window", "exact dedup is a hash groupBy, never a window"),
+    ],
+    "q_host_cap": [
+        (False, r"CartesianProduct", "capping is keyed windows, no pair join"),
+    ],
+    "q_unigram_encode": [
+        (False, r"CartesianProduct", "length join is keyed on the word"),
+        (False, r"BatchEvalPython|ArrowEvalPython",
+         "Viterbi fold runs JVM-side (F.aggregate), never Python"),
     ],
     "q_mix_upsample": [
         (True, r"explode\(sequence", "epoch replication is a narrow explode"),
