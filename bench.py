@@ -170,6 +170,24 @@ def main() -> int:
         else []
     )
     median3: dict[str, float] = {}
+    sweep_raw: dict[str, float] = dict(timings)
+    median3_canary_start = None
+    if top_tier:
+        # Fresh SparkContext for the slow tier (VERDICT r12 item 1):
+        # r12's end-of-sweep medians ran in a JVM carrying the whole
+        # 281-query sweep's state — accumulated localCheckpoint blocks,
+        # shuffle spill dirs, codegen-cache pressure — and recorded
+        # q_bfs_levels 28.5 s vs 6.3 s solo while BOTH canaries stayed
+        # quiet (this state is a third noise class, invisible to the
+        # CPU and disk rulers). A restarted context gets a clean block
+        # manager and fresh spark.local.dir subdirs; the correction
+        # bracket for median3 entries is re-measured IN the fresh
+        # context so their drift scaling is apples-to-apples.
+        spark.stop()
+        spark = get_spark("bench-median3")
+        spark.read.parquet(f"{args.sf_dir}/part.parquet").count()
+        canary_pass()  # codegen warm-up in the fresh context
+        median3_canary_start = canary_pass()
     for name in top_tier:
         runs: list[float] = []
         for _ in range(3):
@@ -181,6 +199,10 @@ def main() -> int:
                 break
             runs.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
+            # drive the ContextCleaner: checkpoint/broadcast blocks are
+            # released on GC, and an idle driver can lag a full query
+            # behind, bleeding block-manager state into the next timing
+            spark.sparkContext._jvm.System.gc()
         if len(runs) == 3:
             median3[name] = round(sorted(runs)[1], 3)
             timings[name] = median3[name]
@@ -238,7 +260,14 @@ def main() -> int:
     CANARY_REF_S = 1.35
     corrected: dict[str, float] = {}
     c_ref = CANARY_REF_S
-    post_sweep = (checkpoints[-1][1] + canary_end) / 2.0
+    # median3 entries were measured in the fresh post-restart context:
+    # bracket them with the canaries taken THERE, not the dirty-JVM
+    # end-of-sweep checkpoint
+    post_sweep = (
+        (median3_canary_start + canary_end) / 2.0
+        if median3_canary_start is not None
+        else (checkpoints[-1][1] + canary_end) / 2.0
+    )
     for name, raw in timings.items():
         if name in median3:
             seg = post_sweep
@@ -296,12 +325,26 @@ def main() -> int:
     # full-roster sidecar the driver/analysis reads. The sidecar also
     # records which slow-tier entries are median-of-3 (the final line
     # has no room for the map).
+    # Queries whose in-sweep timing diverges >1.5x from their fresh-
+    # context median are NAMED: that gap is exactly the JVM-state noise
+    # class the context restart exists to remove, and a named list lets
+    # a cross-round comparison spot it instead of chasing phantom
+    # regressions (VERDICT r12 item 2's "done" criterion).
+    median3_divergent = sorted(
+        n
+        for n, med in median3.items()
+        if med > 0 and not (1 / 1.5 <= sweep_raw[n] / med <= 1.5)
+    )
     if not args.queries:
         with open(sidecar, "w") as fh:
             json.dump(
                 dict(
                     full,
                     median3_queries=median3,
+                    median3_sweep_raw={
+                        n: sweep_raw[n] for n in median3
+                    },
+                    median3_divergent=median3_divergent,
                     drift_corrected_queries=corrected,
                     canary_checkpoints=[
                         [i, round(c, 3)] for i, c in checkpoints

@@ -22,6 +22,8 @@ and oracle-checkable; deterministic seeding uses the engine's LCG hash
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -159,20 +161,6 @@ def _lcg_bucket(id_col: str, k: int):
     return F.pmod(h, F.lit(k))
 
 
-def _lcg2_bucket(id_col: str, k_col):
-    """SECOND LCG iterate mod a COLUMN bucket count — decorrelated from
-    ``_lcg_bucket``'s first iterate (which seeds the coarse clusters),
-    used for within-cluster sub-sharding. h1 < 2^31, so h1·1103515245
-    stays under 2^61 — no long overflow."""
-    m = 2147483648  # 2^31
-    h1 = F.pmod(
-        F.pmod(F.col(id_col), F.lit(m)) * F.lit(1103515245) + F.lit(12345),
-        F.lit(m),
-    )
-    h2 = F.pmod(h1 * F.lit(1103515245) + F.lit(12345), F.lit(m))
-    return F.pmod(h2, k_col)
-
-
 def semantic_dedup(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -193,27 +181,49 @@ def semantic_dedup(
        cluster-mate has cosine ≥ ``threshold`` — the greedy keep-first
        rule.
 
-    Scale bound (round 12): when every cluster fits ``sub_target``
+    Scale bound (rounds 12-13): when every cluster fits ``sub_target``
     (true at every gate fixture — max cluster ~300) the pair stage is
     the exact expression form the DuckDB oracle replays bit-for-bit.
     Above it — the regime the first true 100x-embeddings replica
     exposed, where the fixed-k pair join is quadratic (24+ min at 100x;
-    VERDICT r11 item 5's re-measure found it) — each cluster
-    LCG-sub-shards (second-iterate hash, decorrelated from the seeding
-    hash) into ceil(n/sub_target) shards and pairs are compared within
-    (cluster, shard) only via an Arrow-batched per-shard numpy Gram
-    matrix (NOTES lesson 2: the interpreted — and even unrolled-codegen,
-    which falls off the JIT's huge-method cliff — per-pair cosine costs
-    ~40-50 µs; the ≤2048² matmul is ~20 ms per shard). Pair work is
-    O(N·sub_target/2), linear in the corpus. Trade-offs, both of the
-    family's usual kind (IVF probes, LSH bands): a near-dup pair split
-    across shards is missed, and numpy's pairwise summation replaces
-    the fold's left-to-right order so a cosine exactly on the round-6
-    boundary could flip — which is why the at-scale path only engages
-    beyond the oracle-checked regime.
+    VERDICT r11 item 5's re-measure found it) — each cluster is
+    CONTENT-blocked by SRP sign bits (round 13; round 12's id-hash
+    sub-shards had isolated-pair recall ~1/n_shards): per-pair bucket
+    collision probability is (1 − θ/π)^bits per table, OR-ed over 2
+    independent tables, and EXACT duplicates always co-bucket. Bits
+    per cluster are sized so the expected bucket fits ``sub_target``;
+    buckets that overflow anyway (dup-group skew) stay exact via a
+    chunked Gram kernel with an early-exit witness scan (an all-dup
+    monster bucket costs O(n·sub_target), never O(n²)). Pair work is
+    O(2·N·sub_target/2), linear in the corpus (NOTES lesson 2: the
+    per-pair expression cosine costs ~40-50 µs; the ≤2048² matmul is
+    ~20 ms per block). Trade-off, the family's usual kind (IVF probes,
+    LSH bands): a pair whose SRP bits differ in both tables is missed —
+    recall vs the exact pair stage is pinned in
+    tests/test_curation_ops.py and measured on the 100x replica in
+    SCALING.md — which is why the at-scale path only engages beyond
+    the oracle-checked regime. The kernel rounds HALF_UP away from
+    zero, matching Spark's ``F.round``, so the two regimes share one
+    boundary rule (the remaining divergence is numpy's pairwise
+    summation vs the fold's left-to-right order).
+
+    Null tolerance mirrors the expression path's own rules: rows whose
+    vector is NULL never become centroids, assign to NULL cluster_id,
+    and are always kept; a NULL *element* inside a vector makes every
+    cosine involving that vector NULL (the ``F.aggregate`` fold
+    propagates it), so such rows are likewise kept and never cause a
+    drop — the shard kernel reproduces this because the element arrives
+    as NaN and NaN comparisons are False. An empty input returns an
+    empty (id, cluster_id, keep) frame.
+
+    The three-way-consumed intermediate is ``localCheckpoint``-ed (not
+    ``persist``-ed): blocks are released by the ContextCleaner when the
+    result frame is garbage-collected, so library callers don't leak a
+    cached relation per call (VERDICT r12 item 7).
     """
     cents = (
-        emb.withColumn("_b", _lcg_bucket(id_col, k))
+        emb.filter(F.col(vec_col).isNotNull())
+        .withColumn("_b", _lcg_bucket(id_col, k))
         .withColumn(
             "_rn",
             F.row_number().over(Window.partitionBy("_b").orderBy(id_col)),
@@ -231,13 +241,29 @@ def semantic_dedup(
     # Literal centroids are exact: FLOAT storage widens losslessly to
     # the driver's doubles, matching dot_product's in-engine casts.
     cent_rows = sorted(cents.collect(), key=lambda r: r["cluster_id"])
+    if not cent_rows:
+        # empty input (cents is non-empty whenever a non-null vector
+        # exists): emit the contracted empty schema instead of crashing
+        # on sims[0] below (ADVICE r12)
+        return emb.select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("cluster_id"),
+            F.lit(True).alias("keep"),
+        )
     sims = [
         (
             int(r["cluster_id"]),
             F.round(
                 cosine_similarity(
                     F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in r["_cvec"]]),
+                    F.array(
+                        *[
+                            F.lit(float(x))
+                            if x is not None
+                            else F.lit(None).cast("double")
+                            for x in r["_cvec"]
+                        ]
+                    ),
                 ),
                 6,
             ),
@@ -250,10 +276,14 @@ def semantic_dedup(
     cl = F.when(sims[0][1] == best, F.lit(sims[0][0]))
     for cid, s in sims[1:]:
         cl = cl.when(s == best, F.lit(cid))
-    # consumed 3x (size probe, pair stage, keep join) — NOTES lesson 5
+    # consumed 3x (size probe, pair stage, keep join) — NOTES lesson 5.
+    # localCheckpoint, NOT persist: persist registers with the cache
+    # manager for the session's lifetime (a leak for library callers;
+    # ADVICE r12), while checkpoint blocks are dropped by the
+    # ContextCleaner once the returned frame is unreachable.
     assigned = emb.select(
         F.col(id_col), F.col(vec_col), cl.cast("int").alias("cluster_id")
-    ).persist()
+    ).localCheckpoint(eager=True)
     # max cluster size decides the pair-stage plan: a bounded driver
     # read of k rows (the centroid collect's sibling)
     size_rows = (
@@ -285,42 +315,134 @@ def semantic_dedup(
             .distinct()
         )
     else:
-        # at-scale regime: LCG sub-shards + per-shard numpy Gram
+        # At-scale regime (round 13): CONTENT-blocked sub-shards.
+        # Round 12 sub-sharded by id hash, whose isolated-pair recall is
+        # ~1/n_shards — the recall pin exposed it. Instead, block by SRP
+        # (sign-random-projection) bits: a near-dup pair agrees on each
+        # bit with probability 1 − θ/π (θ = the pair's angle), so
+        # near-identical vectors co-bucket with high probability and
+        # EXACT duplicates always do; T independent tables OR the
+        # chances (pair caught iff co-bucketed in ANY table). Per-
+        # cluster bit count is sized so the expected bucket fits
+        # ``sub_target``; buckets that still overflow (dup-group skew)
+        # are handled EXACTLY by the chunked kernel below, not split.
+        # Work is O(T · N · sub_target / 2) in the no-skew case; a
+        # monster all-dup bucket costs O(n · sub_target) thanks to the
+        # early-exit witness scan (each chunk dies against the first
+        # witness block), never O(n²).
         import numpy as np
         import pandas as pd
+        from pyspark.sql.functions import pandas_udf
 
-        nsb_by_cluster = {
-            int(r["cluster_id"]): max(
-                1, -(-int(r["_cn"]) // sub_target)
-            )
-            for r in size_rows
-        }
-        nsb = F.lit(1).cast("long")
-        for cid, n in nsb_by_cluster.items():
-            nsb = F.when(
-                F.col("cluster_id") == cid, F.lit(n).cast("long")
-            ).otherwise(nsb)
-        sharded = assigned.withColumn("_sb", _lcg2_bucket(id_col, nsb))
         thr = float(threshold)
+        n_tables = 2
+        # bits_c = ceil(log2(ceil(cn / sub_target))): expected
+        # (cluster, bucket) size ≤ sub_target
+        bits_by_cluster = {
+            int(r["cluster_id"]): (
+                (-(-int(r["_cn"]) // sub_target)) - 1
+            ).bit_length()
+            for r in size_rows
+            if r["cluster_id"] is not None  # null-vector rows: no pairs
+        }
+        bmax = max(bits_by_cluster.values(), default=0)
+        bits_items = tuple(sorted(bits_by_cluster.items()))
 
-        def _shard_drop(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        @pandas_udf("array<int>")
+        def _srp_buckets(cl: pd.Series, vs: pd.Series) -> pd.Series:
+            # fixed-seed hyperplanes: identical in every batch/executor,
+            # so bucketing is deterministic (no per-run randomness)
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vs]
+            )
+            dim = X.shape[1] if X.ndim == 2 else 0
+            if dim == 0 or bmax == 0:
+                return pd.Series([[0] * n_tables] * len(vs))
+            planes = np.random.RandomState(0x5EED).standard_normal(
+                (n_tables, bmax, dim)
+            )
+            nbits = (
+                cl.map(dict(bits_items)).fillna(0).to_numpy(np.int64)
+            )
+            # NaN elements (SQL NULL) sign as False — deterministic;
+            # such rows never drop or witness anyway (NaN cosines)
+            signs = (
+                np.einsum("tbd,nd->ntb", planes, X) >= 0
+            ).astype(np.int64)
+            weights = (1 << np.arange(bmax)).astype(np.int64)
+            mask = (
+                np.arange(bmax)[None, :] < nbits[:, None]
+            ).astype(np.int64)
+            buckets = (
+                signs * mask[:, None, :] * weights[None, None, :]
+            ).sum(axis=2)
+            return pd.Series(
+                [row.tolist() for row in buckets.astype(np.int32)]
+            )
+
+        sharded = (
+            assigned.filter(
+                F.col("cluster_id").isNotNull() & F.col(vec_col).isNotNull()
+            )
+            .select(
+                "cluster_id",
+                F.col(id_col),
+                F.col(vec_col),
+                F.posexplode(
+                    _srp_buckets(F.col("cluster_id"), F.col(vec_col))
+                ).alias("_t", "_bk"),
+            )
+        )
+
+        chunk = int(sub_target)
+
+        def _bucket_drop(pdf: "pd.DataFrame") -> "pd.DataFrame":
             ids = pdf[id_col].to_numpy()
             order = np.argsort(ids)
             ids_s = ids[order]
+            # NULL elements arrive as NaN and stay NaN: every cosine
+            # touching that row goes NaN, every NaN comparison is
+            # False — exactly the expression path's NULL propagation
             mat = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )[order]
+            n = len(ids_s)
             norms = np.sqrt((mat * mat).sum(axis=1))
-            sims_m = np.round(
-                (mat @ mat.T) / (np.outer(norms, norms) + 1e-9), 6
-            )
-            drop = (np.tril(sims_m, -1) >= thr).any(axis=1)
-            return pd.DataFrame({id_col: ids_s[drop]})
+            dropped_m = np.zeros(n, dtype=bool)
+            # chunked all-pairs with early exit: row i drops iff some
+            # j < i has round6(cos) >= thr; witnesses scan low blocks
+            # first and a chunk stops once every row in it is dropped
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                q, qn = mat[s:e], norms[s:e]
+                active = np.ones(e - s, dtype=bool)
+                ii = np.arange(s, e)[:, None]
+                for ws in range(0, e, chunk):
+                    if not active.any():
+                        break
+                    we = min(ws + chunk, e)
+                    raw = (q @ mat[ws:we].T) / (
+                        np.outer(qn, norms[ws:we]) + 1e-9
+                    )
+                    # HALF_UP away from zero, matching Spark F.round /
+                    # the exact path (np.round is half-to-even —
+                    # ADVICE r12)
+                    sims_m = (
+                        np.sign(raw)
+                        * np.floor(np.abs(raw) * 1e6 + 0.5)
+                        / 1e6
+                    )
+                    hit = (sims_m >= thr) & (
+                        np.arange(ws, we)[None, :] < ii
+                    )
+                    newly = hit.any(axis=1) & active
+                    dropped_m[s:e][newly] = True
+                    active &= ~newly
+            return pd.DataFrame({id_col: ids_s[dropped_m]})
 
         dropped = (
-            sharded.select("cluster_id", "_sb", id_col, vec_col)
-            .groupBy("cluster_id", "_sb")
-            .applyInPandas(_shard_drop, schema=f"{id_col} long")
+            sharded.groupBy("cluster_id", "_t", "_bk")
+            .applyInPandas(_bucket_drop, schema=f"{id_col} long")
             .distinct()
         )
     return (

@@ -133,6 +133,113 @@ def test_semantic_dedup_keep_flag_matches_pairwise_definition(spark):
         assert keep[i] == expected, f"vec {i}"
 
 
+def test_semantic_dedup_empty_input(spark):
+    """Empty input returns an empty (id, cluster_id, keep) frame with
+    the contracted schema instead of crashing on sims[0] (ADVICE r12)."""
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, k=2, threshold=0.5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id",
+        "cluster_id",
+        "keep",
+    ]
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema)[
+        "cluster_id"
+    ] == "bigint"
+
+
+def test_semantic_dedup_null_vector_tolerance(spark):
+    """NULL vectors never seed centroids, assign NULL cluster_id, and
+    are always kept; a NULL element nulls every cosine touching that
+    vector, so the row is kept and a true dup of vec 2 still drops."""
+    rows = [
+        (1, None),  # min id — would have crashed centroid literal build
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, None, 0.0, 0.0]),  # null ELEMENT → cosine NULL → kept
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, None),
+        (6, [1.0, 0.0, 0.0, 0.0]),  # true dup of 2 → dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup(df, k=1, threshold=0.9).collect()
+    }
+    assert out[1] == (None, True) and out[5] == (None, True)
+    assert out[2][1] is True
+    assert out[3] == (None, True)  # null cosine to every centroid too
+    assert out[4][1] is True
+    assert out[6][1] is False
+
+
+def test_semantic_dedup_all_null_vectors(spark):
+    """All-NULL input hits the empty-centroid guard: every row kept,
+    NULL cluster_id."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup(df, k=2, threshold=0.5).collect()
+    }
+    assert out == {1: (None, True), 2: (None, True)}
+
+
+def test_semantic_dedup_subshard_recall_pin(spark):
+    """At-scale SRP-blocked path (forced via tiny sub_target): dropped
+    set must be a subset of the exact path's, with recall >= 0.95 on a
+    planted-duplicate corpus — identical vectors share every SRP sign,
+    so exact dups always co-bucket (VERDICT r12 item 3 — the recall pin
+    every other approximate family member carries). Deterministic:
+    fixed-seed hyperplanes."""
+    import random
+
+    rng = random.Random(7)
+    # 20 groups x 30 identical copies: every copy of a group lands in
+    # the same SRP bucket, so the greedy drop is always seen
+    bases = [
+        [rng.gauss(0, 1) for _ in range(8)] for _ in range(20)
+    ]
+    rows = [
+        (g * 1000 + i, bases[g]) for g in range(20) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        r["vec_id"]
+        for r in semantic_dedup(df, k=2, threshold=0.95).collect()
+        if not r["keep"]
+    }
+    sharded = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, k=2, threshold=0.95, sub_target=64
+        ).collect()
+        if not r["keep"]
+    }
+    assert sharded <= exact  # content blocking can only MISS pairs
+    assert exact  # sanity: planted dups were actually dropped
+    recall = len(sharded) / len(exact)
+    assert recall >= 0.95, f"SRP-block recall {recall:.3f} < 0.95"
+
+
+def test_semantic_dedup_oversized_bucket_exact(spark):
+    """A bucket that overflows sub_target (all-identical dup group) is
+    handled exactly by the chunked kernel, not split: every copy but
+    the min id drops."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(200)]
+    rows.append((9999, [0.0, 1.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            df, k=1, threshold=0.9, sub_target=32
+        ).collect()
+    }
+    assert out[0] is True and out[9999] is True
+    assert all(out[i] is False for i in range(1, 200))
+
+
 def test_kmeans_matches_numpy_reference(spark):
     """kmeans_fit must replay exactly: LCG seeding, rounded argmin with
     low-cluster ties, rounded means, empty clusters keeping centroids."""
@@ -964,7 +1071,9 @@ def test_unigram_artifact_roundtrip_and_self_validation(spark, tmp_path, monkeyp
     assert v3 == v1
 
 
-def test_unigram_encode_char_fallback_for_overlong_words(spark, tmp_path):
+def test_unigram_encode_char_fallback_for_overlong_words(
+    spark, tmp_path, monkeypatch
+):
     """A word longer than the DP bound encodes as its character count;
     normal words encode as their Viterbi piece count."""
     import pandas as pd
@@ -975,9 +1084,9 @@ def test_unigram_encode_char_fallback_for_overlong_words(spark, tmp_path):
     pd.DataFrame(
         {"doc_id": [1, 2], "text": [f"abab {long_word}", "abab abab"]}
     ).to_parquet(tmp_path / "documents.parquet")
-    import os
-
-    os.environ.pop("SPARK_GRAFT_UNI_DIR", None)
+    # isolated artifact dir via monkeypatch (leak-free, no collision
+    # with the shared per-uid /tmp root — ADVICE r12)
+    monkeypatch.setenv("SPARK_GRAFT_UNI_DIR", str(tmp_path / "art"))
     rows = {
         r["doc_id"]: (r["n_words"], r["n_uni_tokens"])
         for r in rc.uni_doc_lengths(spark, str(tmp_path)).collect()
