@@ -1387,11 +1387,19 @@ def run_stream_ingest_gate(
         return r.option("pathGlobFilter", glob_opt) if glob_opt else r
 
     batch = _opt(spark.read).parquet(src_path)
-    out_schema = ingest_gate_frame(
-        batch.limit(0),
-        score_bigrams_against(batch.limit(0), cab, un, vocab_n),
-        cut,
-    ).schema
+
+    def out_schema():
+        # DEFERRED (round 13): analyzing the composed gate tree over
+        # limit(0) costs ~2.5 s of pure Catalyst analysis — the bulk of
+        # r12's +50% regression (profiled: tools/profile_ingest_gate.py)
+        # — and is only needed for the empty-stream fallback, so pay it
+        # there, not on every call.
+        return ingest_gate_frame(
+            batch.limit(0),
+            score_bigrams_against(batch.limit(0), cab, un, vocab_n),
+            cut,
+        ).schema
+
     reader = _opt(spark.readStream.schema(batch.schema).format("parquet"))
     if max_files_per_trigger is not None:
         reader = reader.option(
@@ -1407,6 +1415,7 @@ def run_stream_ingest_gate(
     # path's overwritten batch-<id> dirs (ADVICE r11: a plain append
     # would duplicate verdict rows on replay)
     frames: dict[int, pd.DataFrame] = {}
+    landed_schema: dict[str, object] = {}  # set by land(); analysis free
     out_dir = None
     if use_files:
         out_dir = tempfile.mkdtemp(prefix="stream_ingest_gate_sink_")
@@ -1424,6 +1433,9 @@ def run_stream_ingest_gate(
             )
         else:
             frames[batch_id] = gated.toPandas()
+            # the contracted Spark schema, read off the already-analyzed
+            # per-batch frame (pandas dtypes alone would be lossy)
+            landed_schema["s"] = gated.schema
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -1442,11 +1454,11 @@ def run_stream_ingest_gate(
             if d.startswith("batch-")
         )
         if not batch_dirs:
-            return spark.createDataFrame([], out_schema)
+            return spark.createDataFrame([], out_schema())
         return spark.read.parquet(*batch_dirs)
     if not frames:
-        return spark.createDataFrame([], out_schema)
+        return spark.createDataFrame([], out_schema())
     ordered = [frames[b] for b in sorted(frames)]
     return spark.createDataFrame(
-        pd.concat(ordered, ignore_index=True), out_schema
+        pd.concat(ordered, ignore_index=True), landed_schema["s"]
     )
