@@ -73,10 +73,15 @@ from review_engine_spark.plans import roster_mining  # noqa: E402,F401
 #: straggler cohort (q_approx_percentile .. q_zorder_key — VERDICT r11
 #: item 2 asks the union histogram to show no proof older than r7)
 #: followed by the oldest ~21 of the r7 cohort.
+#: Round-13 tier 1: the two plan-changed queries this round —
+#: q_semantic_dedup's pair stage moved from id-hash sub-shards to SRP
+#: content blocks (plus localCheckpoint instead of persist), and
+#: q_stream_ingest_gate's runner deferred the empty-stream schema
+#: analysis. Tier 2 auto-adds q_c4_rules (new). Spare slots rotate the
+#: r7 cohort (oldest proofs after the r12 sweep re-proved the r6 one).
 _TIER1_FIXED: list[str] = [
-    "q_heaps_fit",
+    "q_semantic_dedup",
     "q_stream_ingest_gate",
-    "q_pca_topk",
 ]
 
 #: name -> last round the driver proved it green (CORRECTNESS_r01..r08
@@ -217,6 +222,26 @@ _LAST_GREEN: dict[str, int] = {
     "q_stream_quality_gate": 11, "q_text_stats": 11, "q_tfidf": 11,
     "q_tokenize": 11, "q_topk_window": 11, "q_union": 11,
     "q_window_lag": 11, "q_window_running": 11, "q_zipf_fit": 11,
+    # proven green in round 12 (50 queries: the r12-new oracle queries
+    # + 3 tier-1 plan-changed pins + the full r6 straggler cohort)
+    "q_approx_percentile": 12, "q_bitmap_distinct": 12,
+    "q_char_entropy": 12, "q_cohort_retention": 12, "q_cosine_topk": 12,
+    "q_crosstab": 12, "q_data_profile": 12, "q_date_trunc": 12,
+    "q_dedup_apply": 12, "q_dedup_clusters": 12, "q_dot": 12,
+    "q_except_all": 12, "q_full_outer": 12, "q_funnel": 12,
+    "q_fuzzy_pairs": 12, "q_group_percentiles": 12,
+    "q_grouping_sets": 12, "q_heaps_fit": 12, "q_histogram": 12,
+    "q_host_cap": 12, "q_intersect_all": 12, "q_json_extract": 12,
+    "q_l2norm": 12, "q_lateral_topk": 12, "q_mann_whitney": 12,
+    "q_map_explode": 12, "q_null_safe_join": 12, "q_pca_topk": 12,
+    "q_pivot": 12, "q_range_join": 12, "q_resample_ffill": 12,
+    "q_ri_check": 12, "q_skew_profile": 12, "q_stats_agg": 12,
+    "q_stream_ingest_gate": 12, "q_triangle_count": 12,
+    "q_try_arithmetic": 12, "q_ts_window": 12, "q_unigram_encode": 12,
+    "q_unigram_lm_train": 12, "q_unigram_pack": 12, "q_unpivot": 12,
+    "q_upsert_latest": 12, "q_url_dedup": 12, "q_url_normalize": 12,
+    "q_variant_json": 12, "q_window_analytics": 12, "q_window_range": 12,
+    "q_xml_extract": 12, "q_zorder_key": 12,
 }
 
 # Backward-compat name used by tools/plan_audit.py and tests.

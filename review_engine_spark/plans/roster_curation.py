@@ -2199,6 +2199,95 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_gate(docs, "text", "doc_id")
 
 
+@declared(
+    oracle=r"""
+    WITH l AS (
+        SELECT doc_id, coalesce(text, '') AS text,
+               string_split(coalesce(text, ''), chr(10)) AS lines
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, text, lines,
+               list_filter(
+                   lines,
+                   x -> regexp_matches(x, '[.!?"]\s*$')
+                        AND len(list_filter(
+                                string_split_regex(x, '\s+'),
+                                t -> t <> '')) >= 5
+               ) AS kept
+        FROM l
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               -- array_to_string of an EMPTY list is NULL in DuckDB but
+               -- '' under Spark's array_join: coalesce to match
+               coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+               CAST(len(regexp_extract_all(
+                   coalesce(array_to_string(kept, chr(10)), ''), '[.!?]'
+               )) AS BIGINT) AS n_sentences,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               contains(text, '{') AS has_brace
+        FROM k
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+           reason = 'ok' AS keep, reason, text_clean
+    FROM (
+        SELECT *,
+               CASE WHEN has_lorem THEN 'lorem_ipsum'
+                    WHEN has_brace THEN 'curly_brace'
+                    WHEN n_sentences < 3 THEN 'too_few_sentences'
+                    ELSE 'ok' END AS reason
+        FROM m
+    )
+    """
+)
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2 — the other standard
+    public pretraining filter bundle beside Gopher): keep only lines
+    that end in terminal punctuation AND contain ≥5 words; drop pages
+    containing "lorem ipsum" or a curly brace (code), or whose kept
+    text has fewer than 3 sentences (sentence count = terminal-punct
+    occurrences in the kept text — an exact integer, no tokenizer
+    dependence). The paper's bad-words list and its three-sentence-span
+    dedup are covered elsewhere (policy lists are deployment config;
+    span dedup is q_span_dedup's family). One scan, zero shuffle, pure
+    Catalyst higher-order array expressions — first-failing-rule chain
+    like q_gopher_rules, plus the cleaned text for the keep path.
+    NULL text coalesces to '' on BOTH sides (one empty "line", zero
+    kept) — size(NULL) is -1 under Spark's legacy conf vs NULL in
+    DuckDB, the q_gopher_rules ADVICE-r10 lesson."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.split(text, "\n")
+
+    def _line_keep(x):
+        words = F.filter(F.split(x, r"\s+"), lambda t: t != "")
+        return x.rlike(r'[.!?"]\s*$') & (F.size(words) >= 5)
+
+    kept = F.filter(lines, _line_keep)
+    text_clean = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(text_clean, F.lit(r"[.!?]")).cast("long")
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    reason = (
+        F.when(has_lorem, F.lit("lorem_ipsum"))
+        .when(has_brace, F.lit("curly_brace"))
+        .when(n_sentences < 3, F.lit("too_few_sentences"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        (reason == F.lit("ok")).alias("keep"),
+        reason.alias("reason"),
+        text_clean.alias("text_clean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # N-gram novelty scoring — the diversity complement to the dedup family:
 # per document, the fraction of its distinct 8-token stride-1 shingles

@@ -834,6 +834,47 @@ def test_gopher_rules_every_branch_fires(spark, tmp_path):
     assert got[7] == (False, "too_few_words")
 
 
+def test_c4_rules_every_branch_fires(spark, tmp_path):
+    """Hand corpus driving each C4 rule: line-level keep (terminal
+    punctuation AND >=5 words), lorem-ipsum page drop, curly-brace
+    page drop, <3-sentence page drop, and NULL-text determinism."""
+    from review_engine_spark.plans.roster_curation import q_c4_rules
+
+    good = "\n".join(
+        [
+            "this is a perfectly fine sentence.",  # kept
+            "short line.",                         # <5 words -> cut
+            "no terminal punctuation here at all", # no punct -> cut
+            "another fine sentence right here!",   # kept
+            "and one more to clear the bar?",      # kept
+        ]
+    )
+    rows = [
+        (0, good),                                    # ok
+        (1, good + "\nsee Lorem Ipsum dolor sit."),   # lorem_ipsum
+        (2, good + "\nfunction f() { return 1; }"),   # curly_brace
+        (3, "just one good sentence lives here."),    # too_few_sentences
+        (4, None),                                    # NULL -> empty page
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r for r in q_c4_rules(spark, str(tmp_path)).collect()
+    }
+    assert (got[0]["keep"], got[0]["reason"]) == (True, "ok")
+    assert got[0]["n_lines"] == 5 and got[0]["n_kept_lines"] == 3
+    assert got[0]["n_sentences"] == 3
+    assert got[1]["reason"] == "lorem_ipsum"
+    assert got[2]["reason"] == "curly_brace"
+    assert got[3]["reason"] == "too_few_sentences"
+    assert (got[4]["keep"], got[4]["reason"]) == (
+        False,
+        "too_few_sentences",
+    )
+    assert got[4]["n_lines"] == 1 and got[4]["n_kept_lines"] == 0
+    assert got[4]["text_clean"] == ""
+
+
 def test_ngram_novelty_first_doc_wins_and_fractions(spark):
     from review_engine_spark.operators.curation import ngram_novelty
 
