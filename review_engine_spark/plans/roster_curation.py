@@ -1893,15 +1893,24 @@ def _rank_cutoff(sc: DataFrame, col: str, num: int, den: int) -> DataFrame:
     """
     vals = sc.select(F.col(col).alias("_v")).where(F.col("_v").isNotNull())
     g = vals.groupBy("_v").agg(F.count("*").alias("_c"))
-    n1 = vals.agg(F.count("*").alias("_n"))
     cw = Window.orderBy("_v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = g.withColumn("_cum", F.sum("_c").over(cw))
-    return (
-        cum.crossJoin(F.broadcast(n1))
-        .where(F.col("_cum") * den >= F.col("_n") * num)
-        .agg(F.min("_v").alias("_cut"))
+    # total count in the SAME window pass (full-frame sum over the same
+    # ordering — one WindowExec evaluates both frames): the old separate
+    # `vals.agg(count)` made every caller evaluate its score subtree
+    # twice (round 13; the exact-int rank pick cum·den ≥ n·num is
+    # unchanged, n = Σ_c ≡ the old non-null count).
+    nw = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
+        "_v",
+        F.sum("_c").over(cw).alias("_cum"),
+        F.sum("_c").over(nw).alias("_n"),
+    )
+    return cum.where(F.col("_cum") * den >= F.col("_n") * num).agg(
+        F.min("_v").alias("_cut")
     )
 
 
@@ -2056,18 +2065,29 @@ def dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_BUCKETS
         ).alias("b"),
     )
-    raw = occ.groupBy("b").agg(F.count("*").cast("long").alias("rf"))
-    tgt = (
-        occ.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count("*").cast("long").alias("tf"))
+    # ONE aggregate builds raw+target bucket counts together (round 13:
+    # the old raw/tgt/tot trio re-ran the tokenize→explode→md5 subtree
+    # 3x beyond the scoring pass — plan showed 4 documents scans, each
+    # with its own Generate; guide §2.4 "don't compute things twice").
+    # tf is NULL when a bucket has no English occurrences, matching the
+    # old left-join semantics bit-for-bit (coalesce(tf,0)+1 below).
+    table = occ.groupBy("b").agg(
+        F.count("*").cast("long").alias("rf"),
+        F.sum(F.when(F.col("lang") == "en", 1)).cast("long").alias("tf"),
     )
-    table = raw.join(tgt, "b", "left")
-    tot = occ.agg(
-        F.count("*").cast("long").alias("rn"),
-        F.coalesce(
-            F.sum(F.when(F.col("lang") == "en", 1)), F.lit(0)
-        ).cast("long").alias("tn"),
+    # corpus totals = sums over the B-bounded bucket table (4096 rows,
+    # exact integers — identical to the old corpus-wide D7 aggregate),
+    # via a single-partition window over the tiny table instead of a
+    # second corpus pass + separate broadcast.
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    table = table.select(
+        "b",
+        "rf",
+        "tf",
+        F.sum("rf").over(wall).cast("long").alias("rn"),
+        F.coalesce(F.sum("tf").over(wall), F.lit(0)).cast("long").alias("tn"),
     )
     lw = F.log(
         (F.coalesce(F.col("tf"), F.lit(0)) + 1)
@@ -2077,7 +2097,6 @@ def dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         occ.join(F.broadcast(table), "b")  # B-bounded: broadcast by size
-        .crossJoin(F.broadcast(tot))  # D7: 1-row scalar aggregate
         .select("doc_id", lw.alias("_lw"))
         .groupBy("doc_id")
         .agg(
