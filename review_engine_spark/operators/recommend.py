@@ -94,10 +94,12 @@ def cooccurrence_topk(
 
     For each item, the top-k partner items ranked by cosine-normalized
     lift ``c_ij / sqrt(c_i * c_j)`` (ties broken by partner id). Pairs
-    are generated one direction (i < j) by exploding basket arrays and
-    symmetrized by union — half the pair volume, no self-join. Lift is
-    rounded *before* ranking so the top-k cut is engine-stable (SURVEY
-    §2.L determinism rules).
+    are generated BOTH directions in one explode pass over the basket
+    arrays — no self-join, and no union of a swapped copy (round 13:
+    the union form planned the explode→count aggregation TWICE, once
+    per branch; same total pair rows through one aggregation instead).
+    Lift is rounded *before* ranking so the top-k cut is engine-stable
+    (SURVEY §2.L determinism rules).
 
     ``max_basket`` defaults ON (256): pair volume is quadratic in basket
     size, so one pathological mega-basket (a wholesale account, a bot)
@@ -125,20 +127,22 @@ def cooccurrence_topk(
         "l_partkey"
     ).agg(F.count("*").alias("n"))
 
-    # All i<j pairs per basket via nested explode — no self-join, no
-    # second pass over the fact table. `items` is a materialized column,
-    # so the inner filter lambda does not re-evaluate upstream work
-    # (cf. the O(n^2) HOF pitfall in NOTES.md).
-    pairs = (
+    # All ordered pairs (i, j), i ≠ j, per basket via nested explode —
+    # no self-join, no second pass over the fact table. `items` is a
+    # materialized column, so the inner filter lambda does not
+    # re-evaluate upstream work (cf. the O(n^2) HOF pitfall in
+    # NOTES.md). Symmetry comes from the explode itself: the old
+    # i<j-then-union form made the physical plan run the explode→count
+    # aggregation once per union branch (measured 3.1 s vs 2.7 s at
+    # sf0.1), while one aggregation over both directions shuffles the
+    # same total pair rows once.
+    sym = (
         baskets.select(F.col("items"), F.explode("items").alias("i"))
         .select(
-            "i", F.explode(F.filter("items", lambda x: x > F.col("i"))).alias("j")
+            "i", F.explode(F.filter("items", lambda x: x != F.col("i"))).alias("j")
         )
         .groupBy("i", "j")
         .agg(F.count("*").alias("c"))
-    )
-    sym = pairs.unionByName(
-        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "c")
     )
 
     # per-item counts are CATALOG-scaled — never force a broadcast; AQE
