@@ -723,7 +723,13 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     o = d.groupBy("digit").agg(F.count("*").alias("n"))
-    t = o.agg(F.sum("n").alias("t"))
+    # Total via a global window over the 9-row digit aggregate instead of
+    # a second aggregate consumer of `o`: the agg-then-broadcast-join form
+    # planned the events scan + digit groupBy TWICE (once per consumer of
+    # `o`); the window reuses the single aggregate (round 13, guide §2.4 —
+    # plan went 2 parquet scans -> 1, 3.9 s -> ~2 s at sf0.1). The window
+    # moves 9 rows to one partition — bounded by the digit domain.
+    t_win = F.sum("n").over(Window.partitionBy())
     e = F.broadcast(
         spark.createDataFrame(
             sorted(_BENFORD.items()), "digit long, expected double"
@@ -731,8 +737,8 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     obs = F.col("n").cast("double") / F.col("t").cast("double")
     return (
-        o.join(e, "digit")
-        .join(F.broadcast(t))
+        o.withColumn("t", t_win)
+        .join(e, "digit")
         .select(
             "digit", "n",
             obs.alias("observed"),
