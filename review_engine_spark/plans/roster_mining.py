@@ -480,7 +480,15 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir)
     from pyspark import StorageLevel
 
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    # Cache the edges ALREADY hash-partitioned by the frontier join key:
+    # all 8 rounds join frontier⋈edges on "u", so the cached partitioning
+    # is reused every round instead of re-exchanging the edge list
+    # (11.0 s -> 6.4 s best / far lower variance at sf0.1; guide §2.4 —
+    # same discipline as q_kcore). Broadcast-frontier was measured too
+    # (7.4 s) and rejected: frontiers grow with the graph, so broadcast
+    # is not the 100 TB shape.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.repartition(n_shuffle, "u").persist(StorageLevel.MEMORY_AND_DISK)
     src = edges.agg(F.min("u").alias("s")).collect()[0]["s"]  # 1 row: bounded
     levels = spark.createDataFrame([(src, 0)], "node long, lvl long")
     for i in range(8):
