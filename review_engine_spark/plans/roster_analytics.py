@@ -728,8 +728,15 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planned the events scan + digit groupBy TWICE (once per consumer of
     # `o`); the window reuses the single aggregate (round 13, guide §2.4 —
     # plan went 2 parquet scans -> 1, 3.9 s -> ~2 s at sf0.1). The window
-    # moves 9 rows to one partition — bounded by the digit domain.
-    t_win = F.sum("n").over(Window.partitionBy())
+    # moves 9 rows to one partition — bounded by the digit domain (the
+    # plan audit's runtime bounded-input check covers this site); the
+    # explicit full frame makes the ordered window a grand total, and the
+    # BIGINT sum is order-independent.
+    t_win = F.sum("n").over(
+        Window.orderBy("digit").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
     e = F.broadcast(
         spark.createDataFrame(
             sorted(_BENFORD.items()), "digit long, expected double"
