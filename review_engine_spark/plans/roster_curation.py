@@ -668,11 +668,20 @@ def train_bpe(docs: DataFrame, k: int = _BPE_ROUNDS) -> list[tuple]:
     toy K. Large-K parity with a pure-Python reference trainer is
     pinned in tests/test_curation_ops.py (the test_kernels convention).
     """
+    from pyspark import StorageLevel
+
     words = (
         docs.select(F.explode(_bpe_toks()).alias("token"))
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("wc"))
     )
+    # Materialize the vocabulary once (k-core/BFS edge-cache convention):
+    # every round's 1-row argmax collect re-executes its whole lineage,
+    # so without this round r re-ran the corpus explode+groupBy AND the
+    # r-1 chained folds from raw text — K corpus scans for K rounds. The
+    # vocabulary is corpus-bounded (grows sub-linearly), so the cache is
+    # the cheap side of the trade at any scale.
+    words = words.persist(StorageLevel.MEMORY_AND_DISK)
     syms = F.transform(
         F.sequence(F.lit(1), F.length("token")),
         lambda i: F.col("token").substr(i, F.lit(1)),
@@ -716,6 +725,7 @@ def train_bpe(docs: DataFrame, k: int = _BPE_ROUNDS) -> list[tuple]:
             # raw vocab (O(K²) analysis + fold work — NOTES.md item 4)
             if rank % 8 == 0:
                 cur = cur.localCheckpoint(eager=True)
+    words.unpersist()
     return merges
 
 
