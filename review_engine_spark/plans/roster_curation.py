@@ -15,6 +15,7 @@ from review_engine_spark.operators.curation import (
     span_dedup,
     top_tokens,
 )
+from review_engine_spark.operators.cluster import iter_checkpoint
 from review_engine_spark.operators.kmeans import kmeans_fit
 from review_engine_spark.plans import declared
 from review_engine_spark.sources.io import read_parquet_table
@@ -3058,6 +3059,13 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # The shingle frame is the query's lightweight proxy (doc_id, md5) —
+    # and it feeds SIX consumers (per-doc counts, df blocking, both cand
+    # sides, both inter sides). Unmaterialized, every consumer re-ran
+    # the corpus tokenize+shingle+md5+distinct: 14 documents scans in
+    # the initial plan. Materialize it once (semantic-dedup checkpoint
+    # convention); everything downstream is candidate-bounded.
+    sh = iter_checkpoint(sh)
     n = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("ns"))
     rare = (
         sh.groupBy("h")
@@ -3083,19 +3091,37 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = n.select(F.col("doc_id").alias("a"), F.col("ns").alias("ns_a"))
     nb = n.select(F.col("doc_id").alias("b"), F.col("ns").alias("ns_b"))
     j = inter.join(na, "a").join(nb, "b")
-    d1 = j.where(5 * F.col("i") >= 4 * F.col("ns_a")).select(
-        F.col("a").alias("contained_id"),
-        F.col("b").alias("container_id"),
-        F.col("i").alias("n_shared"),
-        F.col("ns_a").alias("n_shingles"),
+    # Both directions of each candidate pair from ONE pass over the
+    # intersection frame (the round-13 cooccur/copurchase pattern):
+    # the union-of-filtered-projections form planned the whole
+    # candidate/intersection subtree once per branch.
+    out = (
+        j.select(
+            "i",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("contained_id"),
+                        F.col("b").alias("container_id"),
+                        F.col("ns_a").alias("n_shingles"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("contained_id"),
+                        F.col("a").alias("container_id"),
+                        F.col("ns_b").alias("n_shingles"),
+                    ),
+                )
+            ).alias("d"),
+        )
+        .where(5 * F.col("i") >= 4 * F.col("d.n_shingles"))
+        .select(
+            F.col("d.contained_id").alias("contained_id"),
+            F.col("d.container_id").alias("container_id"),
+            F.col("i").alias("n_shared"),
+            F.col("d.n_shingles").alias("n_shingles"),
+        )
     )
-    d2 = j.where(5 * F.col("i") >= 4 * F.col("ns_b")).select(
-        F.col("b").alias("contained_id"),
-        F.col("a").alias("container_id"),
-        F.col("i").alias("n_shared"),
-        F.col("ns_b").alias("n_shingles"),
-    )
-    return d1.unionByName(d2).select(
+    return out.select(
         "contained_id",
         "container_id",
         "n_shared",
