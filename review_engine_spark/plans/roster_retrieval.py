@@ -760,14 +760,33 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token")
     )
     vocab = toks.groupBy("token").agg(F.count("*").alias("n"))
-    build = None
-    for r in range(CM_D):
-        part_r = vocab.select(
-            F.lit(r).alias("row"),
-            _cm_bucket_col(r, F.col("token")).alias("bucket"),
-            "n",
+    # The vocabulary feeds the sketch build AND the top-k probe pick;
+    # materialized once, the corpus tokenize+count runs once (the
+    # BPE-vocab convention — vocabulary-bounded cache).
+    from review_engine_spark.operators.cluster import iter_checkpoint
+
+    vocab = iter_checkpoint(vocab)
+
+    def _rows_of(frame, cols):
+        # all CM_D sketch rows from ONE pass over `frame` (the round-13
+        # both-directions explode pattern: a per-row UNION re-planned
+        # the upstream subtree once per branch)
+        rb = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_bucket_col(r, F.col("token")).alias("bucket"),
+                    )
+                    for r in range(CM_D)
+                ]
+            )
+        ).alias("rb")
+        return frame.select(*cols, rb).select(
+            *cols, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
         )
-        build = part_r if build is None else build.unionByName(part_r)
+
+    build = _rows_of(vocab, ["n"]).select("row", "bucket", "n")
     cm = build.groupBy("row", "bucket").agg(F.sum("n").alias("cmv"))
 
     top = (
@@ -780,15 +799,7 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("actual"),
     )
     probes = top.unionByName(absent)
-    probe_rows = None
-    for r in range(CM_D):
-        pr = probes.select(
-            "token",
-            "actual",
-            F.lit(r).alias("row"),
-            _cm_bucket_col(r, F.col("token")).alias("bucket"),
-        )
-        probe_rows = pr if probe_rows is None else probe_rows.unionByName(pr)
+    probe_rows = _rows_of(probes, ["token", "actual"])
     return (
         probe_rows.join(F.broadcast(cm), ["row", "bucket"], "left")
         .groupBy("token", "actual")
