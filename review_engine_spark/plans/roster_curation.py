@@ -2813,7 +2813,9 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fd = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
 
-    def _bucketed_cumulative(rows: DataFrame, d_col: str, out: str) -> DataFrame:
+    def _bucketed_cumulative(
+        rows: DataFrame, d_col: str, out: str, weight=None
+    ) -> DataFrame:
         # j = ceil(K·d/m) in pure integer arithmetic ((K·d + m − 1) DIV m;
         # d ≤ m keeps j ≤ K, greatest() clamps a d=0 row to bucket 1):
         # j ≤ i ⟺ d ≤ floor(i·m/K), so the running sum of bucket counts
@@ -2821,7 +2823,14 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # count exactly. The cumulative is a global window over the
         # K-row equi-joined checkpoint table — bounded by construction
         # (the plan-audit bounded-window doctrine), never an inequality
-        # join.
+        # join. ``weight`` (a column NAME in ``rows``) turns the bucket
+        # count into a bucket SUM of an integer per-row weight (exact —
+        # sum of per-doc counts ≡ count of exploded rows).
+        agg = (
+            F.sum(F.col(weight)).cast("long")
+            if weight is not None
+            else F.count("*").cast("long")
+        )
         buckets = (
             rows.crossJoin(F.broadcast(mx))
             .select(
@@ -2831,10 +2840,11 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"CAST(({_HEAPS_CKPTS}L * {d_col} + m - 1) DIV m "
                         "AS BIGINT)"
                     ),
-                ).alias("j")
+                ).alias("j"),
+                *([F.col(weight)] if weight is not None else []),
             )
             .groupBy("j")
-            .agg(F.count("*").cast("long").alias("cnt"))
+            .agg(agg.alias("cnt"))
         )
         cum = Window.orderBy("i").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
@@ -2848,7 +2858,18 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     types_at = _bucketed_cumulative(fd, "first_doc", "n_types")
-    tokens_at = _bucketed_cumulative(tok, "doc_id", "n_tokens")
+    # the token side never needs the exploded stream — per-bucket token
+    # totals are the SUM of per-doc token counts, so a narrow
+    # (doc_id, size(toks)) projection replaces a full corpus explode
+    # (§2: don't explode what you only count)
+    doc_tok = docs.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("long")
+        .alias("_nt"),
+    )
+    tokens_at = _bucketed_cumulative(doc_tok, "doc_id", "n_tokens", weight="_nt")
     terms = (
         tokens_at.join(types_at, "i")
         .where((F.col("n_tokens") > 0) & (F.col("n_types") > 0))
