@@ -920,17 +920,18 @@ def q_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("rho").alias("rho"), F.count("*").alias("c"))
     )
 
-    def estimate(grouped: DataFrame) -> DataFrame:
+    def estimate(grouped: DataFrame, *extra) -> DataFrame:
         s = (
             F.expr("sum(shiftleft(CAST(1 AS BIGINT), 52 - rho))")
             + (512 - F.count("*")) * F.lit(_HLL_POW52)
         ).alias("s")
         v = (512 - F.count("*")).alias("v")
-        return grouped.agg(s, v)
+        return grouped.agg(s, v, *extra)
 
-    day_est = estimate(regs.groupBy("day_s")).join(
-        regs.groupBy("day_s").agg(F.sum("c").alias("n_events")), "day_s"
-    )
+    # n_events is a sibling aggregate of the same day_s grouping — one
+    # aggregation instead of aggregate + self-join on day_s (§2.4); the
+    # join form re-ran the events scan+register aggregate per side
+    day_est = estimate(regs.groupBy("day_s"), F.sum("c").alias("n_events"))
     day_exact = ev.groupBy("day_s").agg(
         F.countDistinct("user_id").alias("exact_users")
     )
