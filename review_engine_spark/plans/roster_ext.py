@@ -1249,14 +1249,8 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = d.select(F.explode(grams).alias("bigram")).groupBy("bigram").agg(
         F.count("*").alias("c")
     )
-    # the two grand totals are plain sums of per-doc token/bigram
-    # counts — ONE narrow size() aggregate over the token arrays
-    # replaces a third pass of each exploded count table (exact:
-    # Σ size ≡ exploded row count; Σ max(size−1, 0) ≡ bigram count)
-    nt = F.when(F.col("toks").isNull(), F.lit(0)).otherwise(F.size("toks"))
-    tot = d.agg(
-        F.sum(nt).cast("long").alias("n_tok"),
-        F.sum(F.greatest(nt - 1, F.lit(0))).cast("long").alias("n_bi"),
+    tot = uni.agg(F.sum("c").alias("n_tok")).crossJoin(
+        F.broadcast(bi.agg(F.sum("c").alias("n_bi")))
     )
     ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("cx"))
     uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
