@@ -2169,6 +2169,15 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = dsir_logweights(spark, sf_dir).select(
         "doc_id", F.col("dsir_logweight").alias("_lw")
     )
+    # Materialize the weight frame ONCE (the q_perplexity_gate pattern):
+    # it feeds both the rank cutoff and the verdict join, so the whole
+    # DSIR tokenize→hash→score pipeline otherwise plans and runs twice.
+    # 100×-replica alternating A/B: checkpoint ahead in 4/4 passes by
+    # 3.4–5.4 s (19–22 s → 14–17 s, ~25%), fixture-scale neutral
+    # (median −0.06 s). The passes were disk-gusted, but the variants
+    # alternate back-to-back inside each pass so the gust hits both —
+    # the paired delta is the load-bearing number (round 13).
+    w = iter_checkpoint(w)
     cut = _rank_cutoff(w, "_lw", 7, 10)
     reason = (
         F.when(F.col("_lw").isNull(), F.lit("no_features"))
