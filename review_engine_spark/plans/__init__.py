@@ -79,9 +79,28 @@ from review_engine_spark.plans import roster_mining  # noqa: E402,F401
 #: q_stream_ingest_gate's runner deferred the empty-stream schema
 #: analysis. Tier 2 auto-adds q_c4_rules (new). Spare slots rotate the
 #: r7 cohort (oldest proofs after the r12 sweep re-proved the r6 one).
+#: Round-14 tier 1 (VERDICT r13 item 2): the r13-rewritten oracle
+#: queries whose post-rewrite form the driver never sampled — the r13
+#: tier-1 list was set early in that round and never extended, so 13+
+#: rewrites carry only builder-side proof. Pin them all; the five
+#: r13-rewritten queries the r13 sample DID cover (q_semantic_dedup,
+#: q_stream_ingest_gate, q_cooccur_topk, q_bpe_merges, q_pagerank)
+#: rotate normally via their round-13 _LAST_GREEN entries.
 _TIER1_FIXED: list[str] = [
-    "q_semantic_dedup",
-    "q_stream_ingest_gate",
+    "q_benford",
+    "q_containment_dedup",
+    "q_countmin",
+    "q_dsir_weights",
+    "q_dsir_sample",
+    "q_perplexity_gate",
+    "q_kcore",
+    "q_bfs_levels",
+    "q_degree_hist",
+    "q_assortativity",
+    "q_heaps_fit",
+    "q_hll_md5",
+    "q_ndcg_eval",
+    "q_recsys_eval",
 ]
 
 #: name -> last round the driver proved it green (CORRECTNESS_r01..r08
@@ -242,6 +261,26 @@ _LAST_GREEN: dict[str, int] = {
     "q_upsert_latest": 12, "q_url_dedup": 12, "q_url_normalize": 12,
     "q_variant_json": 12, "q_window_analytics": 12, "q_window_range": 12,
     "q_xml_extract": 12, "q_zorder_key": 12,
+    # proven green in round 13 (50 queries: 2 tier-1 plan-changed pins
+    # + q_c4_rules new + the r7/r8 rotation cohort)
+    "q_semantic_dedup": 13, "q_stream_ingest_gate": 13, "q_c4_rules": 13,
+    "q_knn_bruteforce": 13, "q_knn_batch": 13, "q_rank_blend": 13,
+    "q_repetition_stats": 13, "q_top_tokens": 13, "q_span_dedup": 13,
+    "q_boilerplate": 13, "q_kmeans": 13, "q_mixture_weights": 13,
+    "q_mix_upsample": 13, "q_mixture_apply": 13, "q_train_split": 13,
+    "q_contamination": 13, "q_pii_scrub": 13, "q_rate_sample": 13,
+    "q_chunk_docs": 13, "q_quantize_embeddings": 13,
+    "q_schema_evolution": 13, "q_assign_ids": 13, "q_pagerank": 13,
+    "q_domain_cap": 13, "q_quality_gate": 13, "q_incremental_dedup": 13,
+    "q_bucketed_join": 13, "q_implicit_ratings": 13, "q_cooccur_topk": 13,
+    "q_dau_mau_hll": 13, "q_hop_window": 13, "q_freq_items": 13,
+    "q_observe_metrics": 13, "q_near_dup_embedding": 13,
+    "q_hard_negatives": 13, "q_price_fit": 13, "q_bayes_rating": 13,
+    "q_popularity": 13, "q_quality_score": 13, "q_lang_id": 13,
+    "q_token_count_bpe": 13, "q_unigram_logprob": 13,
+    "q_length_buckets": 13, "q_decontaminate": 13, "q_skipgram_pairs": 13,
+    "q_bpe_merges": 13, "q_ngram_jaccard": 13, "q_sentence_udtf": 13,
+    "q_stratified_sample": 13, "q_sink_roundtrip": 13,
 }
 
 # Backward-compat name used by tools/plan_audit.py and tests.
