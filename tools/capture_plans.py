@@ -1,5 +1,5 @@
 """Capture `.explain("formatted")` for named roster queries into
-plans/r13/<query>_<tag>.txt (the optimization round's before/after
+plans/r14/<query>_<tag>.txt (the optimization round's before/after
 evidence files — the judge checks plan claims against these).
 
 Captures are PRE-execution (isFinalPlan=false) under a clean cache,
@@ -23,7 +23,7 @@ def main() -> int:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = REPO / "plans" / "r13"
+    out_dir = REPO / "plans" / "r14"
     out_dir.mkdir(parents=True, exist_ok=True)
 
     import __spark_entry__ as entrymod
